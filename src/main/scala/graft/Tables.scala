@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver test tables (TESTDATA.md).
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; here they are
+  * single parquet files per table. All reads go through `spark.read.parquet`
+  * so predicate pushdown + column pruning apply (SURVEY.md §4.1).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads only as a
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
+    * builders). Normalize to a microsecond TimestampType column here so all
+    * downstream operators see a real timestamp; DuckDB's TIMESTAMP is also
+    * microsecond, so `cast(ts as timestamp)` on the oracle side matches.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

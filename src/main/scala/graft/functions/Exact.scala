@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine exactness helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against a
+  * DuckDB oracle running the same SQL (BASELINE.md). Floating-point
+  * aggregation order differs between engines (and between Spark runs, since
+  * partial-aggregate merge order is nondeterministic), so any `sum(double)`
+  * is a latent hash mismatch. Money/quantity columns in the test tables carry
+  * <= 2 true decimal digits, so casting to decimal(18,4) recovers the exact
+  * value in both engines (representation error ~1e-13 is far below the 1e-4
+  * rounding step) and all downstream arithmetic is exact and
+  * order-independent. Cast back to double only at the very end.
+  *
+  * This mirrors how a production engine would treat money at 100 TB: decimal
+  * semantics survive any shuffle/merge order, doubles do not.
+  */
+object Exact {
+  /** Exact fixed-point view of a <=2-decimal money/quantity double column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent exact sum of a money column, emitted as double. */
+  def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact average emitted as double (sum exact, single final division). */
+  def avgMoney(c: Column): Column =
+    (sum(dec(c)).cast("double") / count(lit(1))).cast("double")
+}
+
+/** Cross-engine deterministic hashing.
+  *
+  * The reference's "seeded randomness" (np.random.seed(12345) shuffles /
+  * splits, /root/reference/orderly/clean/cleaner.py:796-804, 1375-1388) is a
+  * determinism device, not a statistical requirement (SURVEY.md §4.3: exact
+  * numpy stream parity is out of scope — the semantics are determinism +
+  * uniformity). We re-specify every seeded-random semantic as a hash of the
+  * row key. `md5` is implemented identically in Spark and DuckDB, so the
+  * oracle can reproduce splits/shuffle-orders bit-for-bit, and the result is
+  * stable across cluster sizes and partitionings — which `rand(seed)` is not.
+  *
+  * At scale, md5-per-row is ~100ns — negligible against shuffle cost; for
+  * hot internal paths that never need oracle parity, prefer `xxhash64`.
+  */
+object XHash {
+  /** Deterministic uniform 60-bit non-negative hash of (seed, key...). */
+  def bucketHash(seed: String, keys: Column*): Column =
+    conv(substring(md5(concat_ws("\u0001", (lit(seed) +: keys): _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Uniform bucket in [0, n) — the split/shuffle primitive (C12/C19). */
+  def bucket(seed: String, n: Int, keys: Column*): Column =
+    pmod(bucketHash(seed, keys: _*), lit(n.toLong))
+
+  /** DuckDB SQL fragment equivalent to [[bucketHash]] — for oracle authors. */
+  def bucketHashSql(seed: String, keyExprs: String*): String = {
+    val cat = (s"'$seed'" +: keyExprs).mkString(", chr(1), ")
+    s"cast(('0x' || substr(md5(concat($cat)), 1, 15)) as bigint)"
+  }
+
+  def bucketSql(seed: String, n: Int, keyExprs: String*): String =
+    s"(${bucketHashSql(seed, keyExprs: _*)} % $n)"
+}

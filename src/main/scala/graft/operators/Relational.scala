@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.XHash
+
+/** Generic relational operators backing the reference's cleaning stage
+  * (SURVEY.md §2.3). Each is a composable `DataFrame => DataFrame`-style
+  * transform built from declarative Column expressions so Catalyst keeps
+  * pushdown/pruning/codegen; none of them collects to the driver.
+  */
+object Relational {
+
+  /** C13 — keep-first dedup (ref: clean/cleaner.py:767-794 `drop_duplicates
+    * (keep="first")` after the C12 seeded shuffle at cleaner.py:796-804).
+    *
+    * Spark shape: `row_number` over a hash-partitioned window — one shuffle
+    * on the dedup key, no global sort. `orderCols` carries the C12 "seeded
+    * shuffle" semantic: ordering by [[XHash.bucketHash]] of the row key
+    * reproduces "drop a random duplicate" deterministically at any
+    * parallelism (numpy-stream parity is explicitly out of scope,
+    * SURVEY.md §4.3).
+    *
+    * Scale note: partitionBy(subset) distributes by key hash; skewed dedup
+    * keys are bounded by duplicate-group size, and AQE handles stragglers.
+    * This replaces pandas' single-threaded global drop_duplicates.
+    */
+  def dedupKeepFirst(df: DataFrame, subset: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** C12 — seeded-shuffle ordering key (ref: clean/cleaner.py:796-804).
+    * Deterministic uniform pseudo-random key derived from the row key. */
+  def shuffleKey(seed: String, keys: Column*): Column =
+    XHash.bucketHash(seed, keys: _*)
+
+  /** C19 — seeded train/test split assignment (ref: clean/cleaner.py:
+    * 1375-1388, `default_rng(12345)` permutation + 90/10 slice). We assign
+    * each row a uniform bucket in [0,100) from its key hash; `bucket <
+    * trainPct` is the train set. Unlike `randomSplit`, this is stable under
+    * repartitioning and cluster size, and the oracle can reproduce it.
+    */
+  def splitBucket(seed: String, keys: Column*): Column =
+    XHash.bucket(seed, 100, keys: _*)
+
+  /** C20 — split-leakage move (ref: clean/cleaner.py:885-945: reaction-hash
+    * membership in both splits moves those test rows to train; the author
+    * comment flags the pandas version as the 15-minute hot spot).
+    *
+    * Spark shape: a left-semi join of test against the distinct train keys
+    * finds the movers, a left-anti join keeps the rest. At 100 TB the train
+    * key set is large, so this is a shuffle hash join on the leak key (NOT a
+    * broadcast); AQE converts it to broadcast automatically when the
+    * distinct-key side is small. Replaces the O(n) python set loop with two
+    * distributed joins. Returns (train ++ movedTest, remainingTest).
+    */
+  def leakageMove(train: DataFrame, test: DataFrame, leakKey: Column)
+      : (DataFrame, DataFrame) = {
+    val trainKeys = train.select(leakKey.as("__lk")).distinct()
+    val t = test.withColumn("__lk", leakKey)
+    val moved = t.join(trainKeys, Seq("__lk"), "left_semi").drop("__lk")
+    val kept = t.join(trainKeys, Seq("__lk"), "left_anti").drop("__lk")
+    (train.unionByName(moved), kept)
+  }
+
+  /** C9 — cumulative value counts across several columns (ref:
+    * clean/cleaner.py:318-339; re-used at plot/plotter.py:160-181). The
+    * pandas version loops columns and adds Series.value_counts; the Spark
+    * shape is a single melt (explode of an array literal of the columns)
+    * into one hash aggregate — one shuffle, map-side partial aggregation.
+    */
+  def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(col): _*)).as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** C10 — map-rare-to-"other" (ref: clean/cleaner.py:341-368). Values with
+    * frequency < minFreq across `cols` are replaced by the literal "other".
+    * Spark shape: compute the *frequent* set (usually small — it is the
+    * distinct dictionary above a frequency floor), broadcast-join it per
+    * column via a left join, coalesce to "other" on miss. For huge
+    * dictionaries AQE falls back to shuffle join.
+    */
+  def mapRareToOther(df: DataFrame, cols: Seq[String], minFreq: Long,
+      other: String = "other"): DataFrame = {
+    val frequent = valueCounts(df, cols).filter(col("cnt") >= minFreq)
+      .select(col("value").as("__freq_v"))
+    cols.foldLeft(df) { (acc, c) =>
+      acc.join(broadcast(frequent), acc(c) === col("__freq_v"), "left")
+        .withColumn(c, when(col(c).isNotNull && col("__freq_v").isNull, lit(other))
+          .otherwise(col(c)))
+        .drop("__freq_v")
+    }
+  }
+
+  /** C11 — remove rows containing any rare value (ref: clean/cleaner.py:
+    * 370-396). Spark shape: left-anti join against the rare-value set per
+    * column (semi-join pushes the set to the scan side when broadcastable).
+    */
+  def removeRareRows(df: DataFrame, cols: Seq[String], minFreq: Long): DataFrame = {
+    val rare = valueCounts(df, cols).filter(col("cnt") < minFreq)
+      .select(col("value").as("__rare_v"))
+    cols.foldLeft(df) { (acc, c) =>
+      acc.join(broadcast(rare), acc(c) === col("__rare_v"), "left_anti")
+    }
+  }
+
+  /** F10 — popularity top-k (ref: plot/plotter.py:289-369). Deterministic
+    * tie-break on the value itself so the result set is stable. */
+  def topK(df: DataFrame, by: Column, tieBreak: Column, k: Int): DataFrame =
+    df.orderBy(by.desc, tieBreak.asc).limit(k)
+}

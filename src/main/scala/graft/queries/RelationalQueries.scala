@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.operators.Relational
+
+/** Core relational coverage: scan/filter/project, hash aggregate, star join,
+  * top-k, keep-first dedup, windows, semi/anti join, union-with-lineage,
+  * melt+value-counts — the generic layer under SURVEY.md §2.3's cleaning
+  * operators, exercised on the driver test tables.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Hash aggregate with exact decimal sums (TPC-H Q1 shape; the engine
+    // analogue of the reference's groupBy statistics, plot/plotter.py:74-134).
+    QueryDef(
+      "q01_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS sum_disc,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.sumMoney(col("l_quantity")).as("sum_qty"),
+          Exact.sumMoney(col("l_extendedprice")).as("sum_base"),
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // Filter + projection; predicate and column pruning reach the parquet
+    // scan (SURVEY.md §4.1 — the reference's manual early filters).
+    QueryDef(
+      "q02_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND l_quantity > 45""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // Star join: fact ⋈ fact ⋈ dims, dims broadcast (100 TB: lineitem and
+    // orders shuffle-join on orderkey; customer/nation are broadcast so the
+    // big side never reshuffles for them).
+    QueryDef(
+      "q03_star_join_revenue",
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Top-k with deterministic tie-break (F10, plot/plotter.py:289-369).
+    QueryDef(
+      "q04_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      Relational.topK(Tables.orders(s, dir), col("o_totalprice"), col("o_orderkey"), 25)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // C13 keep-first dedup via row_number window (clean/cleaner.py:767-794).
+    QueryDef(
+      "q05_dedup_keepfirst",
+      """SELECT event_id, user_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) = 1""".stripMargin) { (s, dir) =>
+      Relational.dedupKeepFirst(Tables.events(s, dir),
+          Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // Running window aggregate (exact decimal running sum).
+    QueryDef(
+      "q06_window_running",
+      """SELECT event_id,
+        |  cast(sum(cast(value as decimal(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running,
+        |  cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) as bigint) AS rn
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        sum(Exact.dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running"),
+        row_number().over(w).cast("long").as("rn"))
+    },
+
+    // Left-semi join — the C20 "movers" side (clean/cleaner.py:885-945).
+    QueryDef(
+      "q07_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin) { (s, dir) =>
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // Left-anti join — the C20 "kept" side / C2 delete mode.
+    QueryDef(
+      "q08_anti_join",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    },
+
+    // C1 union-with-lineage (clean/cleaner.py:98-135 concat of per-file
+    // extracts + extracted_from_file lineage column).
+    QueryDef(
+      "q09_union_lineage",
+      """SELECT o_orderkey, src FROM (
+        |  SELECT o_orderkey, 'finished' AS src FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'open' AS src FROM orders WHERE o_orderstatus = 'O')""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit("finished").as("src"))
+        .unionByName(
+          o.filter(col("o_orderstatus") === "O")
+            .select(col("o_orderkey"), lit("open").as("src")))
+    },
+
+    // C9 multi-column value counts as one melt + hash aggregate
+    // (clean/cleaner.py:318-339).
+    QueryDef(
+      "q10_value_counts",
+      """SELECT value, cast(count(*) as bigint) AS cnt FROM (
+        |  SELECT l_returnflag AS value FROM lineitem
+        |  UNION ALL SELECT l_linestatus FROM lineitem)
+        |WHERE value IS NOT NULL GROUP BY value""".stripMargin) { (s, dir) =>
+      Relational.valueCounts(Tables.lineitem(s, dir), Seq("l_returnflag", "l_linestatus"))
+    }
+  )
+}
