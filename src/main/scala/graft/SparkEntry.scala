@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All registered query definitions, in registration order. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ CleanerQueries.defs
+    RelationalQueries.defs ++ CleanerQueries.defs ++
+      DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

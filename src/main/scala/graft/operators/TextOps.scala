@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.XHash
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, document fingerprinting. Pure Column expressions —
+  * narrow, codegen'd, no shuffles; at 100 TB these run at scan speed.
+  */
+object TextOps {
+
+  /** Marker-token sets for the n-gram-heuristic language identifier.
+    * (Tiny stand-in lexica; the operator shape — per-language token-set
+    * intersection scoring + deterministic argmax — is the point.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "es" -> Seq("el", "la", "de", "y", "es"))
+
+  /** Language-ID: score = |tokens ∩ markers(lang)|, argmax with fixed
+    * preference order (registration order) on ties; "und" (undetermined)
+    * when no marker hits. */
+  def langId(toks: Column): Column = {
+    val scored = langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, typedLit(markers)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), rest) =>
+      when(best > 0 && score === best, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Quality-scoring signals (length/punct/stopword ratios). Each ratio is
+    * a single division of exact integer counts — deterministic. */
+  def nChars(text: Column): Column = length(text)
+  def nTokens(toks: Column): Column = size(toks)
+  def nUniqueTokens(toks: Column): Column = size(array_distinct(toks))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  def stopwordRatio(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stop: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+
+  def meanTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /** Whitespace vs BPE-ish token counting: alpha runs, digit runs, and
+    * single non-space symbols counted separately (a cheap proxy for
+    * subword tokenizers; regex kept RE2-compatible for the oracle). */
+  def alphaTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0)))
+  def digitTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]+"), lit(0)))
+
+  /** Document fingerprint: rolling polynomial hash over token hashes,
+    * mod 2^31-1 — order-sensitive (unlike a bag-of-words hash), sequential
+    * fold reproduced exactly by the oracle's list_reduce. */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => XHash.bucketHash("fp", t) % 1000000007L),
+      lit(7L),
+      (acc, h) => (acc * 31 + h) % 2147483647L)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, XHash}
+import graft.operators.Dedup
+
+/** Deduplication operator coverage on the `documents` table. Since the
+  * synthetic corpus has no natural duplicates, each query constructs a
+  * deterministic duplicated/mutated corpus first (exact copies of every
+  * 10th doc; near-dup "mutants" with the first token replaced), so the
+  * dedup machinery demonstrably *finds* something and the oracle can
+  * reproduce it.
+  */
+object DedupQueries {
+
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Shingle CTE over an aliased (doc_id, toks) relation. */
+  private def shingleSql(src: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |       ELSE [array_to_string(toks, ' ')] END AS sh
+       |FROM $src""".stripMargin
+
+  private val mhHash = XHash.bucketHashSql("mh", "cast(j as varchar)", "s")
+
+  private def sigSql(src: String): String =
+    s"""SELECT doc_id, sh,
+       |  list_transform(range(0, 16), j ->
+       |    list_min(list_transform(sh, s -> $mhHash))) AS sig
+       |FROM $src""".stripMargin
+
+  /** Spark-side mutated corpus: docs ∪ first-token-replaced copies. */
+  private def mutantCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+    val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(array(lit("zzz")),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))).as("toks"))
+    t.unionByName(m)
+  }
+
+  private val mutantCorpusSql =
+    s"""$toksCte,
+       |m AS (SELECT doc_id + 1000000 AS doc_id, ['zzz'] || toks[2:] AS toks FROM t),
+       |c AS (SELECT doc_id, toks FROM t UNION ALL SELECT doc_id, toks FROM m)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: content-digest aggregate, keep lowest id.
+    QueryDef(
+      "q26_exact_dedup",
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id FROM c
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpus = d.select("doc_id", "text").unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDedup(corpus, col("text"), col("doc_id")).select("doc_id")
+    },
+
+    // MinHash signature + LSH band key (per-doc sketch columns).
+    QueryDef(
+      "q27_minhash_sig",
+      s"""$toksCte,
+         |sh AS (${shingleSql("t")}),
+         |sig AS (${sigSql("sh")})
+         |SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1,
+         |  md5(concat('0', chr(1), array_to_string(
+         |    list_transform(sig[1:4], v -> cast(v as varchar)), chr(1)))) AS band0
+         |FROM sig""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      t.withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+        .withColumn("sig", Dedup.minhashSig(col("sh"), 16))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 2).as("mh1"),
+          element_at(Dedup.bandKeys(col("sig"), 4, 4), 1).as("band0"))
+    },
+
+    // MinHash+LSH near-dup pairs: band-bucket join + exact Jaccard verify.
+    QueryDef(
+      "q28_minhash_lsh_pairs",
+      s"""$mutantCorpusSql,
+         |sh AS (${shingleSql("c")}),
+         |sig AS (${sigSql("sh")}),
+         |bk AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |         md5(concat(cast(b as varchar), chr(1), array_to_string(
+         |           list_transform(sig[(b*4+1):(b*4+4)], v -> cast(v as varchar)),
+         |           chr(1)))))) AS bk
+         |       FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bk a JOIN bk b USING (bk) WHERE a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  cast(len(list_intersect(x.sh, y.sh)) as int) AS n_common,
+         |  cast(len(list_distinct(x.sh || y.sh)) as int) AS n_union
+         |FROM cand
+         |JOIN sh x ON x.doc_id = a_id
+         |JOIN sh y ON y.doc_id = b_id
+         |WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+         |      / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin) { (s, dir) =>
+      val corpus = mutantCorpus(s, dir)
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+      Dedup.minhashLshPairs(corpus, "doc_id", "sh", k = 16, bands = 4, threshold = 0.5)
+    },
+
+    // SimHash 60-bit sketch.
+    QueryDef(
+      "q29_simhash",
+      s"""$toksCte,
+         |hs AS (SELECT doc_id,
+         |         list_transform(toks, tk -> ${XHash.bucketHashSql("sim", "tk")}) AS hs
+         |       FROM t)
+         |SELECT doc_id,
+         |  cast(list_sum(list_transform(range(0, 60), j ->
+         |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) > len(hs)
+         |         THEN (cast(1 as bigint) << j) ELSE 0 END)) as bigint) AS simhash
+         |FROM hs""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.simhash60(col("toks")).as("simhash"))
+    },
+
+    // n-gram Jaccard similarity kernel: each doc vs its mutant.
+    QueryDef(
+      "q30_ngram_jaccard",
+      s"""$mutantCorpusSql,
+         |sh AS (${shingleSql("c")})
+         |SELECT a.doc_id AS doc_id,
+         |  cast(len(list_intersect(a.sh, b.sh)) as int) AS n_common,
+         |  cast(len(list_distinct(a.sh || b.sh)) as int) AS n_union,
+         |  cast(len(list_intersect(a.sh, b.sh)) as double)
+         |    / len(list_distinct(a.sh || b.sh)) AS jacc
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000""".stripMargin) { (s, dir) =>
+      val sh = mutantCorpus(s, dir)
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+      val a = sh.select(col("doc_id"), col("sh").as("a_sh"))
+      val b = sh.select((col("doc_id") - 1000000L).as("doc_id"), col("sh").as("b_sh"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).as("n_common"),
+          size(array_union(col("a_sh"), col("b_sh"))).as("n_union"),
+          Dedup.jaccard(col("a_sh"), col("b_sh")).as("jacc"))
+    }
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayOps
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal plumbing). */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per content") {
+    val df = Seq((1L, "x y z"), (5L, "x y z"), (2L, "q")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, col("text"), col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("word shingles: distinct n-grams, short-doc fallback") {
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d")), Tuple1(Seq("a", "b"))).toDF("toks")
+    val out = df.select(Dedup.wordShingles(col("toks"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("minhash: identical shingle sets give identical signatures; sig is stable") {
+    val df = Seq((1L, Seq("s1", "s2", "s3")), (2L, Seq("s3", "s2", "s1")), (3L, Seq("s9")))
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"), Dedup.minhashSig(col("sh"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))     // order-independent
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val base = (0 until 20).map(i => s"tok$i").toSeq
+    val near = base.updated(0, "CHANGED")
+    val other = (100 until 120).map(i => s"tok$i").toSeq
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "toks")
+      .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "sh")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    val base = (0 until 40).map(i => s"w$i")
+    val near = base.updated(3, "x").updated(7, "y")
+    val far = (100 until 140).map(i => s"w$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+      .select(col("id"), Dedup.simhash60(col("toks")).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < 12)
+    assert(ham(m(1L), m(3L)) > 15)
+  }
+
+  test("cosine: unit vectors, orthogonal and identical") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f), 1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("brute-force top-k ranks by true cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("n_id"), col("embedding").as("c_vec"))
+    val out = Similarity.bruteForceTopK(q, c, 3)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH bucket: identical vectors share a bucket, opposite vectors do not") {
+    val df = Seq((0L, Seq.fill(8)(0.5f)), (1L, Seq.fill(8)(0.5f)),
+      (2L, Seq.fill(8)(-0.5f))).toDF("id", "v")
+    val b = df.select(col("id"), Similarity.lshBucket(col("v"), 12).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L) && b(0L) != b(2L))
+  }
+
+  test("langId scores marker intersections with fixed tie order") {
+    val df = Seq(
+      Seq("the", "cat", "is", "here"),     // en
+      Seq("der", "hund", "ist", "da"),     // de
+      Seq("xyz", "qqq")                    // und
+    ).toDF("toks")
+    val out = df.select(TextOps.langId(col("toks"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(Seq("a", "b", "c"), Seq("c", "b", "a"), Seq("a", "b", "c"))
+      .toDF("toks")
+    val fp = df.select(TextOps.fingerprint(col("toks"))).as[Long].collect()
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+  }
+
+  test("multimodal batchDecode (mapPartitions) matches expression-side meta") {
+    val df = Seq((1L, "hello world"), (2L, "x" * 250)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val decoded = Multimodal.batchDecode(df, "doc_id", "payload")
+      .collect().map(d => d.id -> d).toMap
+    assert(decoded(1L).width == 11 % 512 + 64)
+    assert(decoded(2L).height == 250 % 384 + 48)
+    val meta = Multimodal.withMediaMeta(df, "payload")
+      .select(col("doc_id"), col("media_meta.width"), col("media_meta.n_frames"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(meta(1L)._2 == decoded(1L).width)
+    assert(meta(2L)._3 == 2) // 250 bytes -> 2 frames
+  }
+
+  test("frame sampling bounds") {
+    val df = Seq(1, 7, 10).toDF("n")
+    val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
+      .as[Int].collect().toSeq
+    assert(out == Seq(1, 3, 4))
+  }
+}
