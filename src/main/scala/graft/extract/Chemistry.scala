@@ -1,0 +1,71 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.XHash
+
+/** E13/E14/F1 — the chemistry boundary (SURVEY.md §7.1).
+  *
+  * All non-relational chemistry (SMILES canonicalisation via RDKit
+  * round-trip, extract/canonicalise.py:12-72; transition-metal test,
+  * extract/defaults.py:10-39; Morgan fingerprints, gen_fp/fingerprints.py:
+  * 76-99) sits behind this trait. The engine ships [[IdentityChemistry]]
+  * — treats strings as already-canonical, fingerprints by stable hash —
+  * which makes the whole relational pipeline testable without a chem
+  * toolkit; a JVM cheminformatics binding would drop in here without
+  * touching any operator.
+  */
+trait Chemistry {
+  /** Canonical form of a SMILES/name, null when unparsable. */
+  def canonicalize(c: Column): Column
+  /** Same, stripping atom-map numbers (extract/canonicalise.py:30-47). */
+  def canonicalizeNoMaps(c: Column): Column
+  /** Is this string a resolvable molecule identifier (vs a free name)? */
+  def isResolvable(c: Column): Column
+  /** Transition-metal presence: atomic number ∈ [22,29] ∪ [40,47] ∪ [72,79]. */
+  def hasTransitionMetal(c: Column): Column
+  /** Hashed Morgan-style fingerprint as array<int> of length nBits. */
+  def fingerprint(c: Column, nBits: Int): Column
+}
+
+/** Engine-testable chemistry: pure Column expressions, no external toolkit.
+  * Canonical = input (golden extracted data is already RDKit-canonical, so
+  * cleaner-stage parity holds — SURVEY.md §7.4.1).
+  */
+object IdentityChemistry extends Chemistry {
+
+  def canonicalize(c: Column): Column = c
+
+  /** Strip `:nn` atom maps from bracket atoms: `[CH2:1]` → `[CH2]`. */
+  def canonicalizeNoMaps(c: Column): Column =
+    regexp_replace(c, ":\\d+\\]", "]")
+
+  /** SMILES-shaped heuristic: non-empty and contains no whitespace and only
+    * SMILES alphabet characters. Free-text names ("sodium chloride") fail. */
+  def isResolvable(c: Column): Column =
+    c.isNotNull && c.rlike("^[A-Za-z0-9@+\\-\\[\\]\\(\\)=#$:./\\\\%*{}]+$")
+
+  /** Bracket-atom regex over the transition-metal element symbols — exact
+    * for the bracket forms the sort key consumes (extract/defaults.py:10-39:
+    * Ti..Cu, Zr..Ag, Hf..Au). */
+  private val tmSymbols = Seq(
+    "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu",
+    "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag",
+    "Hf", "Ta", "W", "Re", "Os", "Ir", "Pt", "Au")
+
+  def hasTransitionMetal(c: Column): Column =
+    c.rlike("\\[(" + tmSymbols.mkString("|") + ")[^A-Za-z]") ||
+      c.rlike("\\[(" + tmSymbols.mkString("|") + ")\\]")
+
+  /** Morgan-FP stand-in: hash the molecule string into nBits buckets from
+    * its character 3-grams (substructure-ish, stable, deterministic). */
+  def fingerprint(c: Column, nBits: Int): Column = {
+    // one bucket per character 3-gram; dense 0/1 vector of bucket hits
+    val buckets = transform(
+      sequence(lit(1), greatest(length(c) - 2, lit(1))),
+      i => pmod(XHash.bucketHash("fpb", c.substr(i, lit(3))), lit(nBits.toLong)))
+    transform(sequence(lit(0), lit(nBits - 1)),
+      b => when(array_contains(buckets, b.cast("long")), 1).otherwise(0))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayOps, Conversions}
+
+/** E1–E23 — the extraction pipeline (SURVEY.md §2.2), re-expressed as one
+  * declarative Column pipeline over the nested reaction rows produced by
+  * [[OrdSource.readNested]]. The reference walks each reaction in Python
+  * (extract/extractor.py:595-1073 `handle_reaction_object`); here every
+  * step is a higher-order array expression, so the whole extract is one
+  * narrow codegen'd projection — no shuffle at all until the sink.
+  *
+  * Chemistry-dependent steps (canonicalisation) go through a [[Chemistry]]
+  * instance; with [[IdentityChemistry]] the pipeline is exact for inputs
+  * that are already canonical (the reference's own golden corpus is).
+  */
+final case class ExtractConfig(
+    trustLabelling: Boolean = false,
+    considerMoleculeNames: Boolean = false,
+    mergeConditionsToAgents: Boolean = true)
+
+object Extract {
+
+  /** Atom-mapped-molecule test: any `:n]` atom map present
+    * (extract/extractor.py:244-249 uses RDKit atom map numbers; on the
+    * SMILES string this is exactly the `:digits]` token). */
+  def hasMappedAtom(c: Column): Column = c.rlike(":\\d+\\]")
+
+  /** E2 — reaction CXSMILES (LAST identifier of type 6 — the reference's
+    * loop overwrites, extractor.py:165-168), extension stripped, exactly
+    * two `>` required (extract/extractor.py:160-180). */
+  def rxnStrCol: Column = {
+    val ident = try_element_at(
+      filter(col("identifiers"), i => i.getField("itype") === 6), lit(-1))
+    val raw = split(ident.getField("value"), " ").getItem(0)
+    when(size(split(raw, ">", -1)) === 3, raw)
+  }
+
+  /** is_mapped is false whenever no valid rxn string exists
+    * (extractor.py:683-686). */
+  def isMappedCol: Column =
+    when(rxnStrCol.isNotNull,
+      coalesce(try_element_at(
+        filter(col("identifiers"), i => i.getField("itype") === 6), lit(-1))
+        .getField("isMapped"), lit(false)))
+      .otherwise(lit(false))
+
+  /** E1 — first SMILES identifier of a component, else (optionally) its
+    * NAME (extract/extractor.py:112-158). */
+  private def compSmiles(comp: Column, allowName: Boolean): Column = {
+    val smiles = try_element_at(
+      filter(comp.getField("ids"), i => i.getField("itype") === 2), lit(1))
+      .getField("value")
+    if (!allowName) smiles
+    else coalesce(smiles,
+      try_element_at(
+        filter(comp.getField("ids"), i => i.getField("itype") === 6), lit(1))
+        .getField("value"))
+  }
+
+  /** E4 — route input components by reaction_role into labelled lists,
+    * splitting multi-molecule SMILES on '.' (extract/extractor.py:308-375).
+    * Roles: 1=reactant 2=reagent 3=solvent 4=catalyst 8=product. */
+  def labelled(role: Int, cfg: ExtractConfig): Column = {
+    val comps = flatten(transform(col("inputs"), e => e.getField("components")))
+    val ofRole = filter(comps, c => c.getField("role") === role)
+    val smiles = transform(ofRole, c => compSmiles(c, cfg.considerMoleculeNames))
+    val nonNull = filter(smiles, s => s.isNotNull && s =!= "")
+    flatten(transform(nonNull, s => split(s, "[.]")))
+  }
+
+  /** E4 ice detection: "ice" / "ice water" NAME among inputs. */
+  def icePresent: Column = {
+    val comps = flatten(transform(col("inputs"), e => e.getField("components")))
+    exists(comps, c => exists(c.getField("ids"),
+      i => lower(i.getField("value")).isin("ice", "ice water")))
+  }
+
+  /** E5 — labelled products + aligned yields; multi-part products split on
+    * '.', longest part keeps the yield, others padded null
+    * (extract/extractor.py:377-421). */
+  def labelledProducts: Column =
+    flatten(transform(col("products"), p => {
+      val first = try_element_at(
+        filter(p.getField("ids"), i => i.getField("itype") === 2), lit(1))
+        .getField("value")
+      val parts = array_sort(
+        split(first, "[.]"),
+        (l, r) => when(length(l) > length(r), -1)
+          .when(length(l) < length(r), 1).otherwise(0))
+      transform(parts, (part, i) =>
+        struct(part.as("smiles"),
+          when(i === 0, round(p.getField("yieldPct"), 2)).as("yield")))
+    }))
+
+  /** E3 — mapped-atom participation logic over the reaction string
+    * (extract/extractor.py:182-306): an LHS molecule is a true reactant iff
+    * it has ≥1 mapped atom AND is not among products; otherwise it demotes
+    * to agents; `[H][H]` is always a reactant; RHS molecule is a product
+    * iff mapped and not on the LHS; all outputs sorted distinct. Returns
+    * struct(reactants, agents, products). */
+  def fromRxnStr(rxnStr: Column, chem: Chemistry): Column = {
+    val parts = split(rxnStr, ">", -1)
+    def mols(i: Int): Column =
+      filter(transform(split(parts.getItem(i), "[.]"),
+        m => chem.canonicalize(m)), m => m.isNotNull && m =!= "")
+    val lhs = concat(mols(0), mols(1)) // reactants + declared agents
+    val rhsRaw = mols(2)
+    val products = array_sort(array_distinct(
+      filter(rhsRaw, m => hasMappedAtom(m) && !array_contains(lhs, m))))
+    val reactants = array_sort(array_distinct(filter(lhs,
+      m => (hasMappedAtom(m) && !array_contains(products, m)) || m === "[H][H]")))
+    val agents = array_sort(array_distinct(filter(lhs,
+      m => !array_contains(reactants, m) && !array_contains(products, m))))
+    struct(reactants.as("reactants"), agents.as("agents"), products.as("products"))
+  }
+
+  /** E12 — merge labelled conditions into (solvents, agents): union with
+    * rxn-string agents, intersect/except against the solvents dimension,
+    * order agents transition-metal-first then alphabetical
+    * (extract/extractor.py:545-593). */
+  def mergeToAgents(rxnAgents: Column, labelledConds: Column,
+      solventSet: Seq[String], chem: Chemistry): (Column, Column) = {
+    val all = array_distinct(concat(rxnAgents, labelledConds))
+    val solvents = array_sort(ArrayOps.intersectSet(all, solventSet))
+    val agentsRaw = array_sort(ArrayOps.exceptSet(all, solventSet))
+    // stable metal-first: sort key (not-metal, value)
+    val keyed = transform(agentsRaw, a =>
+      struct(when(chem.hasTransitionMetal(a), 0).otherwise(1).as("k"), a.as("v")))
+    val agents = transform(array_sort(keyed), s => s.getField("v"))
+    (solvents, agents)
+  }
+
+  /** Full no-trust extraction (the paper's default path,
+    * extractor.py:689-780 branch trust_labelling=False): rxn-string
+    * reactants/products when mapped, labelled conditions merged to
+    * solvents/agents, E15/E17/E18/E19/E20/E21 cleanups applied.
+    * Output: array-typed reaction table (SURVEY.md §7.1 internal model).
+    */
+  def extractReactions(nested: DataFrame, cfg: ExtractConfig,
+      chem: Chemistry, solventSet: Seq[String],
+      replacements: Map[String, String] = Map.empty): DataFrame = {
+
+    // Per-reaction branch (extractor.py:689-740): rxn-string-derived
+    // molecules when a valid mapped reaction string exists; labelled
+    // fallback otherwise (use_labelling_if_extract_fails, the default).
+    val withRxn = nested
+      .withColumn("rxn_str", rxnStrCol)
+      .withColumn("is_mapped", isMappedCol)
+      .withColumn("lab_products", labelledProducts)
+      .withColumn("info",
+        when(col("rxn_str").isNotNull, fromRxnStr(col("rxn_str"), chem))
+          .otherwise(struct(
+            labelled(1, cfg).as("reactants"),
+            array().cast("array<string>").as("agents"),
+            transform(col("lab_products"), p => p.getField("smiles"))
+              .as("products"))))
+
+    val labelledConds = array_distinct(concat(
+      labelled(2, cfg), labelled(3, cfg), labelled(4, cfg)))
+
+    val (solv, agents) = mergeToAgents(
+      col("info.agents"), col("labelled_conds"), solventSet, chem)
+
+    val repl: Column => Column =
+      c => filter(transform(c, x => ArrayOps.applyReplacements(x, replacements)),
+        x => x.isNotNull)
+
+    val df = withRxn
+      .withColumn("labelled_conds", labelledConds)
+      .withColumn("reactants", repl(col("info.reactants")))
+      .withColumn("products_raw", repl(col("info.products")))
+      .withColumn("solvents", solv)
+      .withColumn("agents_pre", agents)
+      // E18 — conditions must be disjoint from reactants ∪ products
+      .withColumn("agents_pre", array_except(col("agents_pre"),
+        concat(col("reactants"), col("products_raw"))))
+      .withColumn("solvents", array_except(col("solvents"),
+        concat(col("reactants"), col("products_raw"))))
+      // E19 — Pd/C exception: metal or charcoal present → drop bare carbon
+      .withColumn("agents_pre",
+        when(exists(col("agents_pre"), a => chem.hasTransitionMetal(a)) ||
+          contains(lower(coalesce(col("procedureDetails"), lit(""))), lit("charcoal")),
+          array_except(col("agents_pre"), array(lit("[C]"), lit("C"))))
+          .otherwise(col("agents_pre")))
+      // E15 — drop numeric-string "molecules"
+      .withColumn("agents", ArrayOps.dropNumeric(col("agents_pre")))
+      // E6/E7 — unit conversions
+      .withColumn("temperature", Conversions.temperatureToCelsius(
+        col("tempValue"), col("tempUnits"), col("tempControl")))
+      // E20 — ice defaults temperature to 0°C
+      .withColumn("temperature",
+        coalesce(col("temperature"), when(icePresent, lit(0.0))))
+      .withColumn("rxn_time", Conversions.rxnTimeToHours(
+        col("timeValue"), col("timeUnits")))
+      // E9 — experiment date
+      .withColumn("date_of_experiment",
+        Conversions.parseUsDate(col("experimentStart")))
+      // E24 — grant date from filename
+      .withColumn("grant_date", Conversions.grantDateFromFilename(col("fileName")))
+      // E11/E5 — yields re-aligned onto the final products by equality scan
+      .withColumn("yields", transform(col("products_raw"), p =>
+        try_element_at(
+          filter(col("lab_products"), lp => lp.getField("smiles") === p), lit(1))
+          .getField("yield")))
+      .withColumn("products", col("products_raw"))
+
+    df.select(
+      col("fileName").as("extracted_from_file"), col("rxnOrdinal"),
+      col("rxn_str"), col("is_mapped"),
+      col("reactants"), col("agents"), col("solvents"),
+      col("products"), col("yields"),
+      col("temperature"), col("rxn_time"),
+      col("procedureDetails").as("procedure_details"),
+      col("date_of_experiment"), col("grant_date"))
+  }
+
+  /** E23 — numbered-wide sink view with the reference's sentinel/column
+    * conventions (extract/extractor.py:1075-1279). */
+  def toWideSink(arrayTyped: DataFrame, widths: Map[String, Int]): DataFrame = {
+    val wideCols =
+      widths.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+        if (c == "yields")
+          (0 until n).map(i => try_element_at(col(c), lit(i + 1)).as(f"yield_$i%03d"))
+        else ArrayOps.toWide(col(c), c.stripSuffix("s"), n)
+      }
+    val scalarCols = arrayTyped.columns.filterNot(widths.contains).map(col)
+    arrayTyped.select((scalarCols ++ wideCols): _*)
+  }
+}

@@ -51,8 +51,10 @@ object Conversions {
   def normalizeFilename(c: Column): Column =
     regexp_replace(c, "[/: .\"']", "")
 
-  def grantDateFromFilename(c: Column): Column =
-    to_date(regexp_extract(c, "uspto-grants-(\\d{4}_\\d{2})", 1), "yyyy_MM")
+  def grantDateFromFilename(c: Column): Column = {
+    val m = regexp_extract(c, "uspto-grants-(\\d{4}_\\d{2})", 1)
+    when(m =!= "", to_date(m, "yyyy_MM")) // ANSI-safe: no parse of ''
+  }
 
   /** E15 — numeric-string test (extract/extractor.py:754-781). */
   def isNumber(c: Column): Column =
