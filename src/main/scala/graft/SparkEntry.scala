@@ -16,7 +16,8 @@ object SparkEntry {
   /** All registered query definitions, in registration order. */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ CleanerQueries.defs ++
-      DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs
+      DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

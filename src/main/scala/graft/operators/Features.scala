@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F3/F6 — the ML-boundary feature/metric operators
+  * (condition_prediction/utils.py), re-expressed as DataFrame aggregations.
+  */
+object Features {
+
+  /** F3 — fit-on-train label indexing with unseen→"other"/overflow class
+    * (utils.py:27-71 OneHotEncoder semantics; spark.ml's StringIndexer
+    * frequencyDesc order = count desc, ties alphabetical). Returns the
+    * label→index dimension table to broadcast-join against any split.
+    */
+  def fitLabelIndex(train: DataFrame, c: String): DataFrame =
+    train.groupBy(c).agg(count(lit(1)).as("__cnt"))
+      .withColumn("label_index",
+        row_number().over(Window.orderBy(col("__cnt").desc, col(c).asc)) - 1)
+      .select(col(c).as("label"), col("label_index"))
+
+  /** Encode a column against a fitted index; unseen labels get index
+    * `numClasses` (the handleInvalid="keep" overflow slot). */
+  def encodeLabel(df: DataFrame, c: String, index: DataFrame): DataFrame = {
+    val n = index.count()
+    df.join(broadcast(index), df(c) === index("label"), "left")
+      .withColumn(s"${c}_idx",
+        coalesce(col("label_index"), lit(n)).cast("int"))
+      .drop("label", "label_index")
+  }
+
+  /** One-hot vector from an index (dense 0/1 array — parquet-friendly). */
+  def oneHot(idx: Column, numClasses: Int): Column =
+    transform(sequence(lit(0), lit(numClasses)),
+      i => when(i === idx, 1).otherwise(0))
+
+  /** F6 — top-n beam combination accuracy over two heads (utils.py:106-208
+    * shape, 2-head instance): per-head class probabilities from train
+    * frequencies, candidate combos scored by probability product, top-n
+    * kept (ties broken by combo string), a test row hits iff its true
+    * combo is among them. Returns a 1-row (matched, total, acc) frame.
+    */
+  def beamAccuracy2(train: DataFrame, test: DataFrame,
+      h1: String, h2: String, n: Int): DataFrame = {
+    def probs(c: String) = {
+      val total = train.count().toDouble
+      train.groupBy(c).agg((count(lit(1)) / total).as(s"p_$c"))
+    }
+    val combos = probs(h1).crossJoin(probs(h2))
+      .withColumn("score", col(s"p_$h1") * col(s"p_$h2"))
+      .withColumn("combo", concat_ws("|", col(h1), col(h2)))
+      .orderBy(col("score").desc, col("combo").asc)
+      .limit(n)
+      .select("combo")
+    val t = test.withColumn("combo", concat_ws("|", col(h1), col(h2)))
+    val matched = t.join(broadcast(combos), Seq("combo"), "left_semi")
+    t.agg(count(lit(1)).as("total"))
+      .crossJoin(matched.agg(count(lit(1)).as("matched")))
+      .select(col("matched"), col("total"),
+        (col("matched").cast("double") / col("total")).as("acc"))
+  }
+}

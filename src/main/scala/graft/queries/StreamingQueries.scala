@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.XHash
+import graft.operators.Features
+import graft.streaming.Streams
+
+/** Structured-Streaming + ML-boundary coverage. The streaming query runs
+  * the event backlog through a real `readStream → window → writeStream`
+  * pipeline (Trigger.AvailableNow, memory sink); on bounded input its
+  * result equals the batch epoch-aligned bucket aggregate, which is the
+  * oracle.
+  */
+object StreamingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q40_stream_window",
+      """SELECT strftime(make_timestamp((epoch_us(cast(ts as timestamp))
+        |         // 21600000000) * 21600000000), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, cast(count(*) as bigint) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Streams.runWindowedCounts(s, dir,
+        "q40_win_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
+    // F3 — fit-on-train label index, encode the test split.
+    QueryDef(
+      "q41_onehot_index",
+      s"""WITH b AS (SELECT *, ${XHash.bucketSql("ohe", 100, "cast(event_id as varchar)")} AS bk
+         |           FROM events),
+         |idx AS (SELECT event_type AS label,
+         |          cast(row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 as int)
+         |            AS label_index
+         |        FROM b WHERE bk < 90 GROUP BY event_type)
+         |SELECT e.event_id,
+         |  cast(coalesce(idx.label_index, (SELECT count(*) FROM idx)) as int) AS idx
+         |FROM b e LEFT JOIN idx ON e.event_type = idx.label
+         |WHERE e.bk >= 90""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("bk",
+        XHash.bucket("ohe", 100, col("event_id").cast("string")))
+      val train = ev.filter(col("bk") < 90)
+      val test = ev.filter(col("bk") >= 90)
+      val index = Features.fitLabelIndex(train, "event_type")
+      Features.encodeLabel(test, "event_type", index)
+        .select(col("event_id"), col("event_type_idx").as("idx"))
+    },
+
+    // F6 — top-n beam combination accuracy over two heads.
+    QueryDef(
+      "q42_beam_accuracy",
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CASE WHEN ${XHash.bucketSql("fb", 100, "l_orderkey", "cast(l_linenumber as varchar)")} < 90
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM lineitem),
+         |tr AS (SELECT * FROM li WHERE split = 'train'),
+         |p1 AS (SELECT l_returnflag AS v1,
+         |         cast(count(*) as double) / (SELECT count(*) FROM tr) AS p
+         |       FROM tr GROUP BY 1),
+         |p2 AS (SELECT l_linestatus AS v2,
+         |         cast(count(*) as double) / (SELECT count(*) FROM tr) AS p
+         |       FROM tr GROUP BY 1),
+         |combos AS (SELECT v1 || '|' || v2 AS combo FROM p1 CROSS JOIN p2
+         |           ORDER BY p1.p * p2.p DESC, combo LIMIT 3),
+         |te AS (SELECT l_returnflag || '|' || l_linestatus AS combo FROM li
+         |       WHERE split = 'test')
+         |SELECT
+         |  cast(count(*) FILTER (WHERE combo IN (SELECT combo FROM combos)) as bigint)
+         |    AS matched,
+         |  cast(count(*) as bigint) AS total,
+         |  cast(count(*) FILTER (WHERE combo IN (SELECT combo FROM combos)) as double)
+         |    / count(*) AS acc
+         |FROM te""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .withColumn("split",
+          when(XHash.bucket("fb", 100, col("l_orderkey"),
+            col("l_linenumber").cast("string")) < 90, "train").otherwise("test"))
+      Features.beamAccuracy2(
+        li.filter(col("split") === "train"),
+        li.filter(col("split") === "test"),
+        "l_returnflag", "l_linestatus", 3)
+    }
+  )
+}

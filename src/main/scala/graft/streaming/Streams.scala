@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming extension (beyond the reference, which is batch-only
+  * — SURVEY.md §2.5): incremental processing of newly-arrived event/reaction
+  * files ≈ the reference's extract loop as a `Trigger.AvailableNow` file
+  * source, plus watermarked windowed aggregation and custom session state.
+  *
+  * At scale this is the operational mode for continuous ingest: the same
+  * declarative transforms run incrementally with checkpointed state instead
+  * of full recomputes.
+  */
+object Streams {
+
+  /** The events table's file schema under nanosAsLong (ts arrives as
+    * nanosecond long; normalized to a micros timestamp here). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+
+  /** Tumbling-window count/sum per event type with a watermark — the
+    * canonical incremental aggregate. Runs the whole backlog with
+    * AvailableNow into an in-memory table and returns it (bounded input ⇒
+    * the result equals the batch `date_trunc` aggregate).
+    */
+  def runWindowedCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("cnt"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Custom session state via (flat)MapGroupsWithState: split each user's
+    * event stream into sessions at >`gapMinutes` inactivity, emit one row
+    * per closed session. The streaming analogue of sessionization windows.
+    */
+  final case class Ev(user_id: Long, tsMicros: Long)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, startMicros: Long, endMicros: Long, n: Int)
+
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      // batch flavour of the state logic (same fold the streaming
+      // mapGroupsWithState applies incrementally)
+      val sorted = it.toSeq.sortBy(_.tsMicros)
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var st: Option[SessionState] = None
+      sorted.foreach { e =>
+        st match {
+          case Some(s) if e.tsMicros - s.last <= gapUs =>
+            st = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+          case Some(s) =>
+            out += Session(uid, s.start, s.last, s.n)
+            st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+          case None =>
+            st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+        }
+      }
+      st.foreach(s => out += Session(uid, s.start, s.last, s.n))
+      out.iterator
+    }
+  }
+
+  /** Streaming flavour of [[sessionize]] with explicit GroupState — used
+    * with `readEventsStream(...).as[Ev]` in a streaming query. Emits closed
+    * sessions on processing-time timeout.
+    */
+  def sessionizeStreaming(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          // sessions close when a later event opens the next one; the final
+          // open session stays in state (a production deployment adds an
+          // event-time timeout to flush it)
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption
+          it.toSeq.sortBy(_.tsMicros).foreach { e =>
+            st match {
+              case Some(s) if e.tsMicros - s.last <= gapUs =>
+                st = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+              case Some(s) =>
+                out += Session(uid, s.start, s.last, s.n)
+                st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              case None =>
+                st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+}

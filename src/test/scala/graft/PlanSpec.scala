@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB contract (SURVEY.md §4): filters
+  * and projections must reach the parquet scan, dimension joins must
+  * broadcast, semi/anti joins must stay joins (not collected sets), and
+  * the hot path must be whole-stage codegen'd. These lock in the plan
+  * shape so a regression (e.g. a UDF breaking pushdown) fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: predicate pushdown and column pruning reach the scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_returnflag)") || p.contains("EqualTo(l_returnflag,R)"), p)
+    // pruned read schema: no l_comment-style extra columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_tax"), "projection not pruned:\n" + p)
+  }
+
+  test("q03: dimension joins broadcast; no shuffle for dims") {
+    val p = plan("q03_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q07/q08: semi and anti joins are real joins") {
+    assert(plan("q07_semi_join").contains("LeftSemi"))
+    assert(plan("q08_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregate is partial (map-side) + final hash aggregate") {
+    val p = plan("q01_agg_pricing")
+    // map-side combine before the exchange — the shape that survives 100 TB
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Exchange"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+
+  test("q05: dedup window partitions by the dedup key (hash exchange)") {
+    val p = plan("q05_dedup_keepfirst")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("extract pipeline is a single narrow projection (no exchange)") {
+    val nested = graft.extract.OrdSource.readNested(spark,
+      "/root/reference/orderly/data/test_data/ord_test_data")
+    val extracted = graft.extract.Extract.extractReactions(
+      nested, graft.extract.ExtractConfig(), graft.extract.IdentityChemistry,
+      Seq("O", "CO"))
+    val p = extracted.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "extract should not shuffle:\n" + p)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.Streams
+
+/** Structured-Streaming behavior: windowed aggregation equals the batch
+  * computation on bounded input; sessionization state logic splits at the
+  * inactivity gap, and the flatMapGroupsWithState flavour runs end-to-end
+  * as a real streaming query.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed streaming counts equal the batch aggregate") {
+    val streamed = Streams.runWindowedCounts(spark, sf0001, "spec_win")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(
+        date_format(timestamp_seconds(
+          floor(unix_timestamp(col("ts")) / 21600) * 21600),
+          "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("sessionize splits at the inactivity gap") {
+    val evs = Seq(
+      Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
+      Streams.Ev(1L, 60L * 60 * 1000000), // > 30min gap -> new session
+      Streams.Ev(2L, 0L)
+    ).toDS()
+    val sessions = Streams.sessionize(evs, 30).collect()
+    assert(sessions.count(_.user_id == 1L) == 2)
+    assert(sessions.count(_.user_id == 2L) == 1)
+    val first = sessions.filter(_.user_id == 1L).minBy(_.startMicros)
+    assert(first.n == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization runs as a streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    mem.addData(Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
+      Streams.Ev(1L, 60L * 60 * 1000000))
+    val q = Streams.sessionizeStreaming(mem.toDS(), 30)
+      .writeStream.format("memory").queryName("spec_sessions")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    // the closed first session is emitted; the open one stays in state
+    val emitted = spark.table("spec_sessions").as[Streams.Session].collect()
+    assert(emitted.length == 1 && emitted(0).n == 2)
+  }
+}
