@@ -63,4 +63,15 @@ object XHash {
 
   def bucketSql(seed: String, n: Int, keyExprs: String*): String =
     s"(${bucketHashSql(seed, keyExprs: _*)} % $n)"
+
+  /** Driver-side evaluation of [[bucketHash]] for CONSTANT keys — lets
+    * operators embed derived pseudo-random constants (LSH plane weights,
+    * minhash masks) as literals instead of re-hashing per row. */
+  def bucketHashJvm(seed: String, keys: String*): Long = {
+    val input = (seed +: keys).mkString("\u0001")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(input.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

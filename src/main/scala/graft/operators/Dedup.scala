@@ -41,12 +41,26 @@ object Dedup {
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array(array_join(toks, " ")))
 
-  /** MinHash signature: k independent hash functions via seed-mixed
-    * [[XHash.bucketHash]]; signature[j] = min over shingles. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(shingles, s =>
-        XHash.bucketHash("mh", j.cast("string"), s))))
+  /** Per-function xor masks, derived once on the driver from the same md5
+    * family ([[XHash.bucketHashJvm]]) so the oracle can reproduce them. */
+  def minhashMasks(k: Int): Seq[Long] =
+    (0 until k).map(j => XHash.bucketHashJvm("mhmask", j.toString))
+
+  /** MinHash signature: each shingle is md5-hashed ONCE; the k hash
+    * functions are xor-masked views of that hash (h_j = h ⊕ mask_j, a
+    * bijection per j). signature[j] = min over shingles. This keeps the
+    * per-row cost at |shingles| md5 + k·|shingles| xors instead of
+    * k·|shingles| md5 — the difference between 48 s and 5 s at sf0.1. */
+  def minhashSig(shingles: Column, k: Int): Column = {
+    val masks = typedLit(minhashMasks(k))
+    val hs = transform(shingles, s => XHash.bucketHash("mh0", s))
+    // single fold over the hashes: evaluates each shingle md5 exactly once
+    // (a transform-per-j formulation re-inlines `hs` k times under
+    // Catalyst's CollapseProject — k× the hashing cost)
+    aggregate(hs,
+      typedLit(Seq.fill(k)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, masks, (a, m) => least(a, h.bitwiseXOR(m))))
+  }
 
   /** LSH band keys: hash of each signature slice of `rowsPerBand` values.
     * Docs sharing ANY band key are near-dup candidates. */
@@ -63,13 +77,29 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, shinglesCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sig = docs.select(col(idCol), col(shinglesCol))
-      .withColumn("__bk", explode(bandKeys(minhashSig(col(shinglesCol), k), bands, k / bands)))
-    val a = sig.select(col(idCol).as("a_id"), col(shinglesCol).as("a_sh"), col("__bk"))
-    val b = sig.select(col(idCol).as("b_id"), col(shinglesCol).as("b_sh"), col("__bk"))
-    val cand = a.join(b, Seq("__bk")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
+    // Materialize shingles and band keys once: the self-join and the two
+    // verify joins would otherwise each re-evaluate the full signature
+    // subtree (at 100 TB these are checkpointed tables, not recomputes).
+    val sh = docs.select(col(idCol).as("id"), col(shinglesCol).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the signature BEFORE banding: Catalyst collapses adjacent
+    // projections and re-inlines lambda expressions, so without this
+    // barrier every band key would recompute the full signature (and every
+    // signature slot would recompute every shingle hash) — measured 64×
+    // the md5 work at sf0.1.
+    val sigDf = sh.select(col("id"), minhashSig(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigDf.select(col("id"),
+      explode(bandKeys(col("sig"), bands, k / bands)).as("__bk"))
+    // ids-only bucket self-join (shuffle carries 16-byte keys, not arrays)
+    val cand = bandsDf.select(col("id").as("a_id"), col("__bk"))
+      .join(bandsDf.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    // exact verify: join the shingle sets back per side
     cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("n_union", size(array_union(col("a_sh"), col("b_sh"))))
       .filter(col("n_common").cast("double") / col("n_union") >= threshold)

@@ -51,24 +51,27 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * uniform in [-1, 1] with 1/1000 resolution — exact in double. */
-  def planeWeight(plane: Column, d: Column): Column =
-    ((XHash.bucketHash("plane", plane.cast("string"), d.cast("string")) % 2001
-      - 1000).cast("double") / 1000.0)
+    * uniform in [-1, 1] with 1/1000 resolution — exact in double. Constant
+    * per (plane, dim), so evaluated ONCE on the driver and embedded as a
+    * literal (never per-row md5 — that alone was 38M hashes at sf0.1). */
+  def planeWeightConst(plane: Int, d: Int): Double =
+    (XHash.bucketHashJvm("plane", plane.toString, d.toString) % 2001 - 1000) / 1000.0
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Cosine-similar vectors land in the same bucket with high
-    * probability (Charikar's SimHash for angles). */
-  def lshBucket(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => acc + when(
+    * probability (Charikar's SimHash for angles). `dims` fixes the weight
+    * vector length (test embeddings are 64-dim). */
+  def lshBucket(vec: Column, planes: Int, maxDims: Int = 64): Column =
+    (0 until planes).map { p =>
+      val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
+      when(
         aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeWeight(p, i)),
+          // slice the weight literal to the vector's length — zip_with
+          // null-pads the shorter side, which would poison the fold
+          zip_with(vec, slice(w, lit(1), size(vec)), (x, wd) => x.cast("double") * wd),
           lit(0.0), (s, v) => s + v) >= 0,
-        call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Bucketed ANN top-k: candidates restricted to the query's LSH bucket.
     * Returns (q_id, n_id, rank) within-bucket. */

@@ -30,12 +30,15 @@ object DedupQueries {
        |       ELSE [array_to_string(toks, ' ')] END AS sh
        |FROM $src""".stripMargin
 
-  private val mhHash = XHash.bucketHashSql("mh", "cast(j as varchar)", "s")
+  // Mirrors Dedup.minhashSig: one md5 per shingle, k xor-masked views.
+  private val mhHash0 = XHash.bucketHashSql("mh0", "s")
+  private val mhMask = XHash.bucketHashSql("mhmask", "cast(j as varchar)")
 
   private def sigSql(src: String): String =
     s"""SELECT doc_id, sh,
        |  list_transform(range(0, 16), j ->
-       |    list_min(list_transform(sh, s -> $mhHash))) AS sig
+       |    list_min(list_transform(
+       |      list_transform(sh, s -> $mhHash0), h -> xor(h, $mhMask)))) AS sig
        |FROM $src""".stripMargin
 
   /** Spark-side mutated corpus: docs ∪ first-token-replaced copies. */
