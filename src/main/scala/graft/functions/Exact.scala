@@ -46,8 +46,16 @@ object Exact {
   * hot internal paths that never need oracle parity, prefer `xxhash64`.
   */
 object XHash {
-  /** Deterministic uniform 60-bit non-negative hash of (seed, key...). */
+  /** Deterministic uniform 60-bit non-negative hash of (seed, key...).
+    * Evaluated by the native codegen'd [[graft.plans.Md5Bucket60]]
+    * expression; bit-identical to the composed built-ins formulation
+    * `conv(substring(md5(concat_ws(chr(1), ...)), 1, 15), 16, 10)` that
+    * the DuckDB oracle runs (equivalence locked by Md5Bucket60Spec). */
   def bucketHash(seed: String, keys: Column*): Column =
+    graft.plans.Md5Bucket60((lit(seed) +: keys): _*)
+
+  /** The composed-built-ins reference formulation (oracle semantics). */
+  def bucketHashReference(seed: String, keys: Column*): Column =
     conv(substring(md5(concat_ws("\u0001", (lit(seed) +: keys): _*)), 1, 15), 16, 10)
       .cast("long")
 

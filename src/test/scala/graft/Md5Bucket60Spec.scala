@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.XHash
+
+/** The native [[graft.plans.Md5Bucket60]] expression must be bit-identical
+  * to the composed built-ins formulation the DuckDB oracle evaluates —
+  * across the interpreted path, whole-stage codegen, lambda contexts, and
+  * the driver-side constant evaluator.
+  */
+class Md5Bucket60Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("native == reference formulation over real data (codegen path)") {
+    val d = Tables.documents(spark, sf0001)
+    val diff = d.select(
+      XHash.bucketHash("s1", col("text"), col("lang")).as("a"),
+      XHash.bucketHashReference("s1", col("text"), col("lang")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("native matches inside higher-order-function lambdas") {
+    val df = Seq(Tuple1(Seq("x", "yy", "zzz"))).toDF("l")
+    val a = df.select(transform(col("l"), x => XHash.bucketHash("s", x)).as("h"))
+      .as[Seq[Long]].collect()(0)
+    val b = df.select(transform(col("l"), x => XHash.bucketHashReference("s", x)).as("h"))
+      .as[Seq[Long]].collect()(0)
+    assert(a == b)
+  }
+
+  test("null parts are skipped like concat_ws") {
+    val df = Seq(("a", Option.empty[String], "c")).toDF("x", "y", "z")
+    val a = df.select(XHash.bucketHash("s", col("x"), col("y"), col("z")))
+      .as[Long].collect()(0)
+    val b = df.select(XHash.bucketHashReference("s", col("x"), col("y"), col("z")))
+      .as[Long].collect()(0)
+    assert(a == b)
+  }
+
+  test("driver-side constant evaluator agrees") {
+    val df = Seq(("k1", "k2")).toDF("x", "y")
+    val sql = df.select(XHash.bucketHash("seed", col("x"), col("y")))
+      .as[Long].collect()(0)
+    assert(sql == XHash.bucketHashJvm("seed", "k1", "k2"))
+  }
+}
