@@ -27,13 +27,14 @@ object EmbeddingQueries {
   /** DuckDB LSH bucket: 12 hyperplane sign bits (mirrors
     * Similarity.lshBucket with planes=12). */
   private val planeW = XHash.bucketHashSql("plane", "cast(p as varchar)", "cast(i - 1 as varchar)")
-  private val bucketSql =
+  private def bucketSqlOver(vec: String): String =
     s"""cast(list_sum(list_transform(range(0, 12), p ->
        |  CASE WHEN list_reduce(list_transform(range(1, 65),
-       |         i -> cast(embedding[i] as double)
+       |         i -> cast($vec[i] as double)
        |              * (cast(($planeW % 2001 - 1000) as double) / 1000.0)),
        |       (x, y) -> x + y) >= 0
        |  THEN (cast(1 as bigint) << p) ELSE 0 END)) as bigint)""".stripMargin
+  private val bucketSql = bucketSqlOver("embedding")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -80,6 +81,41 @@ object EmbeddingQueries {
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           planes = 12, k = 3, queryPred = col("vec_id") < 20)
         .select(col("q_id"), col("n_id"), col("rank").cast("int"))
+    },
+
+    // Embedding-cosine near-dup detection: corpus ∪ deterministically
+    // perturbed copies; candidates via shared LSH bucket; verified at
+    // cosine ≥ 0.99. The embedding-space flavour of MinHash dedup.
+    QueryDef(
+      "q46_embed_neardup",
+      s"""WITH o AS (SELECT vec_id,
+         |             list_transform(range(1, 65),
+         |               i -> cast(embedding[i] as double)) AS v
+         |           FROM embeddings),
+         |m AS (SELECT vec_id + 1000000 AS vec_id,
+         |        list_transform(range(1, 65),
+         |          i -> CASE WHEN i = 1 THEN cast(embedding[1] as double) + 0.05
+         |               ELSE cast(embedding[i] as double) END) AS v
+         |      FROM embeddings),
+         |c AS (SELECT * FROM o UNION ALL SELECT * FROM m),
+         |b AS (SELECT vec_id, v, ${bucketSqlOver("v")} AS bk FROM c),
+         |p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         |        ${cosSql("a.v", "b2.v")} AS sim
+         |      FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id)
+         |SELECT a_id, b_id FROM p WHERE sim >= 0.99""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val o = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val m = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
+      val c = o.unionByName(m)
+        .withColumn("bk", Similarity.lshBucket(col("v"), 12))
+      val a = c.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("bk"))
+      val b = c.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+        .filter(Similarity.cosine(col("a_v"), col("b_v")) >= 0.99)
+        .select("a_id", "b_id")
     },
 
     // Per-label corpus statistics over exact-selection aggregates (norms are
