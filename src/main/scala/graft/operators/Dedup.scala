@@ -26,10 +26,15 @@ import graft.functions.XHash
 object Dedup {
 
   /** Exact dedup: content digest → keep the first (lowest `keep`) row per
-    * digest. The digest aggregate shuffles 16-byte keys, not documents. */
+    * digest. Implemented as `min_by` over the digest groups rather than a
+    * row_number window: min_by is map-side combinable (partial aggregation
+    * before the exchange), so at 100 TB the shuffle carries one candidate
+    * row per digest per partition instead of every row. */
   def exactDedup(df: DataFrame, text: Column, keep: Column): DataFrame = {
-    val w = Window.partitionBy(md5(text)).orderBy(keep.asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(text).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), keep).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
   /** Distinct word n-gram shingles; short docs fall back to the whole token

@@ -115,4 +115,23 @@ object Relational {
     * tie-break on the value itself so the result set is stable. */
   def topK(df: DataFrame, by: Column, tieBreak: Column, k: Int): DataFrame =
     df.orderBy(by.desc, tieBreak.asc).limit(k)
+
+  /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
+    * by replicating `small` `saltFactor` times and deterministically
+    * scattering each big-side row across the salt range. AQE's skew-join
+    * split handles moderate skew automatically; this is the explicit tool
+    * for pathological keys (one key = 30% of a 100 TB fact table), where a
+    * single reducer would otherwise own the whole key.
+    *
+    * The salt is a hash of the whole row (via all columns), so the result
+    * is deterministic and identical to the unsalted join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)))
+    val replicated = small.crossJoin(
+      broadcast(small.sparkSession.range(saltFactor).toDF("__salt")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
