@@ -89,4 +89,46 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
   }
+
+  /** Banded (multi-table) LSH keys: `planes` sign bits split into `bands`
+    * groups of planes/bands bits; vectors sharing ANY band key are
+    * candidates. With r bits per band and b bands, a pair agreeing on each
+    * plane with prob p is recalled with prob 1-(1-p^r)^b — near-certain for
+    * near-dups while random pairs stay below b/2^r. The cosine analogue of
+    * MinHash banding, and the recall fix for the single-bucket variant.
+    */
+  def lshBandKeys(vec: Column, planes: Int, bands: Int, maxDims: Int = 64): Column = {
+    val r = planes / bands
+    array((0 until bands).map { b =>
+      val bits = (0 until r).map { j =>
+        val p = b * r + j
+        val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
+        when(
+          aggregate(
+            zip_with(vec, slice(w, lit(1), size(vec)), (x, wd) => x.cast("double") * wd),
+            lit(0.0), (s, v) => s + v) >= 0,
+          lit(1 << j)).otherwise(0)
+      }.reduce(_ + _)
+      concat_ws(":", lit(b.toString), bits.cast("string"))
+    }: _*)
+  }
+
+  /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
+    * band key, verified at `minCosine`. Returns (a_id, b_id). */
+  def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
+      planes: Int, bands: Int, minCosine: Double): DataFrame = {
+    val keyed = df.select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("__bk", explode(lshBandKeys(col("v"), planes, bands)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keyed.select(col("id").as("a_id"), col("__bk"))
+      .join(keyed.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val vecs = df.select(col(id).as("id"), col(vec).as("v"))
+    cand
+      .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
+      .select("a_id", "b_id")
+  }
 }

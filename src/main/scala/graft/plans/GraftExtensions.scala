@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions wiring for the engine's custom expressions —
+  * register with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, after which
+  * `md5bucket60(...)` is available from SQL text as well as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("md5bucket60"),
+      new ExpressionInfo(classOf[Md5Bucket60].getName, "md5bucket60"),
+      GraftExtensions.builder))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+
+  /** Same implicit string casts as the Column builder. */
+  val builder: Seq[Expression] => Expression = exprs =>
+    Md5Bucket60(exprs.map(e => Cast(e, org.apache.spark.sql.types.StringType)))
+
+  /** Register on an already-running session (withExtensions only applies
+    * to sessions built fresh with the extension config). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5bucket60", builder, "built-in")
+}

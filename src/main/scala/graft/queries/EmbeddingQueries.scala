@@ -84,8 +84,10 @@ object EmbeddingQueries {
     },
 
     // Embedding-cosine near-dup detection: corpus ∪ deterministically
-    // perturbed copies; candidates via shared LSH bucket; verified at
-    // cosine ≥ 0.99. The embedding-space flavour of MinHash dedup.
+    // perturbed copies; candidates via banded (multi-table) LSH — 24 planes
+    // in 3 bands of 8 bits, pairs sharing ANY band key — verified at
+    // cosine ≥ 0.99. The embedding-space flavour of MinHash banding; the
+    // single-bucket variant recalled ~8% of planted pairs, this ≥99%.
     QueryDef(
       "q46_embed_neardup",
       s"""WITH o AS (SELECT vec_id,
@@ -98,24 +100,30 @@ object EmbeddingQueries {
          |               ELSE cast(embedding[i] as double) END) AS v
          |      FROM embeddings),
          |c AS (SELECT * FROM o UNION ALL SELECT * FROM m),
-         |b AS (SELECT vec_id, v, ${bucketSqlOver("v")} AS bk FROM c),
-         |p AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-         |        ${cosSql("a.v", "b2.v")} AS sim
-         |      FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id)
-         |SELECT a_id, b_id FROM p WHERE sim >= 0.99""".stripMargin) { (s, dir) =>
+         |b AS (SELECT vec_id, unnest(list_transform(range(0, 3), bb ->
+         |        concat(bb, ':', cast(list_sum(list_transform(range(0, 8), j ->
+         |          CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+         |                 cast(v[i] as double) *
+         |                 (cast((${XHash.bucketHashSql("plane",
+                              "cast(bb*8 + j as varchar)", "cast(i - 1 as varchar)")}
+         |                   % 2001 - 1000) as double) / 1000.0)),
+         |               (x, y) -> x + y) >= 0
+         |          THEN (1 << j) ELSE 0 END)) as varchar)))) AS bk
+         |      FROM c),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+         |         FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id)
+         |SELECT a_id, b_id FROM cand
+         |JOIN c x ON x.vec_id = a_id
+         |JOIN c y ON y.vec_id = b_id
+         |WHERE ${cosSql("x.v", "y.v")} >= 0.99""".stripMargin) { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val o = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val m = e.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
-      val c = o.unionByName(m)
-        .withColumn("bk", Similarity.lshBucket(col("v"), 12))
-      val a = c.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("bk"))
-      val b = c.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-        .filter(Similarity.cosine(col("a_v"), col("b_v")) >= 0.99)
-        .select("a_id", "b_id")
+      Similarity.bandedNearDupPairs(o.unionByName(m), "vec_id", "v",
+        planes = 24, bands = 3, minCosine = 0.99)
     },
 
     // Per-label corpus statistics over exact-selection aggregates (norms are

@@ -39,6 +39,13 @@ class Md5Bucket60Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("SQL registration (extension function is callable from SQL text)") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT md5bucket60('seed', 'k1', 7) AS h")
+      .collect()(0).getLong(0)
+    assert(viaSql == XHash.bucketHashJvm("seed", "k1", "7"))
+  }
+
   test("driver-side constant evaluator agrees") {
     val df = Seq(("k1", "k2")).toDF("x", "y")
     val sql = df.select(XHash.bucketHash("seed", col("x"), col("y")))
