@@ -144,19 +144,23 @@ object Extract {
       replacements: Map[String, String] = Map.empty): DataFrame = {
 
     // Per-reaction branch (extractor.py:689-740): rxn-string-derived
-    // molecules when a valid mapped reaction string exists; labelled
-    // fallback otherwise (use_labelling_if_extract_fails, the default).
+    // molecules when a valid mapped reaction string exists (and labelling
+    // is not trusted); labelled data otherwise — both for
+    // trust_labelling=true (always) and as the
+    // use_labelling_if_extract_fails fallback (the default).
+    val labelledInfo = struct(
+      labelled(1, cfg).as("reactants"),
+      array().cast("array<string>").as("agents"),
+      transform(col("lab_products"), p => p.getField("smiles"))
+        .as("products"))
     val withRxn = nested
       .withColumn("rxn_str", rxnStrCol)
       .withColumn("is_mapped", isMappedCol)
       .withColumn("lab_products", labelledProducts)
       .withColumn("info",
-        when(col("rxn_str").isNotNull, fromRxnStr(col("rxn_str"), chem))
-          .otherwise(struct(
-            labelled(1, cfg).as("reactants"),
-            array().cast("array<string>").as("agents"),
-            transform(col("lab_products"), p => p.getField("smiles"))
-              .as("products"))))
+        if (cfg.trustLabelling) labelledInfo
+        else when(col("rxn_str").isNotNull, fromRxnStr(col("rxn_str"), chem))
+          .otherwise(labelledInfo))
 
     val labelledConds = array_distinct(concat(
       labelled(2, cfg), labelled(3, cfg), labelled(4, cfg)))
@@ -168,12 +172,24 @@ object Extract {
       c => filter(transform(c, x => ArrayOps.applyReplacements(x, replacements)),
         x => x.isNotNull)
 
+    // trust_labelling keeps the labelled role split (no merge-to-agents,
+    // extractor.py:689-697: separate catalyst/reagent/solvent columns)
+    val (solvCol, agentsCol) =
+      if (cfg.trustLabelling) (array_distinct(labelled(3, cfg)), array().cast("array<string>"))
+      else (solv, agents)
+
     val df = withRxn
       .withColumn("labelled_conds", labelledConds)
       .withColumn("reactants", repl(col("info.reactants")))
       .withColumn("products_raw", repl(col("info.products")))
-      .withColumn("solvents", solv)
-      .withColumn("agents_pre", agents)
+      .withColumn("reagents",
+        if (cfg.trustLabelling) array_distinct(labelled(2, cfg))
+        else array().cast("array<string>"))
+      .withColumn("catalysts",
+        if (cfg.trustLabelling) array_distinct(labelled(4, cfg))
+        else array().cast("array<string>"))
+      .withColumn("solvents", solvCol)
+      .withColumn("agents_pre", agentsCol)
       // E18 — conditions must be disjoint from reactants ∪ products
       .withColumn("agents_pre", array_except(col("agents_pre"),
         concat(col("reactants"), col("products_raw"))))
@@ -207,14 +223,18 @@ object Extract {
           .getField("yield")))
       .withColumn("products", col("products_raw"))
 
-    df.select(
+    val roleCols =
+      if (cfg.trustLabelling)
+        Seq(col("reagents"), col("catalysts"))
+      else Seq.empty
+    df.select(Seq(
       col("fileName").as("extracted_from_file"), col("rxnOrdinal"),
       col("rxn_str"), col("is_mapped"),
-      col("reactants"), col("agents"), col("solvents"),
+      col("reactants"), col("agents"), col("solvents")) ++ roleCols ++ Seq(
       col("products"), col("yields"),
       col("temperature"), col("rxn_time"),
       col("procedureDetails").as("procedure_details"),
-      col("date_of_experiment"), col("grant_date"))
+      col("date_of_experiment"), col("grant_date")): _*)
   }
 
   /** E23 — numbered-wide sink view with the reference's sentinel/column

@@ -43,20 +43,20 @@ object Features {
     */
   def beamAccuracy2(train: DataFrame, test: DataFrame,
       h1: String, h2: String, n: Int): DataFrame = {
-    def probs(c: String) = {
-      val total = train.count().toDouble
+    val total = train.count().toDouble // one driver action, reused per head
+    def probs(c: String) =
       train.groupBy(c).agg((count(lit(1)) / total).as(s"p_$c"))
-    }
     val combos = probs(h1).crossJoin(probs(h2))
       .withColumn("score", col(s"p_$h1") * col(s"p_$h2"))
       .withColumn("combo", concat_ws("|", col(h1), col(h2)))
       .orderBy(col("score").desc, col("combo").asc)
       .limit(n)
-      .select("combo")
-    val t = test.withColumn("combo", concat_ws("|", col(h1), col(h2)))
-    val matched = t.join(broadcast(combos), Seq("combo"), "left_semi")
-    t.agg(count(lit(1)).as("total"))
-      .crossJoin(matched.agg(count(lit(1)).as("matched")))
+      .select(col("combo"), lit(1).as("__hit"))
+    // single pass over test: broadcast left join + conditional count
+    test.withColumn("combo", concat_ws("|", col(h1), col(h2)))
+      .join(broadcast(combos), Seq("combo"), "left")
+      .agg(count(when(col("__hit").isNotNull, 1)).as("matched"),
+        count(lit(1)).as("total"))
       .select(col("matched"), col("total"),
         (col("matched").cast("double") / col("total")).as("acc"))
   }

@@ -183,11 +183,12 @@ object CleanerQueries {
       val top3 = li.filter(col("split") === "train")
         .groupBy("combo").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("combo").asc).limit(3)
-        .select("combo")
-      val test = li.filter(col("split") === "test")
-      val matched = test.join(broadcast(top3), Seq("combo"), "left_semi")
-      test.agg(count(lit(1)).as("total"))
-        .crossJoin(matched.agg(count(lit(1)).as("matched")))
+        .select(col("combo"), lit(1).as("__hit"))
+      // single pass over the test split: broadcast left join + two counts
+      li.filter(col("split") === "test")
+        .join(broadcast(top3), Seq("combo"), "left")
+        .agg(count(when(col("__hit").isNotNull, 1)).as("matched"),
+          count(lit(1)).as("total"))
         .select(col("matched"), col("total"),
           (col("matched").cast("double") / col("total")).as("acc"))
     },
