@@ -39,6 +39,17 @@ object Streams {
     * the result equals the batch `date_trunc` aggregate).
     */
   def runWindowedCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    // The state store creates one instance per shuffle partition per
+    // micro-batch; with a few hundred window×type keys, 32 partitions are
+    // pure overhead. Scope the smaller setting to this query.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runWindowedCountsInner(spark, dir, queryName)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runWindowedCountsInner(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
     val agg = readEventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
