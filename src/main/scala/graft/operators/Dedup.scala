@@ -132,4 +132,53 @@ object Dedup {
   def jaccard(aSh: Column, bSh: Column): Column =
     size(array_intersect(aSh, bSh)).cast("double") /
       size(array_union(aSh, bSh))
+
+  /** Near-dup clustering: connected components over a candidate-pair edge
+    * list via min-label propagation — each node ends with the minimum id
+    * reachable in its component (converges in ≤ diameter iterations; near-
+    * dup components are shallow, so a small fixed bound suffices and keeps
+    * the loop deterministic). Returns (id, cluster_rep).
+    *
+    * Scale shape: each iteration is one grouped min over the edge list —
+    * the standard big-graph CC kernel (no driver-side graph).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): an iterative loop's logical plan
+    // otherwise nests every previous iteration, and Catalyst re-analysis
+    // grows super-linearly — measured 5 s -> 24 s per iteration by iter 3.
+    // Checkpointing truncates lineage each round.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      // neighbor-min step
+      val fromNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(fromNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer-doubling step: lbl := lbl(lbl) — makes convergence
+      // logarithmic in component diameter instead of linear, which is what
+      // keeps the iteration count (and driver round trips) down on chains
+      val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = stepped.join(jump, stepped("lbl") === col("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] iter=$i changed=$changed count_s=${(System.nanoTime()-t0)/1e9}%.1f")
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
 }

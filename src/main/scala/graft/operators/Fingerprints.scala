@@ -21,6 +21,39 @@ object Fingerprints {
   def diffFp(product: Column, r0: Column, r1: Column): Column =
     zip_with(zip_with(product, r0, (a, b) => a - b), r1, (a, b) => a - b)
 
+  /** Scatter-style dense fingerprint for large bit widths: the expression
+    * formulation is O(nBits·len) per molecule (a membership probe per
+    * bit), fine at spec widths but quadratic-feeling at the reference's
+    * 2048 bits. This typed mapPartitions kernel allocates one int array
+    * per row and scatters 3-gram bucket hits — O(len + nBits), matching
+    * [[IdentityChemistry.fingerprint]] bit-for-bit (spec-locked).
+    */
+  final case class FpRow(original_index: Long, fp: Seq[Int])
+
+  def denseFingerprints(df: DataFrame, smiles: Column, nBits: Int)
+      : org.apache.spark.sql.Dataset[FpRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[FpRow]
+    df.select(col("original_index").cast("long"), smiles.cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val s = if (r.isNullAt(1)) null else r.getString(1)
+          val fp = new Array[Int](nBits)
+          if (s != null) {
+            val n = math.max(s.length - 2, 1)
+            var i = 0
+            while (i < n) {
+              val gram = s.substring(i, math.min(i + 3, s.length))
+              val b = (graft.functions.XHash.bucketHashJvm("fpb", gram) % nBits).toInt
+              fp(b) = 1
+              i += 1
+            }
+          }
+          FpRow(id, fp.toSeq)
+        }
+      }
+  }
+
   /** The gen_fp output: concat(product_fp, diff_fp) per reaction over
     * (product_000, reactant_000, reactant_001), null molecules → zero
     * vector (fingerprints.py:46-54, 76-99). */

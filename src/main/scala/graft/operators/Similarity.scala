@@ -113,6 +113,32 @@ object Similarity {
     }: _*)
   }
 
+  /** Squared L2 distance, sequential fold (oracle-reproducible). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (s, v) => s + v)
+
+  /** IVF-style cell assignment: nearest of a fixed, deterministic centroid
+    * set (here: the first `k` vectors by id — a deterministic "sample"; a
+    * production build would k-means them offline). Ties break on centroid
+    * id. The corpus partitioner for cell-local ANN search: at 100 TB the
+    * corpus is written bucketed by cell, and a query probes one (or
+    * `nprobe`) cells instead of scanning everything.
+    */
+  def ivfAssign(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(
+      col(id).as("__cid"), col(vec).as("__cvec")))
+    val w = Window.partitionBy(id)
+      .orderBy(col("__dist").asc, col("__cid").asc)
+    df.crossJoin(c)
+      .withColumn("__dist", l2sq(col(vec), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col("__cid").as("cell"))
+  }
+
   /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
     * band key, verified at `minCosine`. Returns (a_id, b_id). */
   def bandedNearDupPairs(df: DataFrame, id: String, vec: String,

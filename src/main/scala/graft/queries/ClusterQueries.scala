@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, XHash}
+import graft.operators.{Dedup, Similarity}
+
+/** IVF partitioning and near-dup clustering — the remaining scale-path
+  * pieces of the similarity/dedup story.
+  */
+object ClusterQueries {
+
+  /** Mirrors EmbeddingQueries' sequential-fold kernels. */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> (cast($a[i] as double) - cast($b[i] as double))
+       |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // IVF cell assignment: nearest of 8 fixed centroids (ids < 8).
+    QueryDef(
+      "q47_ivf_cells",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 8)
+         |SELECT vec_id, cast(cid as int) AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c)
+         |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8))
+        .select(col("vec_id"), col("cell").cast("int"))
+    },
+
+    // Near-dup clusters: connected components (min-label) over the
+    // MinHash/LSH verified pair graph of the mutated document corpus.
+    QueryDef(
+      "q48_neardup_clusters",
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id + 1000000 AS doc_id, ['zzz'] || toks[2:] AS toks FROM t),
+         |c AS (SELECT doc_id, toks FROM t UNION ALL SELECT doc_id, toks FROM m),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |       ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM c),
+         |sig AS (SELECT doc_id, sh,
+         |  list_transform(range(0, 16), j ->
+         |    list_min(list_transform(
+         |      list_transform(sh, s -> ${XHash.bucketHashSql("mh0", "s")}),
+         |      h -> xor(h, ${XHash.bucketHashSql("mhmask", "cast(j as varchar)")})))) AS sig
+         |  FROM sh),
+         |bk AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |         md5(concat(cast(b as varchar), chr(1), array_to_string(
+         |           list_transform(sig[(b*4+1):(b*4+4)], v -> cast(v as varchar)),
+         |           chr(1)))))) AS bk
+         |       FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bk a JOIN bk b USING (bk) WHERE a.doc_id < b.doc_id),
+         |p AS (SELECT a_id, b_id FROM cand
+         |      JOIN sh x ON x.doc_id = a_id
+         |      JOIN sh y ON y.doc_id = b_id
+         |      WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+         |            / len(list_distinct(x.sh || y.sh)) >= 0.5),
+         |e AS (SELECT a_id AS s, b_id AS d FROM p
+         |      UNION ALL SELECT b_id, a_id FROM p),
+         |n AS (SELECT DISTINCT s AS id FROM e),
+         |cc AS (SELECT id, id AS lbl FROM n
+         |       UNION
+         |       SELECT e.d, cc.lbl FROM cc JOIN e ON e.s = cc.id)
+         |SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array(lit("zzz")),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))).as("toks"))
+      val corpus = t.unionByName(m)
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "sh")
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("cluster_rep"))
+    }
+  )
+}
