@@ -66,4 +66,28 @@ object TextOps {
       transform(toks, t => XHash.bucketHash("fp", t) % 1000000007L),
       lit(7L),
       (acc, h) => (acc * 31 + h) % 2147483647L)
+
+  /** Benchmark decontamination: flag evaluation documents sharing any word
+    * n-gram with the training corpus (the standard containment check run
+    * before training on scraped data; the reference's C20 leakage move is
+    * the same shape at reaction granularity).
+    *
+    * Scale shape: training shingles explode to (shingle) keys and the check
+    * is one left-semi-style aggregate join — shuffle is bounded by distinct
+    * shingles, never pairs of documents. Returns (id, n_shared, is_clean).
+    */
+  def contaminationCheck(test: org.apache.spark.sql.DataFrame,
+      train: org.apache.spark.sql.DataFrame,
+      id: String, shingles: String): org.apache.spark.sql.DataFrame = {
+    val trainShingles = train
+      .select(explode(col(shingles)).as("sh")).distinct()
+    val testExploded = test.select(col(id), explode(col(shingles)).as("sh"))
+    val hits = testExploded.join(trainShingles, Seq("sh"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_shared"))
+    test.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).as("is_clean"))
+  }
 }

@@ -87,6 +87,38 @@ object ClusterQueries {
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "sh")
       Dedup.connectedComponents(pairs)
         .select(col("id"), col("cluster_rep"))
+    },
+
+    // Benchmark decontamination: test docs sharing any 8-gram with train.
+    QueryDef(
+      "q49_decontaminate",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         |         ${XHash.bucketSql("dc", 100, "cast(doc_id as varchar)")} AS bk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, bk,
+         |         CASE WHEN len(toks) >= 8
+         |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+         |                     i -> array_to_string(toks[i:i+7], ' ')))
+         |              ELSE [array_to_string(toks, ' ')] END AS sh
+         |       FROM t),
+         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bk < 90),
+         |hits AS (SELECT doc_id, count(*) AS n_shared
+         |         FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bk >= 90) u
+         |         WHERE s IN (SELECT s FROM tr) GROUP BY doc_id)
+         |SELECT s2.doc_id,
+         |  cast(coalesce(h.n_shared, 0) as bigint) AS n_shared,
+         |  coalesce(h.n_shared, 0) = 0 AS is_clean
+         |FROM (SELECT doc_id FROM sh WHERE bk >= 90) s2
+         |LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", ArrayOps.tokens(col("text")))
+        .withColumn("bk", XHash.bucket("dc", 100, col("doc_id").cast("string")))
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 8))
+      val train = docs.filter(col("bk") < 90)
+      val test = docs.filter(col("bk") >= 90)
+      graft.operators.TextOps.contaminationCheck(test, train, "doc_id", "sh")
     }
   )
 }
