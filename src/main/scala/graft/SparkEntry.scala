@@ -17,7 +17,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ CleanerQueries.defs ++
       DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs ++
-      StreamingQueries.defs ++ MetricQueries.defs ++ ClusterQueries.defs
+      StreamingQueries.defs ++ MetricQueries.defs ++ ClusterQueries.defs ++
+      MiscQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
