@@ -41,6 +41,18 @@ object ScaleBench {
     val n = big.count()
     println(s"[scale] input rows: $n")
 
+    // Extract throughput over the raw ORD corpus (12 .pb.gz files; the
+    // reference calls its per-file extraction "pretty slow",
+    // extract/main.py:36-38).
+    val te = System.nanoTime()
+    val extracted = graft.extract.Extract.extractReactions(
+      graft.extract.OrdSource.readNested(spark,
+        "/root/reference/orderly/data/test_data/ord_test_data"),
+      graft.extract.ExtractConfig(), graft.extract.IdentityChemistry,
+      Seq("O", "CO", "CCO")).count()
+    println(f"[scale] extract: $extracted reactions from raw protobuf in " +
+      f"${(System.nanoTime() - te) / 1e9}%.1f s")
+
     val cfg = CleanConfig(
       numReactant = 2, numProduct = 1, numAgent = 3, numCat = 0, numReag = 0,
       numSolv = 2, consistentYield = false, minFrequencyOfOccurrence = 100,

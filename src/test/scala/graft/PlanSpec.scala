@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
+  test("q47: centroid side broadcasts (no corpus reshuffle for IVF)") {
+    assert(plan("q47_ivf_cells").contains("BroadcastNestedLoopJoin")
+      || plan("q47_ivf_cells").contains("BroadcastExchange"))
+  }
+
+  test("q49: containment check is a semi-join aggregate, not a pair join") {
+    val p = plan("q49_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val nested = graft.extract.OrdSource.readNested(spark,
       "/root/reference/orderly/data/test_data/ord_test_data")
