@@ -134,6 +134,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaExpr == viaScatter)
   }
 
+  test("resize meta preserves aspect bucket") {
+    val df = Seq((640, 480), (100, 50)).toDF("w", "h")
+    val out = df.select(Multimodal.resizeMeta(col("w"), col("h"), 256).as("r"))
+      .select("r.width", "r.height").as[(Int, Int)].collect().toSeq
+    assert(out == Seq((256, 192), (256, 128)))
+  }
+
+  test("one-hot vector has a single hot slot plus overflow class") {
+    import graft.operators.Features
+    val df = Seq(0, 2, 3).toDF("idx")
+    val out = df.select(Features.oneHot(col("idx"), 3).as("v"))
+      .as[Seq[Int]].collect()
+    assert(out(0) == Seq(1, 0, 0, 0))
+    assert(out(1) == Seq(0, 0, 1, 0))
+    assert(out(2) == Seq(0, 0, 0, 1)) // unseen -> overflow slot
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
