@@ -90,6 +90,39 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Deterministic Lloyd k-means refinement of IVF centroids: start from
+    * the fixed seed centroids (lowest ids), alternate assignment
+    * ([[ivfAssign]]) and per-cell elementwise means for `iters` rounds.
+    * All DataFrame ops — assignment is a broadcast cross join, the update
+    * is one grouped aggregate per round; localCheckpoint truncates the
+    * iterative lineage. Deterministic: seed choice, tie-breaks, and means
+    * are all order-independent (means use exact decimal sums).
+    */
+  def kmeansCentroids(df: DataFrame, id: String, vec: String, k: Int,
+      iters: Int, dims: Int = 64): DataFrame = {
+    var centroids = df.orderBy(col(id).asc).limit(k)
+      .select(col(id).as("cid"), col(vec).as("cvec"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(df, id, vec,
+        centroids.select(col("cid").as(id), col("cvec").as(vec)))
+      // exact per-dimension mean: decimal sums are merge-order independent
+      val joined = df.join(assigned, id)
+      val sums = joined.groupBy(col("cell").as("cid")).agg(
+        count(lit(1)).as("n"),
+        (0 until dims).map(d =>
+          sum(try_element_at(col(vec), lit(d + 1)).cast("decimal(28,10)"))
+            .as(s"s$d")): _*)
+      centroids = sums.select(col("cid"),
+        array((0 until dims).map(d =>
+          (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("cvec"))
+        .localCheckpoint()
+      it += 1
+    }
+    centroids
+  }
+
   /** Banded (multi-table) LSH keys: `planes` sign bits split into `bands`
     * groups of planes/bands bits; vectors sharing ANY band key are
     * candidates. With r bits per band and b bands, a pair agreeing on each

@@ -151,6 +151,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2) == Seq(0, 0, 0, 1)) // unseen -> overflow slot
   }
 
+  test("k-means refinement separates clear clusters deterministically") {
+    val pts = (0 until 20).map(i => (i.toLong, Seq(1.0f + i * 0.001f, 0.0f))) ++
+      (20 until 40).map(i => (i.toLong, Seq(0.0f, 1.0f + i * 0.001f)))
+    val df = pts.toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 3, dims = 2)
+      .orderBy("cid").as[(Long, Seq[Float])].collect().toSeq
+    val c1 = run(); val c2 = run()
+    assert(c1 == c2) // deterministic
+    val assigned = Similarity.ivfAssign(df, "vec_id", "embedding",
+      c1.toDF("vec_id", "embedding"))
+    val cells = assigned.as[(Long, Long)].collect().toMap
+    val groupA = (0L until 20L).map(cells).toSet
+    val groupB = (20L until 40L).map(cells).toSet
+    assert(groupA.size == 1 && groupB.size == 1 && groupA != groupB)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
