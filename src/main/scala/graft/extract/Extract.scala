@@ -47,18 +47,21 @@ object Extract {
         .getField("isMapped"), lit(false)))
       .otherwise(lit(false))
 
-  /** E1 — first SMILES identifier of a component, else (optionally) its
-    * NAME (extract/extractor.py:112-158). */
-  private def compSmiles(comp: Column, allowName: Boolean): Column = {
+  /** E1 — first SMILES identifier of an identifier list, else (optionally)
+    * its NAME (extract/extractor.py:112-158). */
+  private def idsSmiles(ids: Column, allowName: Boolean): Column = {
     val smiles = try_element_at(
-      filter(comp.getField("ids"), i => i.getField("itype") === 2), lit(1))
+      filter(ids, i => i.getField("itype") === 2), lit(1))
       .getField("value")
     if (!allowName) smiles
     else coalesce(smiles,
       try_element_at(
-        filter(comp.getField("ids"), i => i.getField("itype") === 6), lit(1))
+        filter(ids, i => i.getField("itype") === 6), lit(1))
         .getField("value"))
   }
+
+  private def compSmiles(comp: Column, allowName: Boolean): Column =
+    idsSmiles(comp.getField("ids"), allowName)
 
   /** E4 — route input components by reaction_role into labelled lists,
     * splitting multi-molecule SMILES on '.' (extract/extractor.py:308-375).
@@ -80,20 +83,24 @@ object Extract {
 
   /** E5 — labelled products + aligned yields; multi-part products split on
     * '.', longest part keeps the yield, others padded null
-    * (extract/extractor.py:377-421). */
-  def labelledProducts: Column =
-    flatten(transform(col("products"), p => {
-      val first = try_element_at(
-        filter(p.getField("ids"), i => i.getField("itype") === 2), lit(1))
-        .getField("value")
-      val parts = array_sort(
-        split(first, "[.]"),
-        (l, r) => when(length(l) > length(r), -1)
-          .when(length(l) < length(r), 1).otherwise(0))
-      transform(parts, (part, i) =>
-        struct(part.as("smiles"),
-          when(i === 0, round(p.getField("yieldPct"), 2)).as("yield")))
-    }))
+    * (extract/extractor.py:377-421). A product with no resolvable
+    * identifier is skipped entirely — the reference `continue`s past it
+    * (extractor.py:400-401) — rather than contributing a null entry; the
+    * identifier lookup honours considerMoleculeNames like find_smiles. */
+  def labelledProducts(cfg: ExtractConfig): Column =
+    flatten(transform(
+      filter(col("products"),
+        p => idsSmiles(p.getField("ids"), cfg.considerMoleculeNames).isNotNull),
+      p => {
+        val first = idsSmiles(p.getField("ids"), cfg.considerMoleculeNames)
+        val parts = array_sort(
+          split(first, "[.]"),
+          (l, r) => when(length(l) > length(r), -1)
+            .when(length(l) < length(r), 1).otherwise(0))
+        transform(parts, (part, i) =>
+          struct(part.as("smiles"),
+            when(i === 0, round(p.getField("yieldPct"), 2)).as("yield")))
+      }))
 
   /** E3 — mapped-atom participation logic over the reaction string
     * (extract/extractor.py:182-306): an LHS molecule is a true reactant iff
@@ -156,7 +163,7 @@ object Extract {
     val withRxn = nested
       .withColumn("rxn_str", rxnStrCol)
       .withColumn("is_mapped", isMappedCol)
-      .withColumn("lab_products", labelledProducts)
+      .withColumn("lab_products", labelledProducts(cfg))
       .withColumn("info",
         if (cfg.trustLabelling) labelledInfo
         else when(col("rxn_str").isNotNull, fromRxnStr(col("rxn_str"), chem))

@@ -132,18 +132,21 @@ object OrdWire {
       case (1, 2) => ids += compoundIds(r.lenDelim())
       case (3, 2) => // ProductMeasurement
         val m = r.lenDelim()
-        var mtype = 0; var pct: Option[Double] = None
+        var mtype = 0; var pct = 0.0
         while (m.hasNext) m.tag() match {
           case (2, 0) => mtype = m.varint().toInt
           case (8, 2) => // Percentage{1=value f32}
             val p = m.lenDelim()
             while (p.hasNext) p.tag() match {
-              case (1, 5) => pct = Some(p.f32().toDouble)
+              case (1, 5) => pct = p.f32().toDouble
               case (_, wt) => p.skip(wt)
             }
           case (_, wt) => m.skip(wt)
         }
-        if (mtype == 3 && pct.isDefined && yld.isEmpty) yld = pct
+        // Reference loop overwrites: LAST type-3 measurement wins, and
+        // proto3 accessors default an absent percentage.value to 0.0
+        // (extractor.py:401-408).
+        if (mtype == 3) yld = Some(pct)
       case (_, wt) => r.skip(wt)
     }
     Product(ids.toSeq, yld)
@@ -156,6 +159,7 @@ object OrdWire {
     var tempV: Option[Double] = None; var tempU = 0; var tempC = 0
     var timeV: Option[Double] = None; var timeU = 0
     var proc: Option[String] = None; var expStart: Option[String] = None
+    var outcomeSeen = false
 
     while (r.hasNext) r.tag() match {
       case (1, 2) => // ReactionIdentifier
@@ -182,12 +186,17 @@ object OrdWire {
                   case (_, wt) => ct.skip(wt)
                 }
               case (2, 2) => // setpoint{1=value, 3=units}
+                // proto3 presence is per-MESSAGE: a setpoint with units set
+                // but value omitted (0.0 is not serialized) reads back as
+                // value=0.0, not "no value" (extractor.py:426-443).
                 val sp = tc.lenDelim()
+                var v = 0.0
                 while (sp.hasNext) sp.tag() match {
-                  case (1, 5) => tempV = Some(sp.f32().toDouble)
+                  case (1, 5) => v = sp.f32().toDouble
                   case (3, 0) => tempU = sp.varint().toInt
                   case (_, wt) => sp.skip(wt)
                 }
+                tempV = Some(v)
               case (_, wt) => tc.skip(wt)
             }
           case (_, wt) => c.skip(wt)
@@ -198,18 +207,27 @@ object OrdWire {
           case (9, 2) => proc = Some(n.str())
           case (_, wt) => n.skip(wt)
         }
-      case (8, 2) => // outcomes (first one wins, like extractor.py:390)
+      case (8, 2) => // outcomes: the reference reads rxn.outcomes[0] ONLY
+        // for both products and reaction_time (extractor.py:390, 462-474);
+        // later outcome messages are ignored entirely.
         val o = r.lenDelim()
-        while (o.hasNext) o.tag() match {
-          case (1, 2) => // reaction_time{1=value, 3=units}
-            val t = o.lenDelim()
-            while (t.hasNext) t.tag() match {
-              case (1, 5) => if (timeV.isEmpty) timeV = Some(t.f32().toDouble)
-              case (3, 0) => timeU = t.varint().toInt
-              case (_, wt) => t.skip(wt)
-            }
-          case (3, 2) => products += product(o.lenDelim())
-          case (_, wt) => o.skip(wt)
+        if (outcomeSeen) o.i = o.end
+        else {
+          outcomeSeen = true
+          while (o.hasNext) o.tag() match {
+            case (1, 2) => // reaction_time{1=value, 3=units}; proto3: an
+              // absent value field inside a present message reads as 0.0
+              val t = o.lenDelim()
+              var v = 0.0
+              while (t.hasNext) t.tag() match {
+                case (1, 5) => v = t.f32().toDouble
+                case (3, 0) => timeU = t.varint().toInt
+                case (_, wt) => t.skip(wt)
+              }
+              timeV = Some(v)
+            case (3, 2) => products += product(o.lenDelim())
+            case (_, wt) => o.skip(wt)
+          }
         }
       case (9, 2) => // provenance{3=experiment_start{1=value}}
         val p = r.lenDelim()

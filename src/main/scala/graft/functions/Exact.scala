@@ -63,10 +63,16 @@ object XHash {
   def bucket(seed: String, n: Int, keys: Column*): Column =
     pmod(bucketHash(seed, keys: _*), lit(n.toLong))
 
-  /** DuckDB SQL fragment equivalent to [[bucketHash]] — for oracle authors. */
+  /** DuckDB SQL fragment equivalent to [[bucketHash]] — for oracle authors.
+    * Spark's `concat_ws` drops a NULL key AND its separator; DuckDB `concat`
+    * would keep both adjacent separators. Binding each separator to its key
+    * (`chr(1) || key`, NULL-collapsed to '') reproduces concat_ws exactly
+    * for nullable keys; for non-null keys it is byte-identical to the plain
+    * separator join. */
   def bucketHashSql(seed: String, keyExprs: String*): String = {
-    val cat = (s"'$seed'" +: keyExprs).mkString(", chr(1), ")
-    s"cast(('0x' || substr(md5(concat($cat)), 1, 15)) as bigint)"
+    val cat = (s"'$seed'" +: keyExprs.map(e => s"coalesce(chr(1) || ($e), '')"))
+      .mkString(" || ")
+    s"cast(('0x' || substr(md5($cat), 1, 15)) as bigint)"
   }
 
   def bucketSql(seed: String, n: Int, keyExprs: String*): String =

@@ -112,11 +112,18 @@ object Similarity {
       val sums = joined.groupBy(col("cell").as("cid")).agg(
         count(lit(1)).as("n"),
         (0 until dims).map(d =>
+          // coalesce: a dimension absent from every member vector (ragged
+          // input) must mean 0, not a null that poisons later distance folds
           sum(try_element_at(col(vec), lit(d + 1)).cast("decimal(28,10)"))
             .as(s"s$d")): _*)
-      centroids = sums.select(col("cid"),
+      val means = sums.select(col("cid"),
         array((0 until dims).map(d =>
-          (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("cvec"))
+          (coalesce(col(s"s$d"), lit(java.math.BigDecimal.ZERO)).cast("double")
+            / col("n")).cast("float")): _*).as("cvec_new"))
+      // a cell that captured no points keeps its previous centroid — a
+      // plain grouped aggregate would silently shrink the set below k
+      centroids = centroids.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvec_new"), col("cvec")).as("cvec"))
         .localCheckpoint()
       it += 1
     }
