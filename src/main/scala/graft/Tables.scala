@@ -33,10 +33,13 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Integral `div`, NOT floor(ts/1000): `/` on longs promotes to
+        // double, and nanosecond epochs (~1.7e18) exceed double's 53-bit
+        // mantissa — the rounded quotient lands 1µs off DuckDB's exact
+        // NANOS→US truncation.
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.floor(
-              org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -152,6 +152,13 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    // Convergence test: per-node labels are monotonically non-increasing
+    // (every step takes a `least`), so the label sum strictly decreases
+    // until the fixpoint — one aggregate over the checkpointed labels
+    // replaces a join+count against the previous iteration.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
@@ -172,10 +179,11 @@ object Dedup {
           least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl"))
         .localCheckpoint()
       val t0 = System.nanoTime()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
+      val curSum = lblSum(next)
+      changed = if (curSum.compareTo(prevSum) == 0) 0L else 1L
+      prevSum = curSum
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"[cc] iter=$i changed=$changed count_s=${(System.nanoTime()-t0)/1e9}%.1f")
+        println(f"[cc] iter=$i changed=$changed sum_s=${(System.nanoTime()-t0)/1e9}%.1f")
       labels = next
       i += 1
     }

@@ -116,6 +116,30 @@ object Relational {
   def topK(df: DataFrame, by: Column, tieBreak: Column, k: Int): DataFrame =
     df.orderBy(by.desc, tieBreak.asc).limit(k)
 
+  /** Exact stratified sampling: keep ceil(n_s · pct/100) rows of each
+    * stratum, chosen by deterministic hash order (so the sample is stable
+    * under repartitioning and reproducible by the oracle). `rn ≤ ceil(n·p)`
+    * is evaluated integer-only as `(rn−1)·100 < n·pct`.
+    *
+    * Unlike a Bernoulli hash-threshold sample (`bucket < pct`, see
+    * [[splitBucket]]), the per-stratum counts here are exact, which
+    * class-balanced training-set construction needs. Scale note: the
+    * row_number window shuffles each stratum to one partition — fine while
+    * strata are balanced classes; for few huge strata, replace with a
+    * two-pass hash-histogram threshold (same semantics, narrow second pass).
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], pct: Int,
+      seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame = {
+    val part = strata.map(col)
+    val w = Window.partitionBy(part: _*)
+    df.withColumn("__h", XHash.bucketHash(seed, hashKeys: _*))
+      .withColumn("__rn",
+        row_number().over(w.orderBy((col("__h") +: tieBreak): _*)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter((col("__rn") - 1) * 100 < col("__n") * pct)
+      .drop("__h", "__rn", "__n")
+  }
+
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
     * by replicating `small` `saltFactor` times and deterministically
     * scattering each big-side row across the salt range. AQE's skew-join

@@ -67,6 +67,34 @@ object TextOps {
       lit(7L),
       (acc, h) => (acc * 31 + h) % 2147483647L)
 
+  /** TF-IDF term scores over a tokenized corpus: score(d, t) =
+    * tf(d,t) · idf(t) with tf = term_count/doc_len and idf = N/df — kept as
+    * the exact rational (tc·N)/(dl·df) evaluated in ONE double division, so
+    * Spark and the DuckDB oracle produce bit-identical scores (no
+    * transcendental log, whose last-ulp behaviour differs across libm
+    * implementations).
+    *
+    * Scale shape: one explode, two hash aggregates (per-(doc,term) and
+    * per-term), a vocabulary-bounded join on term, a doc-bounded join on id,
+    * and the corpus count N broadcast as a 1-row cross join. No all-pairs
+    * anything; shuffles are bounded by |vocab| and |docs|, not tokens².
+    * Returns (id, term, tc, dl, df, score).
+    */
+  def tfIdfScores(docs: org.apache.spark.sql.DataFrame, id: String,
+      toks: String): org.apache.spark.sql.DataFrame = {
+    val u = docs.select(col(id), explode(col(toks)).as("term"))
+    val tf = u.groupBy(col(id), col("term")).agg(count(lit(1)).as("tc"))
+    val dl = u.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val df = u.groupBy(col("term")).agg(count_distinct(col(id)).as("df"))
+    val nd = docs.select(count(lit(1)).as("nd"))
+    tf.join(dl, Seq(id))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        (col("tc") * col("nd")).cast("double") / (col("dl") * col("df")))
+      .select(col(id), col("term"), col("tc"), col("dl"), col("df"), col("score"))
+  }
+
   /** Benchmark decontamination: flag evaluation documents sharing any word
     * n-gram with the training corpus (the standard containment check run
     * before training on scraped data; the reference's C20 leakage move is

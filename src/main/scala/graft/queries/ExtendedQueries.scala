@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, Exact, XHash}
+import graft.operators.{Relational, TextOps}
+import graft.streaming.Streams
+
+/** Round-2 coverage extensions: TF-IDF scoring, exact stratified sampling,
+  * salted-join parity, and batch sessionization — each oracle-gated.
+  */
+object ExtendedQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF: top-scoring term per document. Scores are the exact rational
+    // (tc·N)/(dl·df) in one double division → bit-identical across engines.
+    QueryDef(
+      "q53_tfidf_top",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tc FROM u GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM u GROUP BY doc_id),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM u GROUP BY term),
+        |n AS (SELECT count(*) AS nd FROM t),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        cast(tf.tc * nd as double) / (dl.dl * df.df) AS score
+        |      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term) = 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      val scored = TextOps.tfIdfScores(docs, "doc_id", "toks")
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+    },
+
+    // Exact stratified sample: 10% of lineitem per return flag, exact
+    // per-stratum ceil counts, deterministic hash order.
+    QueryDef(
+      "q54_stratified_sample",
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag,
+         |    ${XHash.bucketHashSql("strat", "l_orderkey", "cast(l_linenumber as varchar)")} AS h
+         |  FROM lineitem),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |                           ORDER BY h, l_orderkey, l_linenumber) AS rn,
+         |        count(*) OVER (PARTITION BY l_returnflag) AS n
+         |      FROM b)
+         |SELECT l_orderkey, l_linenumber, l_returnflag FROM r
+         |WHERE (rn - 1) * 100 < n * 10""".stripMargin) { (s, dir) =>
+      Relational.stratifiedSample(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), 10, "strat",
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          col("l_orderkey"), col("l_linenumber").cast("string"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    },
+
+    // Salted skew join: result must be IDENTICAL to the plain join — the
+    // oracle runs the unsalted formulation, proving the salt is semantics-
+    // preserving (the skew tool for pathological fact-table keys).
+    QueryDef(
+      "q55_salted_join",
+      """SELECT s_nationkey,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS revenue,
+        |  cast(count(*) as bigint) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Relational.saltedJoin(big, small, "suppkey", 8)
+        .groupBy("s_nationkey")
+        .agg(
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // Batch sessionization via the typed groupByKey/flatMapGroups fold (the
+    // same state logic the streaming flavour applies incrementally); oracle
+    // is the classic gaps-and-islands window formulation.
+    QueryDef(
+      "q56_sessionize",
+      """WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS us FROM events),
+        |x AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                  > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |       cast(count(*) as bigint) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+        .as[Streams.Ev]
+      Streams.sessionize(evs, 30).toDF()
+        .select(col("user_id"), col("startMicros").as("start_us"),
+          col("endMicros").as("end_us"), col("n").cast("long").as("n"))
+    }
+  )
+}

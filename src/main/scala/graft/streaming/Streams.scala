@@ -31,7 +31,9 @@ object Streams {
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integral div: long `/` promotes to double, which cannot represent
+      // nanosecond epochs exactly (see Tables.events)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window count/sum per event type with a watermark — the
     * canonical incremental aggregate. Runs the whole backlog with
