@@ -45,4 +45,63 @@ object OrdSource {
   def readNested(spark: SparkSession, dir: String): DataFrame =
     readReactions(spark, dir).toDF()
       .select(col("fileName"), col("rxnOrdinal"), col("r.*"))
+
+  /** binaryFile's fixed schema, needed explicitly by the streaming source. */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** Streaming flavour of [[readNested]]: the same decode pipeline over a
+    * `binaryFile` file-stream source, so newly-arrived `.pb.gz` files are
+    * extracted incrementally (SURVEY.md §2.5's noted extension — the
+    * reference re-runs its whole joblib loop; here checkpointed file
+    * tracking processes each file exactly once).
+    */
+  def readNestedStream(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[OrdFileReaction]
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.pb.gz")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (path, bytes) =>
+        val name = path.split('/').last.stripSuffix(".pb.gz")
+        OrdWire.decodeDataset(OrdWire.gunzip(bytes)).zipWithIndex.map {
+          case (r, i) => OrdFileReaction(name, i, r)
+        }
+      }.toDF()
+      .select(col("fileName"), col("rxnOrdinal"), col("r.*"))
+  }
+
+  /** Incremental extract job: drain all unseen `.pb.gz` files under `inDir`
+    * through the full extraction pipeline into a parquet sink, then stop
+    * (`Trigger.AvailableNow`). State lives in `checkpointDir`, so re-running
+    * after new files arrive appends ONLY their reactions — the operational
+    * mode for continuous ORD ingest at scale (each micro-batch is the same
+    * narrow, shuffle-free projection as the batch path).
+    */
+  def incrementalExtract(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, cfg: ExtractConfig, chem: Chemistry,
+      solventSet: Seq[String],
+      replacements: Map[String, String] = Map.empty): Unit = {
+    val nested = readNestedStream(spark, inDir)
+    val extracted = Extract.extractReactions(nested, cfg, chem, solventSet,
+      replacements)
+    val q = extracted.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
