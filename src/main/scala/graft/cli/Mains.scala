@@ -84,7 +84,9 @@ object GenFpMain {
     val nBits = args.lift(2).map(_.toInt).getOrElse(2048)
     val spark = GraftSession.local()
     val cleaned = spark.read.parquet(inDir)
-    Fingerprints.reactionFingerprints(cleaned, IdentityChemistry, nBits)
+    // scatter kernel: O(len + nBits) per row — the expression formulation
+    // is quadratic-feeling at the reference's default 2048 bits
+    Fingerprints.reactionFingerprintsDense(cleaned, nBits)
       .write.mode("overwrite").parquet(outDir)
     CliUtil.writeConfigJson(outDir, "fp_config.json",
       "fp_size" -> nBits, "input" -> inDir)

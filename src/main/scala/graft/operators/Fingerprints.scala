@@ -54,6 +54,51 @@ object Fingerprints {
       }
   }
 
+  /** Scatter-style [[reactionFingerprints]]: computes all three molecule
+    * fingerprints and the difference feature in one typed pass —
+    * O(len + nBits) per row vs the expression kernel's O(nBits·len)
+    * membership probes, which is what makes the reference's default 2048
+    * bits practical (fp_size, run.py:332-341). Bit-for-bit equal to
+    * `reactionFingerprints(df, IdentityChemistry, nBits)` (spec-locked).
+    */
+  def reactionFingerprintsDense(df: DataFrame, nBits: Int)
+      : org.apache.spark.sql.Dataset[FpRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[FpRow]
+    df.select(col("original_index").cast("long"),
+        try_element_at(col("products"), lit(1)).cast("string"),
+        try_element_at(col("reactants"), lit(1)).cast("string"),
+        try_element_at(col("reactants"), lit(2)).cast("string"))
+      .mapPartitions { rows =>
+        def fpOf(s: String): Array[Int] = {
+          val fp = new Array[Int](nBits)
+          if (s != null) {
+            val n = math.max(s.length - 2, 1)
+            var i = 0
+            while (i < n) {
+              val gram = s.substring(i, math.min(i + 3, s.length))
+              val b = (graft.functions.XHash.bucketHashJvm("fpb", gram) % nBits).toInt
+              fp(b) = 1
+              i += 1
+            }
+          }
+          fp
+        }
+        rows.map { r =>
+          val p = fpOf(if (r.isNullAt(1)) null else r.getString(1))
+          val r0 = fpOf(if (r.isNullAt(2)) null else r.getString(2))
+          val r1 = fpOf(if (r.isNullAt(3)) null else r.getString(3))
+          val out = new Array[Int](2 * nBits)
+          var i = 0
+          while (i < nBits) {
+            out(i) = p(i)
+            out(nBits + i) = p(i) - r0(i) - r1(i)
+            i += 1
+          }
+          FpRow(r.getLong(0), out.toSeq)
+        }
+      }
+  }
+
   /** The gen_fp output: concat(product_fp, diff_fp) per reaction over
     * (product_000, reactant_000, reactant_001), null molecules → zero
     * vector (fingerprints.py:46-54, 76-99). */

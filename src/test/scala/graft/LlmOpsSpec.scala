@@ -134,6 +134,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaExpr == viaScatter)
   }
 
+  test("dense reaction fingerprint matches the expression kernel bit-for-bit") {
+    import graft.extract.IdentityChemistry
+    import graft.operators.Fingerprints
+    val df = Seq(
+      (0L, Seq("CCO", "c1ccccc1"), Seq("O=C=O")),
+      (1L, Seq("O"), Seq.empty[String]),
+      (2L, Seq.empty[String], Seq("CC", "CCC", "CCCC")))
+      .toDF("original_index", "reactants", "products")
+    val viaExpr = Fingerprints.reactionFingerprints(df, IdentityChemistry, 64)
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaDense = Fingerprints.reactionFingerprintsDense(df, 64)
+      .collect().map(r => r.original_index -> r.fp).toMap
+    assert(viaExpr == viaDense)
+  }
+
   test("resize meta preserves aspect bucket") {
     val df = Seq((640, 480), (100, 50)).toDF("w", "h")
     val out = df.select(Multimodal.resizeMeta(col("w"), col("h"), 256).as("r"))
