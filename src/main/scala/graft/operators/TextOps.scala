@@ -67,6 +67,23 @@ object TextOps {
       lit(7L),
       (acc, h) => (acc * 31 + h) % 2147483647L)
 
+  /** Frequency-ranked vocabulary fit: the top-`k` corpus terms get dense
+    * ids 0..k-1 (count desc, term asc on ties) — the tokenizer-fit /
+    * label-index boundary of a training pipeline. Input: exploded (term)
+    * rows. Scale: the hash aggregate bounds the window input to |vocab|;
+    * the global rank window runs over that dictionary, not the corpus
+    * (pre-prune with a count floor if the raw vocabulary itself is huge).
+    */
+  def fitVocab(terms: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("tid", (row_number().over(w) - 1).cast("int"))
+      .filter(col("tid") < k)
+      .select("term", "tid")
+  }
+
   /** TF-IDF term scores over a tokenized corpus: score(d, t) =
     * tf(d,t) · idf(t) with tf = term_count/doc_len and idf = N/df — kept as
     * the exact rational (tc·N)/(dl·df) evaluated in ONE double division, so

@@ -115,6 +115,102 @@ object ExtendedQueries {
       Streams.sessionize(evs, 30).toDF()
         .select(col("user_id"), col("startMicros").as("start_us"),
           col("endMicros").as("end_us"), col("n").cast("long").as("n"))
+    },
+
+    // Gopher-style repetition signals: top-token dominance and distinct
+    // ratio per document (exact integer counts, single double divisions).
+    QueryDef(
+      "q57_repetition_quality",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM u GROUP BY doc_id, term)
+        |SELECT doc_id,
+        |  cast(max(c) as bigint) AS max_tok,
+        |  cast(sum(c) as bigint) AS n_toks,
+        |  cast(max(c) as double) / sum(c) AS top_frac,
+        |  cast(count(*) as double) / sum(c) AS distinct_ratio
+        |FROM tc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ArrayOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(col("c")).as("max_tok"),
+          sum(col("c")).as("n_toks"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_frac"),
+          (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_ratio"))
+    },
+
+    // Vocabulary fit + token-id encoding: top-32 corpus terms get dense ids,
+    // each doc's first 5 tokens encode to ids (OOV → -1) — the tokenizer
+    // boundary of a training pipeline.
+    QueryDef(
+      "q58_vocab_encode",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |v AS (SELECT term,
+        |        cast(row_number() OVER (ORDER BY count(*) DESC, term) - 1 as int) AS tid
+        |      FROM u GROUP BY term
+        |      QUALIFY row_number() OVER (ORDER BY count(*) DESC, term) <= 32),
+        |f AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM (
+        |        SELECT doc_id,
+        |          unnest(list_transform(range(1, 6), i ->
+        |            CASE WHEN i <= len(toks)
+        |                 THEN {'pos': i, 'term': toks[i]} END)) AS s
+        |        FROM t)
+        |      WHERE s IS NOT NULL),
+        |e AS (SELECT f.doc_id, f.pos, coalesce(v.tid, -1) AS tid
+        |      FROM f LEFT JOIN v USING (term))
+        |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS ids
+        |FROM e GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      val vocab = TextOps.fitVocab(
+        docs.select(explode(col("toks")).as("term")), 32)
+      val first5 = docs.select(col("doc_id"),
+        posexplode(slice(col("toks"), 1, 5))).toDF("doc_id", "pos", "term")
+      first5.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("tid", coalesce(col("tid"), lit(-1)))
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tid")))),
+            p => p.getField("tid").cast("string")), ",").as("ids"))
+    },
+
+    // Corpus mixture report: per (source, lang) doc/token counts, mean doc
+    // length, and exact token share of the whole corpus — the composition
+    // summary a data-mixing stage consumes.
+    QueryDef(
+      "q59_source_mix",
+      """WITH t AS (
+        |  SELECT source, lang,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |tot AS (SELECT sum(n) AS tot FROM t)
+        |SELECT source, lang,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n) as bigint) AS n_tokens,
+        |  cast(sum(n) as double) / count(*) AS mean_len,
+        |  cast(sum(n) as double) / tot AS token_share
+        |FROM t CROSS JOIN tot GROUP BY source, lang, tot""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(ArrayOps.tokens(col("text"))).cast("long").as("n"))
+      val tot = t.agg(sum(col("n")).as("tot"))
+      t.crossJoin(broadcast(tot))
+        .groupBy("source", "lang", "tot")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          (sum(col("n")).cast("double") / count(lit(1))).as("mean_len"),
+          (sum(col("n")).cast("double") / col("tot")).as("token_share"))
+        .drop("tot")
     }
   )
 }
