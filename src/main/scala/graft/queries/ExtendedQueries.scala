@@ -58,11 +58,14 @@ object ExtendedQueries {
          |      FROM b)
          |SELECT l_orderkey, l_linenumber, l_returnflag FROM r
          |WHERE (rn - 1) * 100 < n * 10""".stripMargin) { (s, dir) =>
+      // project before the window: the per-stratum sort payload is the
+      // selected columns, not the full fact-table row
       Relational.stratifiedSample(
-          Tables.lineitem(s, dir), Seq("l_returnflag"), 10, "strat",
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_returnflag"),
+          Seq("l_returnflag"), 10, "strat",
           Seq(col("l_orderkey"), col("l_linenumber")),
           col("l_orderkey"), col("l_linenumber").cast("string"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag")
     },
 
     // Salted skew join: result must be IDENTICAL to the plain join — the

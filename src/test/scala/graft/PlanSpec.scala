@@ -58,6 +58,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q53: corpus count broadcasts; term/doc joins stay hash joins") {
+    val p = plan("q53_tfidf_top")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"), p) // tf/df aggregates map-side combine
+  }
+
+  test("q55: salted join replicates the small side, result partitioned by salt+key") {
+    val p = plan("q55_salted_join")
+    // the salt column must be part of the join key (skew spread)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q58: vocabulary lookup broadcasts to the encode side") {
+    val p = plan("q58_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val nested = graft.extract.OrdSource.readNested(spark,
       "/root/reference/orderly/data/test_data/ord_test_data")
