@@ -131,11 +131,15 @@ object Relational {
   def stratifiedSample(df: DataFrame, strata: Seq[String], pct: Int,
       seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame = {
     val part = strata.map(col)
-    val w = Window.partitionBy(part: _*)
+    // stratum sizes via a map-side-combining aggregate + broadcast join —
+    // NOT a count-over-partition window, which would force a second full
+    // pass over each stratum's sorted rows
+    val counts = df.groupBy(part: _*).agg(count(lit(1)).as("__n"))
     df.withColumn("__h", XHash.bucketHash(seed, hashKeys: _*))
+      .join(broadcast(counts), strata)
       .withColumn("__rn",
-        row_number().over(w.orderBy((col("__h") +: tieBreak): _*)))
-      .withColumn("__n", count(lit(1)).over(w))
+        row_number().over(
+          Window.partitionBy(part: _*).orderBy((col("__h") +: tieBreak): _*)))
       .filter((col("__rn") - 1) * 100 < col("__n") * pct)
       .drop("__h", "__rn", "__n")
   }

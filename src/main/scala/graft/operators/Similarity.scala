@@ -22,8 +22,15 @@ import graft.functions.XHash
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float vectors, in double.
+    * Evaluated by the native [[graft.plans.FloatVecDot]] kernel — one loop
+    * over primitive array data, bit-identical to the composed built-ins
+    * `aggregate(zip_with(a, b, (x,y) -> xd*yd), 0d, +)` that the oracle
+    * runs (equivalence locked by VecKernelsSpec). */
+  def dot(a: Column, b: Column): Column = graft.plans.VecKernels.dot(a, b)
+
+  /** The composed-built-ins reference formulation (oracle semantics). */
+  def dotReference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, p) => acc + p)
@@ -65,11 +72,9 @@ object Similarity {
     (0 until planes).map { p =>
       val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
       when(
-        aggregate(
-          // slice the weight literal to the vector's length — zip_with
-          // null-pads the shorter side, which would poison the fold
-          zip_with(vec, slice(w, lit(1), size(vec)), (x, wd) => x.cast("double") * wd),
-          lit(0.0), (s, v) => s + v) >= 0,
+        // slice the weight literal to the vector's length — the kernel
+        // (like zip_with) treats a length mismatch as null
+        graft.plans.VecKernels.dot(vec, slice(w, lit(1), size(vec))) >= 0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -144,17 +149,19 @@ object Similarity {
         val p = b * r + j
         val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
         when(
-          aggregate(
-            zip_with(vec, slice(w, lit(1), size(vec)), (x, wd) => x.cast("double") * wd),
-            lit(0.0), (s, v) => s + v) >= 0,
+          graft.plans.VecKernels.dot(vec, slice(w, lit(1), size(vec))) >= 0,
           lit(1 << j)).otherwise(0)
       }.reduce(_ + _)
       concat_ws(":", lit(b.toString), bits.cast("string"))
     }: _*)
   }
 
-  /** Squared L2 distance, sequential fold (oracle-reproducible). */
-  def l2sq(a: Column, b: Column): Column =
+  /** Squared L2 distance, sequential fold (oracle-reproducible); native
+    * kernel, see [[dot]]. */
+  def l2sq(a: Column, b: Column): Column = graft.plans.VecKernels.l2sq(a, b)
+
+  /** The composed-built-ins reference formulation (oracle semantics). */
+  def l2sqReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (s, v) => s + v)

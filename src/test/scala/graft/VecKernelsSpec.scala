@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The native vector-fold kernels must be BIT-identical to the composed
+  * built-ins formulation (which the DuckDB oracle mirrors), including null
+  * semantics: null array, length mismatch, and null element all yield null.
+  */
+class VecKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Tables.embeddings(spark, sf001)
+    .select(col("vec_id"), col("embedding"))
+
+  test("dot kernel is bit-identical to the built-ins fold on real embeddings") {
+    val a = vecs.select(col("vec_id"), col("embedding").as("va"))
+    val b = vecs.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("vb"))
+    val joined = a.join(b, "vec_id")
+    val diff = joined.select(
+      Similarity.dot(col("va"), col("vb")).as("native"),
+      Similarity.dotReference(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        col("native").isNull =!= col("composed").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("l2sq kernel is bit-identical to the built-ins fold") {
+    val a = vecs.select(col("vec_id"), col("embedding").as("va"))
+    val b = vecs.select((col("vec_id") - 7).as("vec_id"), col("embedding").as("vb"))
+    val joined = a.join(b, "vec_id")
+    val diff = joined.select(
+      Similarity.l2sq(col("va"), col("vb")).as("native"),
+      Similarity.l2sqReference(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        col("native").isNull =!= col("composed").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("null semantics: null array, length mismatch, null element") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (2, Seq(1.0f), Seq(3.0f, 4.0f)), // length mismatch
+      (3, null, Seq(1.0f, 2.0f)) // null side
+    ).toDF("id", "a", "b")
+      .union(Seq((4, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("id", "a", "b")
+        .withColumn("b", array(lit(1.0f), lit(null).cast("float")))) // null element
+    val out = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotReference(col("a"), col("b")).as("composed"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    out.foreach { case (id, n, c) => assert(n == c, s"id=$id native=$n composed=$c") }
+    assert(out.find(_._1 == 1).get._2 == 11.0)
+    assert(out.find(_._1 == 2).get._2 == null)
+    assert(out.find(_._1 == 3).get._2 == null)
+  }
+
+  test("mixed float/double sides (LSH weight vectors) agree with zip_with") {
+    val w = typedLit((0 until 64).map(d => Similarity.planeWeightConst(0, d)))
+    val diff = vecs.select(
+      graft.plans.VecKernels.dot(col("embedding"), slice(w, lit(1), size(col("embedding"))))
+        .as("native"),
+      aggregate(
+        zip_with(col("embedding"), slice(w, lit(1), size(col("embedding"))),
+          (x, wd) => x.cast("double") * wd),
+        lit(0.0), (s, v) => s + v).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+}
