@@ -55,8 +55,14 @@ object Dedup {
     * functions are xor-masked views of that hash (h_j = h ⊕ mask_j, a
     * bijection per j). signature[j] = min over shingles. This keeps the
     * per-row cost at |shingles| md5 + k·|shingles| xors instead of
-    * k·|shingles| md5 — the difference between 48 s and 5 s at sf0.1. */
-  def minhashSig(shingles: Column, k: Int): Column = {
+    * k·|shingles| md5 — the difference between 48 s and 5 s at sf0.1.
+    * Evaluated by the native [[graft.plans.MinHashSigExpr]] kernel
+    * (bit-identical to [[minhashSigReference]], spec-locked). */
+  def minhashSig(shingles: Column, k: Int): Column =
+    graft.plans.MinHashSigExpr(shingles, "mh0", minhashMasks(k))
+
+  /** The composed-built-ins formulation (oracle semantics). */
+  def minhashSigReference(shingles: Column, k: Int): Column = {
     val masks = typedLit(minhashMasks(k))
     val hs = transform(shingles, s => XHash.bucketHash("mh0", s))
     // single fold over the hashes: evaluates each shingle md5 exactly once
@@ -143,6 +149,20 @@ object Dedup {
     * the standard big-graph CC kernel (no driver-side graph).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // The label table is |nodes|-sized — tiny next to the corpus that
+    // produced the pairs. Iterating it across the session's full shuffle
+    // width (32+) pays fixed per-partition cost each round for near-empty
+    // partitions; scope a narrow width to this loop (same trick as the
+    // streaming state store). At true 100 TB pair volumes AQE coalesces
+    // anyway; this helps the many-small-components regime.
+    val spark = pairs.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsInner(pairs, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def connectedComponentsInner(pairs: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): an iterative loop's logical plan
     // otherwise nests every previous iteration, and Catalyst re-analysis
     // grows super-linearly — measured 5 s -> 24 s per iteration by iter 3.

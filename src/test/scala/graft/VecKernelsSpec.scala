@@ -58,6 +58,27 @@ class VecKernelsSpec extends SparkSpec {
     assert(out.find(_._1 == 3).get._2 == null)
   }
 
+  test("minhash kernel is bit-identical to the composed form on real shingles") {
+    import graft.functions.ArrayOps
+    import graft.operators.Dedup
+    val sh = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        Dedup.wordShingles(ArrayOps.tokens(col("text")), 3).as("sh"))
+    val diff = sh.select(
+      Dedup.minhashSig(col("sh"), 16).as("native"),
+      Dedup.minhashSigReference(col("sh"), 16).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+    // empty + null-element edges
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a", null)))
+      .toDF("sh")
+    val out = edge.select(
+      Dedup.minhashSig(col("sh"), 4).as("n"),
+      Dedup.minhashSigReference(col("sh"), 4).as("c"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (n, c) => assert(n == c) }
+  }
+
   test("mixed float/double sides (LSH weight vectors) agree with zip_with") {
     val w = typedLit((0 until 64).map(d => Similarity.planeWeightConst(0, d)))
     val diff = vecs.select(
