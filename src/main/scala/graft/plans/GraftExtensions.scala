@@ -15,6 +15,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5bucket60"),
       new ExpressionInfo(classOf[Md5Bucket60].getName, "md5bucket60"),
       GraftExtensions.builder))
+    e.injectFunction((
+      FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      exprs => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("fvec_l2sq"),
+      new ExpressionInfo(classOf[FloatVecL2Sq].getName, "fvec_l2sq"),
+      exprs => FloatVecL2Sq(exprs(0), exprs(1))))
   }
 }
 
@@ -27,7 +35,12 @@ object GraftExtensions {
 
   /** Register on an already-running session (withExtensions only applies
     * to sessions built fresh with the extension config). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5bucket60", builder, "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("md5bucket60", builder, "built-in")
+    reg.createOrReplaceTempFunction("fvec_dot",
+      exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("fvec_l2sq",
+      exprs => FloatVecL2Sq(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -79,6 +79,16 @@ class VecKernelsSpec extends SparkSpec {
     out.foreach { case (n, c) => assert(n == c) }
   }
 
+  test("kernels are SQL-callable after extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT fvec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       fvec_l2sq(array(cast(1.0 as float)), array(cast(3.0 as float))) AS l
+        |""".stripMargin).as[(Double, Double)].head()
+    assert(r == ((11.0, 4.0)))
+  }
+
   test("mixed float/double sides (LSH weight vectors) agree with zip_with") {
     val w = typedLit((0 until 64).map(d => Similarity.planeWeightConst(0, d)))
     val diff = vecs.select(
