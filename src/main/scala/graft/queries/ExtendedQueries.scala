@@ -186,6 +186,63 @@ object ExtendedQueries {
             p => p.getField("tid").cast("string")), ",").as("ids"))
     },
 
+    // Exact order statistics per source: median bracketed as the two
+    // adjacent order-statistic VALUES (no interpolation — engines differ in
+    // percentile_cont float formulae, order statistics are exact ints).
+    QueryDef(
+      "q60_order_stats",
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source,
+        |  cast(max(n) as bigint) AS n_docs,
+        |  cast(min(n_chars) as bigint) AS min_chars,
+        |  cast(max(n_chars) as bigint) AS max_chars,
+        |  cast(max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) as bigint) AS median_lo,
+        |  cast(max(CASE WHEN rn = n // 2 + 1 THEN n_chars END) as bigint) AS median_hi
+        |FROM r GROUP BY source""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          row_number().over(w.orderBy(col("n_chars"), col("doc_id"))).as("rn"),
+          count(lit(1)).over(w).as("n"))
+        // integral div (`div`), matching DuckDB's `//`: `/` on longs would
+        // promote to double and x.5 positions would match no row_number
+        .withColumn("mlo", expr("(n + 1) div 2"))
+        .withColumn("mhi", expr("n div 2 + 1"))
+        .groupBy("source")
+        .agg(
+          max(col("n")).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          max(when(col("rn") === col("mlo"), col("n_chars"))).as("median_lo"),
+          max(when(col("rn") === col("mhi"), col("n_chars"))).as("median_hi"))
+    },
+
+    // Rolling 1-hour event analytics via a RANGE window frame (event-time
+    // neighborhood, not row neighborhood — tie-safe by construction).
+    QueryDef(
+      "q61_rolling_range",
+      """WITH e AS (SELECT event_id, user_id, value,
+        |             epoch_us(cast(ts as timestamp)) AS us FROM events)
+        |SELECT event_id,
+        |  cast(count(*) OVER w as bigint) AS cnt_1h,
+        |  cast(sum(cast(value as decimal(18,4))) OVER w as double) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum(Exact.dec(col("value"))).over(w).cast("double").as("sum_1h"))
+    },
+
     // Corpus mixture report: per (source, lang) doc/token counts, mean doc
     // length, and exact token share of the whole corpus — the composition
     // summary a data-mixing stage consumes.

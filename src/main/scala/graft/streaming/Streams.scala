@@ -69,6 +69,32 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming deduplication: watermarked `dropDuplicates` on the event id
+    * — the incremental form of exact dedup (state holds ids only within the
+    * watermark horizon, so memory is bounded by the late-data window, not
+    * the stream's history). On bounded input with AvailableNow the result
+    * equals batch `dropDuplicates`.
+    */
+  def runStreamingDedup(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val dedup = readEventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"))
+      val q = dedup.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom session state via (flat)MapGroupsWithState: split each user's
     * event stream into sessions at >`gapMinutes` inactivity, emit one row
     * per closed session. The streaming analogue of sessionization windows.
