@@ -38,8 +38,14 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles; short docs fall back to the whole token
-    * list as a single shingle so every doc has ≥1 shingle. */
+    * list as a single shingle so every doc has ≥1 shingle. Evaluated by the
+    * native [[graft.plans.ShinglesExpr]] kernel (bit-identical to
+    * [[wordShinglesReference]], spec-locked). */
   def wordShingles(toks: Column, n: Int): Column =
+    graft.plans.ShinglesExpr(toks, n)
+
+  /** The composed-built-ins formulation (oracle semantics). */
+  def wordShinglesReference(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),

@@ -79,6 +79,30 @@ class VecKernelsSpec extends SparkSpec {
     out.foreach { case (n, c) => assert(n == c) }
   }
 
+  test("shingle kernel is bit-identical to the composed form") {
+    import graft.functions.ArrayOps
+    import graft.operators.Dedup
+    val toks = Tables.documents(spark, sf001)
+      .select(ArrayOps.tokens(col("text")).as("toks"))
+    for (n <- Seq(3, 8)) {
+      val diff = toks.select(
+        Dedup.wordShingles(col("toks"), n).as("native"),
+        Dedup.wordShinglesReference(col("toks"), n).as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(diff.count() == 0, s"n=$n")
+    }
+    // short-doc fallback + null-token skip
+    val edge = Seq(
+      Tuple1(Seq("a", "b")), // shorter than n
+      Tuple1(Seq.empty[String]),
+      Tuple1(Seq("a", null, "c", "d"))).toDF("toks")
+    val out = edge.select(
+      Dedup.wordShingles(col("toks"), 3).as("n"),
+      Dedup.wordShinglesReference(col("toks"), 3).as("c"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
+  }
+
   test("kernels are SQL-callable after extension registration") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
