@@ -42,18 +42,33 @@ object Features {
     * combo is among them. Returns a 1-row (matched, total, acc) frame.
     */
   def beamAccuracy2(train: DataFrame, test: DataFrame,
-      h1: String, h2: String, n: Int): DataFrame = {
+      h1: String, h2: String, n: Int): DataFrame =
+    beamAccuracyN(train, test, Seq(h1, h2), n)
+
+  /** F6, general form — the reference's full five-head cascade shape
+    * (solvent1, solvent2, agent1-3; utils.py:106-208): per-head class
+    * probabilities from train frequencies, the cartesian candidate space
+    * scored by probability product, top-n kept (ties broken by combo
+    * string), a test row hits iff its true combo is among them.
+    *
+    * Scale shape: each head's probability table is dictionary-sized; the
+    * cartesian grows as Π|head| but is pruned to top-n BEFORE touching the
+    * test split, which then does one broadcast-join pass.
+    */
+  def beamAccuracyN(train: DataFrame, test: DataFrame,
+      heads: Seq[String], n: Int): DataFrame = {
+    require(heads.nonEmpty)
     val total = train.count().toDouble // one driver action, reused per head
     def probs(c: String) =
       train.groupBy(c).agg((count(lit(1)) / total).as(s"p_$c"))
-    val combos = probs(h1).crossJoin(probs(h2))
-      .withColumn("score", col(s"p_$h1") * col(s"p_$h2"))
-      .withColumn("combo", concat_ws("|", col(h1), col(h2)))
+    val combos = heads.map(probs).reduce(_.crossJoin(_))
+      .withColumn("score", heads.map(c => col(s"p_$c")).reduce(_ * _))
+      .withColumn("combo", concat_ws("|", heads.map(col): _*))
       .orderBy(col("score").desc, col("combo").asc)
       .limit(n)
       .select(col("combo"), lit(1).as("__hit"))
     // single pass over test: broadcast left join + conditional count
-    test.withColumn("combo", concat_ws("|", col(h1), col(h2)))
+    test.withColumn("combo", concat_ws("|", heads.map(col): _*))
       .join(broadcast(combos), Seq("combo"), "left")
       .agg(count(when(col("__hit").isNotNull, 1)).as("matched"),
         count(lit(1)).as("total"))

@@ -36,4 +36,23 @@ class SparkMlSpec extends SparkSpec {
     assert(first.size == 4) // 5 classes, dropLast default
     assert(encoded.count() == ev.count())
   }
+
+  test("beamAccuracyN three-head hand-computed case") {
+    // train: h1 p(a)=3/4 p(b)=1/4; h2 p(x)=1/2 p(y)=1/2; h3 p(u)=3/4 p(v)=1/4
+    val train = Seq(
+      ("a", "x", "u"), ("a", "y", "u"), ("a", "x", "v"), ("b", "y", "u"))
+      .toDF("h1", "h2", "h3")
+    // top-2 combos by probability product (ties by combo string):
+    // a|x|u = 3/4*1/2*3/4 = 9/32 ; a|y|u = 9/32 ; others lower
+    // tie-break: "a|x|u" < "a|y|u" — both kept at n=2
+    val test = Seq(
+      ("a", "x", "u"), // hit
+      ("a", "y", "u"), // hit
+      ("a", "x", "v"), // miss (p=3/32)
+      ("b", "x", "u")) // miss
+      .toDF("h1", "h2", "h3")
+    val r = Features.beamAccuracyN(train, test, Seq("h1", "h2", "h3"), 2)
+      .as[(Long, Long, Double)].head()
+    assert(r == ((2L, 4L, 0.5)))
+  }
 }
