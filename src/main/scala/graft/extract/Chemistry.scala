@@ -69,3 +69,33 @@ object IdentityChemistry extends Chemistry {
       b => when(array_contains(buckets, b.cast("long")), 1).otherwise(0))
   }
 }
+
+/** Structural chemistry over the [[Smiles]] subset parser: a REAL graph
+  * canonicalizer (equivalent writings of the same molecule — atom order,
+  * ring numbering, branch order — unify to one canonical string) and a
+  * graph-based Morgan-style fingerprint. Not RDKit-string-compatible (see
+  * the [[Smiles]] scaladoc for documented boundaries), so the golden-corpus
+  * parity suites keep [[IdentityChemistry]] (golden data is already
+  * RDKit-canonical); this implementation is for fresh corpora where
+  * structural unification is the semantic that matters.
+  */
+object StructuralChemistry extends Chemistry {
+  private val canonU = udf((s: String) => Smiles.canonical(s).orNull)
+  private val canonNoMapsU = udf((s: String) => Smiles.canonicalNoMaps(s).orNull)
+  private val resolvableU = udf((s: String) => Smiles.canonical(s).isDefined)
+  private val tmU = udf((s: String) =>
+    Smiles.hasTransitionMetalParsed(s).getOrElse(false))
+
+  def canonicalize(c: Column): Column = canonU(c)
+  def canonicalizeNoMaps(c: Column): Column = canonNoMapsU(c)
+  def isResolvable(c: Column): Column = resolvableU(c)
+  def hasTransitionMetal(c: Column): Column = tmU(c)
+
+  /** Unparsable → zero vector (gen_fp/fingerprints.py:46-54 semantics). */
+  def fingerprint(c: Column, nBits: Int): Column = {
+    val u = udf((s: String) =>
+      Smiles.morganBits(s, 3, nBits).map(_.toSeq)
+        .getOrElse(Seq.fill(nBits)(0)))
+    u(c)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import scala.util.Random
+
+import graft.extract.Smiles
+
+/** Structural canonicalization: equivalent writings of the same molecular
+  * graph — different atom orders, ring numberings, branch orders — must
+  * produce one canonical string. The strongest check is the randomized
+  * rewriter: emitting the parsed graph under MANY random rank permutations
+  * produces many valid alternative SMILES, and every one must canonicalize
+  * back to the same string.
+  */
+class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val molecules = Seq(
+    "CCO", "CC(C)O", "CC(N)C(=O)O", "C1CCCCC1", "c1ccccc1", "c1ccncc1",
+    "CC(=O)Oc1ccccc1C(=O)O", // aspirin
+    "C1CC2CCC1CC2", // bridged bicycle
+    "O=C(O)c1ccccc1", "N#Cc1ccccc1", "ClC(Cl)(Cl)Cl",
+    "[NH4+]", "[13CH3]O", "[O-]C(=O)C", "[Fe+2]", "[Pd]",
+    "CC[N+](C)(C)CC", "C%10CCCCC%10", "O.CCO", "[CH2:5]=[CH:6]C")
+
+  test("equivalent writings unify") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(c("OCC") == c("CCO"))
+    assert(c("C(C)O") == c("CCO"))
+    assert(c("C1CCCCC1") == c("C2CCCCC2"))
+    assert(c("C1CCCCC1") == c("C%12CCCCC%12"))
+    assert(c("c1ccncc1") == c("n1ccccc1"))
+    assert(c("CC(N)O") == c("CC(O)N"))
+    assert(c("O.CCO") == c("CCO.O"))
+    assert(c("[CH3]C") == c("C[CH3]"))
+  }
+
+  test("distinct molecules stay distinct") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(c("CCO") != c("CCN"))
+    assert(c("CCO") != c("CC=O"))
+    assert(c("C1CCCCC1") != c("C1CCCC1"))
+    assert(c("[NH4+]") != c("[NH3]"))
+    assert(c("[13CH3]O") != c("[CH3]O"))
+  }
+
+  test("idempotence over the corpus") {
+    molecules.foreach { m =>
+      val once = Smiles.canonical(m)
+      assert(once.isDefined, m)
+      assert(Smiles.canonical(once.get) == once, m)
+    }
+  }
+
+  test("randomized rewriter: every alternative writing canonicalizes equal") {
+    val rnd = new Random(42)
+    molecules.filterNot(_.contains('.')).foreach { m =>
+      val mol = Smiles.parseComponent(m).getOrElse(fail(s"parse $m"))
+      val canon = Smiles.canonical(m).get
+      (1 to 25).foreach { _ =>
+        val perm = rnd.shuffle((0 until mol.atoms.length).toList).toArray
+        val alt = Smiles.emit(mol, perm) // valid alternative writing
+        val back = Smiles.canonical(alt)
+        assert(back.contains(canon), s"$m via $alt → $back != $canon")
+      }
+    }
+  }
+
+  test("bracket properties round-trip") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(c("[13CH3]O").contains("13"))
+    assert(c("[NH4+]") == "[NH4+]")
+    assert(c("[Fe+2]") == "[Fe+2]")
+    assert(c("[O-]C(=O)C") == c("CC(=O)[O-]"))
+    assert(c("[CH2:5]=[CH:6]C").contains(":5"))
+    assert(Smiles.canonicalNoMaps("[CH2:5]=[CH:6]C") ==
+      Smiles.canonicalNoMaps("[CH2]=[CH]C"))
+  }
+
+  test("out-of-subset and invalid inputs") {
+    assert(Smiles.canonical("sodium chloride").isEmpty) // free name
+    assert(Smiles.canonical("C1CC").isEmpty) // unclosed ring
+    assert(Smiles.canonical("C(").isEmpty) // unclosed branch
+    assert(Smiles.canonical("C=").isEmpty) // dangling bond
+    // stereo passthrough boundary
+    assert(Smiles.canonical("C[C@H](N)O").contains("C[C@H](N)O"))
+  }
+
+  test("transition-metal detection from parsed atoms") {
+    assert(Smiles.hasTransitionMetalParsed("[Pd]").contains(true))
+    assert(Smiles.hasTransitionMetalParsed("[Fe+2]").contains(true))
+    assert(Smiles.hasTransitionMetalParsed("CCO").contains(false))
+    assert(Smiles.hasTransitionMetalParsed("CCO.[Pt]").contains(true))
+    // F in CF4 is not iron; Co in [Co] is cobalt, C+o would not parse
+    assert(Smiles.hasTransitionMetalParsed("FC(F)(F)F").contains(false))
+    assert(Smiles.hasTransitionMetalParsed("[Co]").contains(true))
+  }
+
+  test("morgan fingerprint: writing-invariant, molecule-sensitive") {
+    val a = Smiles.morganBits("CCO", 3, 256).get.toSeq
+    val b = Smiles.morganBits("OCC", 3, 256).get.toSeq
+    val other = Smiles.morganBits("CCN", 3, 256).get.toSeq
+    assert(a == b)
+    assert(a != other)
+    assert(a.sum > 0)
+    assert(Smiles.morganBits("not a molecule", 3, 256).isEmpty)
+  }
+}
