@@ -101,10 +101,17 @@ object TextOps {
       toks: String): org.apache.spark.sql.DataFrame = {
     val u = docs.select(col(id), explode(col(toks)).as("term"))
     val tf = u.groupBy(col(id), col("term")).agg(count(lit(1)).as("tc"))
-    val dl = u.groupBy(col(id)).agg(count(lit(1)).as("dl"))
-    val df = u.groupBy(col("term")).agg(count_distinct(col(id)).as("df"))
+    // dl from tf, not a second pass over the exploded tokens: sum(tc) over
+    // the doc partition (bounded by per-doc vocabulary, skew-safe). df as a
+    // map-side-combinable aggregate over tf — NOT a count-over-term window,
+    // which would co-locate every row of a hot term on one reducer. Both
+    // consumers read the same tf exchange, which Spark reuses.
+    val withDl = tf.withColumn("dl",
+      sum(col("tc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(id)))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = docs.select(count(lit(1)).as("nd"))
-    tf.join(dl, Seq(id))
+    withDl
       .join(df, Seq("term"))
       .crossJoin(broadcast(nd))
       .withColumn("score",
