@@ -19,6 +19,13 @@ object DebugProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // JIT warm-up: run the whole pipeline once, then measure
+    Dedup.minhashLshPairs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 3)),
+      "doc_id", "sh").count()
+
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
     val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
