@@ -186,6 +186,37 @@ object Similarity {
       .select(col(id), col("__cid").as("cell"))
   }
 
+  /** Full IVF search: each query probes its `nprobe` nearest cells and
+    * ranks the candidates there exactly — the complete coarse-quantizer
+    * ANN flow (assignment = [[ivfAssign]], which at 100 TB is a bucketed
+    * write executed once, not per query). Probing >1 cell is the standard
+    * recall fix for queries near cell boundaries. Returns (q_id, n_id,
+    * rank) with deterministic (cosine desc, id) ranking.
+    */
+  def ivfSearch(df: DataFrame, id: String, vec: String, centroids: DataFrame,
+      nprobe: Int, k: Int, queryPred: Column): DataFrame = {
+    val cells = ivfAssign(df, id, vec, centroids)
+    val c = broadcast(centroids.select(
+      col(id).as("__cid"), col(vec).as("__cvec")))
+    val q = df.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).as("q_vec"))
+    val wp = Window.partitionBy("q_id").orderBy(col("__dist").asc, col("__cid").asc)
+    val probes = q.crossJoin(c)
+      .withColumn("__dist", l2sq(col("q_vec"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("__cid").as("cell"))
+    val corpus = df.select(col(id).as("n_id"), col(vec).as("c_vec"))
+      .join(cells.select(col(id).as("n_id"), col("cell")), Seq("n_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("n_id").asc)
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("__sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
     * band key, verified at `minCosine`. Returns (a_id, b_id). */
   def bandedNearDupPairs(df: DataFrame, id: String, vec: String,

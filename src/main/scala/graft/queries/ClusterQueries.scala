@@ -17,6 +17,13 @@ object ClusterQueries {
        |  i -> (cast($a[i] as double) - cast($b[i] as double))
        |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
 
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // IVF cell assignment: nearest of 8 fixed centroids (ids < 8).
@@ -119,6 +126,42 @@ object ClusterQueries {
       val train = docs.filter(col("bk") < 90)
       val test = docs.filter(col("bk") >= 90)
       graft.operators.TextOps.contaminationCheck(test, train, "doc_id", "sh")
+    },
+
+    // Full IVF search: probe the 2 nearest of the 8 fixed cells per query,
+    // exact cosine top-3 within the probed cells (self excluded).
+    QueryDef(
+      "q62_ivf_search",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT q_id, cell FROM (
+         |  SELECT q.q_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${l2Sql("q.q_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM q CROSS JOIN c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, ce.vec_id AS n_id
+         |         FROM probe p JOIN cells ce USING (cell)
+         |         WHERE ce.vec_id <> p.q_id)
+         |SELECT q_id, n_id, cast(rank as int) AS rank FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY ${cosSql("qe.embedding", "ne.embedding")} DESC, cand.n_id) AS rank
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |  JOIN embeddings ne ON ne.vec_id = cand.n_id)
+         |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), nprobe = 2, k = 3,
+          queryPred = col("vec_id") % 100 === 0)
+        .select(col("q_id"), col("n_id"), col("rank").cast("int"))
     }
   )
 }
