@@ -19,6 +19,16 @@ object OrdSource {
   final case class OrdFileReaction(
       fileName: String, rxnOrdinal: Int, r: OrdWire.OrdReaction)
 
+  /** The one (path, bytes) → reactions decode both the batch and streaming
+    * sources share — keeps the IncrementalExtractSpec streaming==batch
+    * invariant true by construction. */
+  private def decodeFile(path: String, bytes: Array[Byte]): Seq[OrdFileReaction] = {
+    val name = path.split('/').last.stripSuffix(".pb.gz")
+    OrdWire.decodeDataset(OrdWire.gunzip(bytes)).zipWithIndex.map {
+      case (r, i) => OrdFileReaction(name, i, r)
+    }
+  }
+
   /** Read every `*.pb.gz` under `dir` (2-level glob like the reference's
     * directory layout) into one reaction per row. */
   def readReactions(spark: SparkSession, dir: String,
@@ -33,11 +43,7 @@ object OrdSource {
     contains.foreach(s => files = files.filter(col("path").contains(s)))
     inverseContains.foreach(s => files = files.filter(!col("path").contains(s)))
     files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY)).flatMap {
-      case (path, bytes) =>
-        val name = path.split('/').last.stripSuffix(".pb.gz")
-        OrdWire.decodeDataset(OrdWire.gunzip(bytes)).zipWithIndex.map {
-          case (r, i) => OrdFileReaction(name, i, r)
-        }
+      case (path, bytes) => decodeFile(path, bytes)
     }
   }
 
@@ -72,12 +78,8 @@ object OrdSource {
       .load(dir)
       .select(col("path"), col("content"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val name = path.split('/').last.stripSuffix(".pb.gz")
-        OrdWire.decodeDataset(OrdWire.gunzip(bytes)).zipWithIndex.map {
-          case (r, i) => OrdFileReaction(name, i, r)
-        }
-      }.toDF()
+      .flatMap { case (path, bytes) => decodeFile(path, bytes) }
+      .toDF()
       .select(col("fileName"), col("rxnOrdinal"), col("r.*"))
   }
 

@@ -160,6 +160,7 @@ object OrdWire {
     var timeV: Option[Double] = None; var timeU = 0
     var proc: Option[String] = None; var expStart: Option[String] = None
     var outcomeSeen = false
+    var spVal = 0.0; var rtVal = 0.0 // singular-message merge accumulators
 
     while (r.hasNext) r.tag() match {
       case (1, 2) => // ReactionIdentifier
@@ -188,15 +189,17 @@ object OrdWire {
               case (2, 2) => // setpoint{1=value, 3=units}
                 // proto3 presence is per-MESSAGE: a setpoint with units set
                 // but value omitted (0.0 is not serialized) reads back as
-                // value=0.0, not "no value" (extractor.py:426-443).
+                // value=0.0, not "no value" (extractor.py:426-443). The
+                // accumulator persists across occurrences — repeated wire
+                // fragments of a singular message MERGE (a later fragment
+                // without the value field keeps the earlier value).
                 val sp = tc.lenDelim()
-                var v = 0.0
                 while (sp.hasNext) sp.tag() match {
-                  case (1, 5) => v = sp.f32().toDouble
+                  case (1, 5) => spVal = sp.f32().toDouble
                   case (3, 0) => tempU = sp.varint().toInt
                   case (_, wt) => sp.skip(wt)
                 }
-                tempV = Some(v)
+                tempV = Some(spVal)
               case (_, wt) => tc.skip(wt)
             }
           case (_, wt) => c.skip(wt)
@@ -216,15 +219,15 @@ object OrdWire {
           outcomeSeen = true
           while (o.hasNext) o.tag() match {
             case (1, 2) => // reaction_time{1=value, 3=units}; proto3: an
-              // absent value field inside a present message reads as 0.0
+              // absent value field inside a present message reads as 0.0,
+              // and repeated fragments merge (accumulator persists)
               val t = o.lenDelim()
-              var v = 0.0
               while (t.hasNext) t.tag() match {
-                case (1, 5) => v = t.f32().toDouble
+                case (1, 5) => rtVal = t.f32().toDouble
                 case (3, 0) => timeU = t.varint().toInt
                 case (_, wt) => t.skip(wt)
               }
-              timeV = Some(v)
+              timeV = Some(rtVal)
             case (3, 2) => products += product(o.lenDelim())
             case (_, wt) => o.skip(wt)
           }

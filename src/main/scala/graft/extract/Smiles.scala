@@ -147,11 +147,14 @@ object Smiles {
     val (elem, aromatic) = {
       val c = b.charAt(i)
       if (c.isUpper) {
-        val two = if (i + 1 < b.length && b.charAt(i + 1).isLower &&
-          b.charAt(i + 1) != 'h') b.substring(i, i + 2) else c.toString
+        // a lowercase letter after an uppercase one is always part of the
+        // element symbol inside brackets (H-count is uppercase 'H') — no
+        // exclusions, or two-letter elements ending in 'h' (Rh, Th) break
+        val two = if (i + 1 < b.length && b.charAt(i + 1).isLower)
+          b.substring(i, i + 2) else c.toString
         i += two.length
         (two, false)
-      } else if (aromaticSubset(c.toString) || c == 'a') {
+      } else if (aromaticSubset(c.toString)) {
         i += 1
         (c.toUpper.toString, true)
       } else return None
@@ -194,16 +197,23 @@ object Smiles {
     */
   def canonicalRanks(mol: Mol): Array[Int] = {
     val n = mol.atoms.length
-    def refine(init: Array[Long]): Array[Int] = {
+    // Full strings as refinement keys — NOT 32-bit hashes, whose collisions
+    // would silently merge distinct invariant classes and break canonical
+    // invariance. Molecules are small; string keys are cheap here.
+    def squash(keys: Array[String]): Array[Int] = {
+      val idx = keys.distinct.sorted.zipWithIndex.toMap
+      keys.map(idx)
+    }
+    def refine(init: Array[String]): Array[Int] = {
       var ranks = squash(init)
       var distinct = ranks.distinct.length
       var changed = true
       while (changed) {
         val keys = Array.tabulate(n) { a =>
-          val nb = mol.adj(a).map { case (b, o) => (o.toLong << 32) | ranks(b).toLong }
+          val nb = mol.adj(a).map { case (b, o) => f"$o:${ranks(b)}%09d" }
             .sorted.mkString(",")
-          (ranks(a).toString + "|" + nb).hashCode.toLong & 0xffffffffL |
-            (ranks(a).toLong << 32)
+          // old rank as a fixed-width prefix: refinement never merges classes
+          f"${ranks(a)}%09d|$nb"
         }
         val next = squash(keys)
         val nd = next.distinct.length
@@ -213,33 +223,20 @@ object Smiles {
       }
       ranks
     }
-    def squash(keys: Array[Long]): Array[Int] = {
-      val sorted = keys.distinct.sorted
-      val idx = sorted.zipWithIndex.toMap
-      keys.map(idx)
-    }
-    val initial: Array[Long] = Array.tabulate(n) { i =>
+    val initial: Array[String] = Array.tabulate(n) { i =>
       val a = mol.atoms(i)
-      // stable string → stable order; degree last so elements dominate
-      val s = Seq(a.elem, a.aromatic, a.isotope, a.charge, a.hCount, a.atomMap,
+      Seq(a.elem, a.aromatic, a.isotope, a.charge, a.hCount, a.atomMap,
         a.bracket, mol.adj(i).length).mkString("|")
-      // order lexicographically via an index over the distinct strings
-      s.hashCode.toLong & 0xffffffffL
     }
-    // NB: hashCode keys only need to be stable + distinct per invariant; the
-    // absolute order does not affect invariance, only the concrete labels.
     var ranks = refine(initial)
-    var tie = ranks.groupBy(identity).collectFirst {
-      case (r, g) if g.length > 1 => r
-    }
     while (ranks.distinct.length < n) {
-      val r = ranks.zipWithIndex.filter(_._1 == tie.get).map(_._2).min
+      val tie = ranks.groupBy(identity).collect {
+        case (r, g) if g.length > 1 => r
+      }.min
+      val r = ranks.zipWithIndex.filter(_._1 == tie).map(_._2).min
       val lifted = Array.tabulate(n)(i =>
-        (ranks(i).toLong << 1) | (if (i == r) 0L else 1L))
+        f"${ranks(i)}%09d|${if (i == r) 0 else 1}")
       ranks = refine(lifted)
-      tie = ranks.groupBy(identity).collectFirst {
-        case (rr, g) if g.length > 1 => rr
-      }
     }
     ranks
   }

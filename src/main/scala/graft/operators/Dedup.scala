@@ -155,35 +155,41 @@ object Dedup {
     * the standard big-graph CC kernel (no driver-side graph).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // The label table is |nodes|-sized — tiny next to the corpus that
-    // produced the pairs. Iterating it across the session's full shuffle
-    // width (32+) pays fixed per-partition cost each round for near-empty
-    // partitions; scope a narrow width to this loop (same trick as the
-    // streaming state store). At true 100 TB pair volumes AQE coalesces
-    // anyway; this helps the many-small-components regime.
-    val spark = pairs.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try connectedComponentsInner(pairs, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
-  private def connectedComponentsInner(pairs: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint (not persist): an iterative loop's logical plan
     // otherwise nests every previous iteration, and Catalyst re-analysis
     // grows super-linearly — measured 5 s -> 24 s per iteration by iter 3.
     // Checkpointing truncates lineage each round.
+    //
+    // IMPORTANT: edges materializes HERE, at the session's full shuffle
+    // width — the upstream pair-generation pipeline (band joins, verify)
+    // is the heavy part and must not run under the narrowed width below.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
+    // The label table is |nodes|-sized — tiny next to the corpus that
+    // produced the pairs. Iterating it across the session's full shuffle
+    // width (32+) pays fixed per-partition cost each round for near-empty
+    // partitions; scope a narrow width to the LOOP ONLY (same trick as
+    // the streaming state store).
+    val spark = pairs.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsLoop(edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     // Convergence test: per-node labels are monotonically non-increasing
     // (every step takes a `least`), so the label sum strictly decreases
     // until the fixpoint — one aggregate over the checkpointed labels
-    // replaces a join+count against the previous iteration.
+    // replaces a join+count against the previous iteration. Decimal-typed
+    // INPUT (not just output): a LongType sum of billions of large ids
+    // overflows; and a sum over ZERO rows is SQL NULL, never a long.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var i = 0
     var changed = 1L

@@ -30,26 +30,31 @@ object Fingerprints {
     */
   final case class FpRow(original_index: Long, fp: Seq[Int])
 
+  /** The one scatter kernel both dense paths share — any fix here keeps
+    * them bit-identical by construction. Null → zero vector. */
+  private def fpOf(s: String, nBits: Int): Array[Int] = {
+    val fp = new Array[Int](nBits)
+    if (s != null) {
+      val n = math.max(s.length - 2, 1)
+      var i = 0
+      while (i < n) {
+        val gram = s.substring(i, math.min(i + 3, s.length))
+        val b = (graft.functions.XHash.bucketHashJvm("fpb", gram) % nBits).toInt
+        fp(b) = 1
+        i += 1
+      }
+    }
+    fp
+  }
+
   def denseFingerprints(df: DataFrame, smiles: Column, nBits: Int)
       : org.apache.spark.sql.Dataset[FpRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[FpRow]
     df.select(col("original_index").cast("long"), smiles.cast("string"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
           val s = if (r.isNullAt(1)) null else r.getString(1)
-          val fp = new Array[Int](nBits)
-          if (s != null) {
-            val n = math.max(s.length - 2, 1)
-            var i = 0
-            while (i < n) {
-              val gram = s.substring(i, math.min(i + 3, s.length))
-              val b = (graft.functions.XHash.bucketHashJvm("fpb", gram) % nBits).toInt
-              fp(b) = 1
-              i += 1
-            }
-          }
-          FpRow(id, fp.toSeq)
+          FpRow(r.getLong(0), fpOf(s, nBits).toSeq)
         }
       }
   }
@@ -69,24 +74,10 @@ object Fingerprints {
         try_element_at(col("reactants"), lit(1)).cast("string"),
         try_element_at(col("reactants"), lit(2)).cast("string"))
       .mapPartitions { rows =>
-        def fpOf(s: String): Array[Int] = {
-          val fp = new Array[Int](nBits)
-          if (s != null) {
-            val n = math.max(s.length - 2, 1)
-            var i = 0
-            while (i < n) {
-              val gram = s.substring(i, math.min(i + 3, s.length))
-              val b = (graft.functions.XHash.bucketHashJvm("fpb", gram) % nBits).toInt
-              fp(b) = 1
-              i += 1
-            }
-          }
-          fp
-        }
         rows.map { r =>
-          val p = fpOf(if (r.isNullAt(1)) null else r.getString(1))
-          val r0 = fpOf(if (r.isNullAt(2)) null else r.getString(2))
-          val r1 = fpOf(if (r.isNullAt(3)) null else r.getString(3))
+          val p = fpOf(if (r.isNullAt(1)) null else r.getString(1), nBits)
+          val r0 = fpOf(if (r.isNullAt(2)) null else r.getString(2), nBits)
+          val r1 = fpOf(if (r.isNullAt(3)) null else r.getString(3), nBits)
           val out = new Array[Int](2 * nBits)
           var i = 0
           while (i < nBits) {

@@ -140,7 +140,9 @@ object Relational {
       .withColumn("__rn",
         row_number().over(
           Window.partitionBy(part: _*).orderBy((col("__h") +: tieBreak): _*)))
-      .filter((col("__rn") - 1) * 100 < col("__n") * pct)
+      // long arithmetic: row_number is IntegerType and (rn-1)*100 would
+      // overflow 32 bits on strata past ~21M rows (ANSI throws, else wraps)
+      .filter((col("__rn").cast("long") - 1) * 100 < col("__n") * pct)
       .drop("__h", "__rn", "__n")
   }
 

@@ -24,18 +24,34 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShinglesExpr(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // NULL input ⇒ [null]: the composed form's `when` condition is null, so
+  // the otherwise-branch yields array(array_join(NULL)) = [null]. The
+  // kernel must match that, so the result is never null and may contain
+  // one null element.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "word_shingles"
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null
+    if (v == null) ShinglesExpr.nullSingleton
     else ShinglesExpr.compute(v.asInstanceOf[ArrayData], n)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.ShinglesExpr.compute($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code =
+        code"""
+${c.code}
+$arrCls ${ev.value} = ${c.isNull}
+  ? graft.plans.ShinglesExpr.nullSingleton()
+  : graft.plans.ShinglesExpr.compute(${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -43,6 +59,9 @@ case class ShinglesExpr(child: Expression, n: Int)
 
 object ShinglesExpr {
   private val SPACE = UTF8String.fromString(" ")
+
+  /** The [null] result for a NULL input array (see dataType note). */
+  def nullSingleton(): ArrayData = new GenericArrayData(Array[Any](null))
 
   /** Join toks[from, from+len) with spaces, skipping nulls (array_join). */
   private def join(toks: ArrayData, from: Int, len: Int): UTF8String = {

@@ -87,6 +87,9 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("transition-metal detection from parsed atoms") {
     assert(Smiles.hasTransitionMetalParsed("[Pd]").contains(true))
     assert(Smiles.hasTransitionMetalParsed("[Fe+2]").contains(true))
+    // elements ending in lowercase 'h' (Rh) must parse like any other
+    assert(Smiles.hasTransitionMetalParsed("[Rh]").contains(true))
+    assert(Smiles.canonical("[Rh+3]") == Some("[Rh+3]"))
     assert(Smiles.hasTransitionMetalParsed("CCO").contains(false))
     assert(Smiles.hasTransitionMetalParsed("CCO.[Pt]").contains(true))
     // F in CF4 is not iron; Co in [Co] is cobalt, C+o would not parse

@@ -91,16 +91,31 @@ class VecKernelsSpec extends SparkSpec {
         .filter(col("native") =!= col("composed"))
       assert(diff.count() == 0, s"n=$n")
     }
-    // short-doc fallback + null-token skip
+    // short-doc fallback + null-token skip + NULL array (must give [null]
+    // like the composed form, not a null result)
     val edge = Seq(
       Tuple1(Seq("a", "b")), // shorter than n
       Tuple1(Seq.empty[String]),
+      Tuple1(null.asInstanceOf[Seq[String]]),
       Tuple1(Seq("a", null, "c", "d"))).toDF("toks")
     val out = edge.select(
       Dedup.wordShingles(col("toks"), 3).as("n"),
       Dedup.wordShinglesReference(col("toks"), 3).as("c"))
       .as[(Seq[String], Seq[String])].collect()
     out.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
+  }
+
+  test("connected components: empty pair set and chain graph") {
+    import graft.operators.Dedup
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    // a 5-node chain + an isolated pair: min label must propagate end-to-end
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
   }
 
   test("kernels are SQL-callable after extension registration") {
