@@ -102,26 +102,42 @@ object Extract {
             when(i === 0, round(p.getField("yieldPct"), 2)).as("yield")))
       }))
 
-  /** E3 — mapped-atom participation logic over the reaction string
-    * (extract/extractor.py:182-306): an LHS molecule is a true reactant iff
-    * it has ≥1 mapped atom AND is not among products; otherwise it demotes
-    * to agents; `[H][H]` is always a reactant; RHS molecule is a product
-    * iff mapped and not on the LHS; all outputs sorted distinct. Returns
-    * struct(reactants, agents, products). */
-  def fromRxnStr(rxnStr: Column, chem: Chemistry): Column = {
+  /** E3 — participation logic over the reaction string
+    * (extract/extractor.py:182-306). With is_mapped: an LHS molecule is a
+    * true reactant iff it has ≥1 mapped atom AND is not among products;
+    * otherwise it demotes to agents; an RHS molecule is a product iff
+    * mapped and not on the LHS; `[H][H]` lands in reactants whenever it is
+    * not a product (extractor.py:286-296: the demoted copy survives the
+    * agent cleanup exactly when not in reactants/products, then moves).
+    * WITHOUT is_mapped the reference keeps every slot as written — no
+    * participation filtering, the reactant/agent partition preserved, with
+    * only the [H][H] agents→reactants move (extractor.py:294-296). All
+    * outputs sorted distinct. Returns struct(reactants, agents, products).
+    */
+  def fromRxnStr(rxnStr: Column, isMapped: Column, chem: Chemistry): Column = {
     val parts = split(rxnStr, ">", -1)
     def mols(i: Int): Column =
       filter(transform(split(parts.getItem(i), "[.]"),
         m => chem.canonicalize(m)), m => m.isNotNull && m =!= "")
     val lhs = concat(mols(0), mols(1)) // reactants + declared agents
     val rhsRaw = mols(2)
-    val products = array_sort(array_distinct(
+    // mapped branch: participation logic
+    val mProducts = array_sort(array_distinct(
       filter(rhsRaw, m => hasMappedAtom(m) && !array_contains(lhs, m))))
-    val reactants = array_sort(array_distinct(filter(lhs,
-      m => (hasMappedAtom(m) && !array_contains(products, m)) || m === "[H][H]")))
-    val agents = array_sort(array_distinct(filter(lhs,
-      m => !array_contains(reactants, m) && !array_contains(products, m))))
-    struct(reactants.as("reactants"), agents.as("agents"), products.as("products"))
+    val mReactants = array_sort(array_distinct(filter(lhs,
+      m => (hasMappedAtom(m) || m === "[H][H]") && !array_contains(mProducts, m))))
+    val mAgents = array_sort(array_distinct(filter(lhs,
+      m => !array_contains(mReactants, m) && !array_contains(mProducts, m))))
+    // unmapped branch: everything kept as written
+    val uReactants = array_sort(array_distinct(
+      when(array_contains(mols(1), "[H][H]"),
+        concat(mols(0), array(lit("[H][H]")))).otherwise(mols(0))))
+    val uAgents = array_sort(array_distinct(array_remove(mols(1), "[H][H]")))
+    val uProducts = array_sort(array_distinct(rhsRaw))
+    struct(
+      when(isMapped, mReactants).otherwise(uReactants).as("reactants"),
+      when(isMapped, mAgents).otherwise(uAgents).as("agents"),
+      when(isMapped, mProducts).otherwise(uProducts).as("products"))
   }
 
   /** E12 — merge labelled conditions into (solvents, agents): union with
@@ -166,7 +182,8 @@ object Extract {
       .withColumn("lab_products", labelledProducts(cfg))
       .withColumn("info",
         if (cfg.trustLabelling) labelledInfo
-        else when(col("rxn_str").isNotNull, fromRxnStr(col("rxn_str"), chem))
+        else when(col("rxn_str").isNotNull,
+          fromRxnStr(col("rxn_str"), col("is_mapped"), chem))
           .otherwise(labelledInfo))
 
     val labelledConds = array_distinct(concat(

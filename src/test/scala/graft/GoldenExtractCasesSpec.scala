@@ -82,6 +82,26 @@ class GoldenExtractCasesSpec extends SparkSpec {
       Seq("CCO", "O", "c1ccccc1"))
   )
 
+  test("E3 participation: mapped vs unmapped branches (extractor.py:244-296)") {
+    val df = Seq(
+      // mapped: unmapped LHS mol demotes to agents; [H][H] stays reactant
+      (true, "[CH3:1]O.CC(=O)O.[H][H]>[Pd]>[CH3:1]OC"),
+      // unmapped: EVERYTHING kept as written, partition preserved
+      (false, "CO.CC(=O)O>[Pd].[H][H]>COC")
+    ).toDF("m", "rxn")
+    val out = df.select(col("m"),
+      Extract.fromRxnStr(col("rxn"), col("m"), IdentityChemistry).as("i"))
+      .select(col("m"), col("i.reactants"), col("i.agents"), col("i.products"))
+      .as[(Boolean, Seq[String], Seq[String], Seq[String])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // mapped: CC(=O)O has no atom map -> agent; [CH3:1]OC mapped+not LHS -> product
+    assert(out(true) == ((Seq("[CH3:1]O", "[H][H]"), Seq("CC(=O)O", "[Pd]"),
+      Seq("[CH3:1]OC"))))
+    // unmapped: no filtering; [H][H] moves from declared agents to reactants
+    assert(out(false) == ((Seq("CC(=O)O", "CO", "[H][H]"), Seq("[Pd]"),
+      Seq("COC"))))
+  }
+
   mergeCases.zipWithIndex.foreach { case ((rxnAgents, cats, solvs, reags,
       wantAgents, wantSolvents), i) =>
     test(s"E12 merge_to_agents golden case $i") {
