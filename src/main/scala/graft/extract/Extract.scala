@@ -19,7 +19,8 @@ import graft.functions.{ArrayOps, Conversions}
 final case class ExtractConfig(
     trustLabelling: Boolean = false,
     considerMoleculeNames: Boolean = false,
-    mergeConditionsToAgents: Boolean = true)
+    mergeConditionsToAgents: Boolean = true,
+    includeUnaddedLabelledMolecules: Boolean = true)
 
 object Extract {
 
@@ -189,8 +190,27 @@ object Extract {
     val labelledConds = array_distinct(concat(
       labelled(2, cfg), labelled(3, cfg), labelled(4, cfg)))
 
+    // include_unadded_labelled_molecules_as_agents (extractor.py:714-733,
+    // default true): in the rxn-string branch, any labelled molecule (of
+    // ANY role, products included) absent from the string-derived
+    // reactants/agents/products joins the agents before merge_to_agents.
+    val infoAgents: Column =
+      if (cfg.trustLabelling || !cfg.includeUnaddedLabelledMolecules)
+        col("info.agents")
+      else {
+        val allLabelled = array_distinct(concat(
+          labelled(1, cfg), labelled(2, cfg), labelled(3, cfg), labelled(4, cfg),
+          transform(col("lab_products"), p => p.getField("smiles"))))
+        val added = concat(col("info.reactants"), col("info.agents"),
+          col("info.products"))
+        when(col("rxn_str").isNotNull,
+          concat(col("info.agents"),
+            filter(allLabelled, x => !array_contains(added, x))))
+          .otherwise(col("info.agents"))
+      }
+
     val (solv, agents) = mergeToAgents(
-      col("info.agents"), col("labelled_conds"), solventSet, chem)
+      infoAgents, col("labelled_conds"), solventSet, chem)
 
     val repl: Column => Column =
       c => filter(transform(c, x => ArrayOps.applyReplacements(x, replacements)),
