@@ -46,6 +46,9 @@ object ExtractMain {
     CliUtil.writeConfigJson(outDir, "extract_config.json",
       "trust_labelling" -> cfg.trustLabelling,
       "consider_molecule_names" -> cfg.considerMoleculeNames,
+      "include_unadded_labelled_molecules_as_agents" ->
+        cfg.includeUnaddedLabelledMolecules,
+      "use_labelling_if_extract_fails" -> cfg.useLabellingIfExtractFails,
       "ord_dir" -> ordDir)
     spark.stop()
   }

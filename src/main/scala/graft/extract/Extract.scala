@@ -20,7 +20,8 @@ final case class ExtractConfig(
     trustLabelling: Boolean = false,
     considerMoleculeNames: Boolean = false,
     mergeConditionsToAgents: Boolean = true,
-    includeUnaddedLabelledMolecules: Boolean = true)
+    includeUnaddedLabelledMolecules: Boolean = true,
+    useLabellingIfExtractFails: Boolean = true)
 
 object Extract {
 
@@ -181,6 +182,12 @@ object Extract {
       .withColumn("rxn_str", rxnStrCol)
       .withColumn("is_mapped", isMappedCol)
       .withColumn("lab_products", labelledProducts(cfg))
+      // use_labelling_if_extract_fails=false: a reaction with no valid rxn
+      // string is DROPPED instead of falling back to the labelled data
+      // (handle_reaction_object returns None, extractor.py:734-735)
+      .filter(
+        if (cfg.trustLabelling || cfg.useLabellingIfExtractFails) lit(true)
+        else col("rxn_str").isNotNull)
       .withColumn("info",
         if (cfg.trustLabelling) labelledInfo
         else when(col("rxn_str").isNotNull,

@@ -102,6 +102,20 @@ class GoldenExtractCasesSpec extends SparkSpec {
       Seq("COC"))))
   }
 
+  test("use_labelling_if_extract_fails=false drops string-less reactions") {
+    val ordDir = "/root/reference/orderly/data/test_data/ord_test_data"
+    val nested = graft.extract.OrdSource.readNested(spark, ordDir)
+      .filter(col("fileName").contains("00005539")).cache()
+    val solvents = Seq("O", "CO")
+    val fallback = Extract.extractReactions(
+      nested, ExtractConfig(), IdentityChemistry, solvents).count()
+    val strict = Extract.extractReactions(
+      nested, ExtractConfig(useLabellingIfExtractFails = false),
+      IdentityChemistry, solvents)
+    assert(strict.filter(col("rxn_str").isNull).count() == 0)
+    assert(strict.count() <= fallback)
+  }
+
   mergeCases.zipWithIndex.foreach { case ((rxnAgents, cats, solvs, reags,
       wantAgents, wantSolvents), i) =>
     test(s"E12 merge_to_agents golden case $i") {
