@@ -45,10 +45,17 @@ object Cleaner {
 
   /** Dedup key: all component lists plus (optionally) yields, like the
     * reference's subset columns (clean/cleaner.py:767-794). */
-  private def dedupKey(df: DataFrame): Column =
+  private def dedupKey(df: DataFrame): Column = {
+    // Null-safe, collision-free serialization: elements are joined with an
+    // \u0002 separator (never present in SMILES/yield text) and nulls map to
+    // an \u0003 sentinel BEFORE the join — concat_ws silently drops nulls,
+    // which would otherwise collide ["50", null] with [null, "50"].
+    def part(c: Column): Column =
+      concat_ws("", transform(c, x => coalesce(x, lit(""))))
     md5(concat_ws("",
-      componentCols(df).map(c => concat_ws("", col(c))) :+
-        concat_ws("", col("yields").cast("array<string>")): _*))
+      componentCols(df).map(c => part(col(c))) :+
+        part(col("yields").cast("array<string>")): _*))
+  }
 
   /** The full operator chain C2→C18 in reference order
     * (clean/cleaner.py:533-882). */
@@ -121,7 +128,7 @@ object Cleaner {
       val zipped = zip_with(col("products"), col("yields"),
         (p, y) => struct(p.as("p"), y.as("y")))
       val keyed = transform(zipped, (z, i) => struct(
-        md5(concat_ws("", lit(cfg.seed + "products"),
+        md5(concat_ws("", lit(cfg.seed + "products"),
           col("original_index").cast("string"), z.getField("p"), i)).as("h"),
         z.as("z")))
       val perm = transform(array_sort(keyed), s => s.getField("z"))
