@@ -119,22 +119,42 @@ object CleanOps {
     * the join-based [[Relational.mapRareToOther]].
     */
   def mapRareToOtherArrays(df: DataFrame, cols: Seq[String], minFreq: Long,
-      other: String = "other"): DataFrame = {
-    val fs = frequentSet(df, cols, minFreq)
-    cols.foldLeft(df)((acc, c) => acc.withColumn(c,
-      transform(col(c), x =>
-        when(x.isNotNull && !array_contains(fs, x), lit(other)).otherwise(x))))
-  }
+      other: String = "other", maxLiteralSet: Int = defaultMaxLiteralSet,
+      rowKey: String = "original_index"): DataFrame =
+    frequentSet(df, cols, minFreq, maxLiteralSet) match {
+      case Some(fs) =>
+        cols.foldLeft(df)((acc, c) => acc.withColumn(c,
+          transform(col(c), x =>
+            when(x.isNotNull && !array_contains(fs, x), lit(other)).otherwise(x))))
+      case None =>
+        Relational.mapRareToOtherArraysJoin(df, cols, minFreq, rowKey, other)
+    }
 
   /** C11 over array columns — drop rows containing any rare value
     * (clean/cleaner.py:370-396). Same frequent-set reasoning as C10. */
-  def removeRareRowsArrays(df: DataFrame, cols: Seq[String], minFreq: Long): DataFrame = {
-    val fs = frequentSet(df, cols, minFreq)
-    df.filter(!cols.map(c =>
-      exists(col(c), x => x.isNotNull && !array_contains(fs, x))).reduce(_ || _))
-  }
+  def removeRareRowsArrays(df: DataFrame, cols: Seq[String], minFreq: Long,
+      maxLiteralSet: Int = defaultMaxLiteralSet,
+      rowKey: String = "original_index"): DataFrame =
+    frequentSet(df, cols, minFreq, maxLiteralSet) match {
+      case Some(fs) =>
+        df.filter(!cols.map(c =>
+          exists(col(c), x => x.isNotNull && !array_contains(fs, x))).reduce(_ || _))
+      case None =>
+        Relational.removeRareRowsArraysJoin(df, cols, minFreq, rowKey)
+    }
 
-  private def frequentSet(df: DataFrame, cols: Seq[String], minFreq: Long): Column =
-    typedLit(valueCountsArrays(df, cols).filter(col("cnt") >= minFreq)
-      .select("value").collect().map(_.getString(0)).toSeq)
+  /** Frequent-set size guard: the set is bounded by |data|/minFreq, so at
+    * small scale it ships as a literal (scan-local membership test, no extra
+    * shuffle); past `maxLiteralSet` values, return None and let callers take
+    * the fully-distributed join path instead of materializing a huge literal
+    * on the driver. The probe `limit(max+1).count` never pulls values. */
+  val defaultMaxLiteralSet = 100000
+
+  private def frequentSet(df: DataFrame, cols: Seq[String], minFreq: Long,
+      maxLiteralSet: Int): Option[Column] = {
+    val freq = valueCountsArrays(df, cols).filter(col("cnt") >= minFreq)
+      .select("value")
+    if (freq.limit(maxLiteralSet + 1).count() > maxLiteralSet) None
+    else Some(typedLit(freq.collect().map(_.getString(0)).toSeq))
+  }
 }

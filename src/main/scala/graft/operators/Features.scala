@@ -51,9 +51,12 @@ object Features {
     * scored by probability product, top-n kept (ties broken by combo
     * string), a test row hits iff its true combo is among them.
     *
-    * Scale shape: each head's probability table is dictionary-sized; the
-    * cartesian grows as Π|head| but is pruned to top-n BEFORE touching the
-    * test split, which then does one broadcast-join pass.
+    * Scale shape: each head is pruned to its top-n classes FIRST (like the
+    * reference, utils.py:117-130), so the candidate cartesian is at most
+    * n^k rows regardless of dictionary size — the product score is monotone
+    * per head, so a combo in the global top-n can only be built from
+    * per-head top-n classes. Then top-n combos are taken BEFORE touching
+    * the test split, which does one broadcast-join pass.
     */
   def beamAccuracyN(train: DataFrame, test: DataFrame,
       heads: Seq[String], n: Int): DataFrame = {
@@ -61,6 +64,8 @@ object Features {
     val total = train.count().toDouble // one driver action, reused per head
     def probs(c: String) =
       train.groupBy(c).agg((count(lit(1)) / total).as(s"p_$c"))
+        .orderBy(col(s"p_$c").desc, col(c).asc) // deterministic tie-break
+        .limit(n) // TakeOrderedAndProject over a dictionary-sized table
     val combos = heads.map(probs).reduce(_.crossJoin(_))
       .withColumn("score", heads.map(c => col(s"p_$c")).reduce(_ * _))
       .withColumn("combo", concat_ws("|", heads.map(col): _*))

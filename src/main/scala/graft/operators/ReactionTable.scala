@@ -84,14 +84,22 @@ object ReactionTable {
       .agg(count(lit(1)).as("__n"))
       .orderBy("extracted_from_file")
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (counts.isEmpty)
+      return keyed.withColumn("original_index", lit(0L))
+        .drop("original_order_key").filter(lit(false))
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, n)) =>
       (f, acc + n)
-    }.sliding(2).map { case Array((_, off), (f, _)) => (f, off) }.toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (f, off)) =>
-      when(col("extracted_from_file") === f, lit(off)).otherwise(acc)
-    }
+    }.sliding(2).map { case Array((_, off), (f, _)) => (f, off) }.toSeq
+    // Broadcast join on the per-file offset table (one row per file): at
+    // real ORD scale (100k+ files) a when-chain literal would be a 100k-deep
+    // expression tree; the join stays a single BroadcastHashJoin.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__file", "__off")
     keyed
-      .withColumn("original_index", offCol + row_number().over(byFile) - 1)
-      .drop("original_order_key")
+      .join(broadcast(offDf), keyed("extracted_from_file") <=> offDf("__file"), "left")
+      .withColumn("original_index",
+        coalesce(col("__off"), lit(0L)) + row_number().over(byFile) - 1)
+      .drop("original_order_key", "__file", "__off")
   }
 }

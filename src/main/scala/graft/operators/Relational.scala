@@ -111,6 +111,49 @@ object Relational {
     }
   }
 
+  /** C10 over array columns, at-scale form: join-based rare→other keyed by a
+    * unique `rowKey` (original_index in the cleaner). Used when the frequent
+    * set is too large to ship as a literal/broadcast set — fully distributed,
+    * nothing collects to the driver. Per column: posexplode → left join the
+    * frequent-value table → re-assemble in position order.
+    */
+  def mapRareToOtherArraysJoin(df: DataFrame, cols: Seq[String], minFreq: Long,
+      rowKey: String, other: String = "other"): DataFrame = {
+    val frequent = CleanOps.valueCountsArrays(df, cols)
+      .filter(col("cnt") >= minFreq).select(col("value").as("__fv"))
+    cols.foldLeft(df) { (acc, c) =>
+      val pe = acc.select(col(rowKey).as("__k"),
+          posexplode(col(c)).as(Seq("__p", "__v")))
+        .join(frequent, col("__v") === col("__fv"), "left")
+        .withColumn("__m",
+          when(col("__v").isNotNull && col("__fv").isNull, lit(other))
+            .otherwise(col("__v")))
+        .groupBy("__k")
+        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m")).as("__arr"))
+      // empty arrays emit no exploded rows → no group → keep the original
+      acc.join(pe, acc(rowKey) === pe("__k"), "left")
+        .withColumn(c, coalesce(col("__arr"), col(c)))
+        .drop("__k", "__arr")
+    }
+  }
+
+  /** C11 over array columns, at-scale form: a row is dropped iff any of its
+    * values fails a semi-join against the frequent-value table. One explode +
+    * one anti join + one anti join — no driver-side set.
+    */
+  def removeRareRowsArraysJoin(df: DataFrame, cols: Seq[String], minFreq: Long,
+      rowKey: String): DataFrame = {
+    val frequent = CleanOps.valueCountsArrays(df, cols)
+      .filter(col("cnt") >= minFreq).select(col("value").as("__fv"))
+    val badKeys = df.select(col(rowKey).as("__k"),
+        explode(flatten(array(cols.map(col): _*))).as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(frequent, col("__v") === col("__fv"), "left_anti")
+      .select("__k").distinct()
+    df.join(badKeys, df(rowKey) === badKeys("__k"), "left_anti")
+  }
+
   /** F10 — popularity top-k (ref: plot/plotter.py:289-369). Deterministic
     * tie-break on the value itself so the result set is stable. */
   def topK(df: DataFrame, by: Column, tieBreak: Column, k: Int): DataFrame =

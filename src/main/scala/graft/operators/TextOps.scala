@@ -70,17 +70,24 @@ object TextOps {
   /** Frequency-ranked vocabulary fit: the top-`k` corpus terms get dense
     * ids 0..k-1 (count desc, term asc on ties) — the tokenizer-fit /
     * label-index boundary of a training pipeline. Input: exploded (term)
-    * rows. Scale: the hash aggregate bounds the window input to |vocab|;
-    * the global rank window runs over that dictionary, not the corpus
-    * (pre-prune with a count floor if the raw vocabulary itself is huge).
+    * rows.
+    *
+    * Scale shape: hash aggregate (map-side partial) → optional count-floor
+    * prune → `orderBy.limit(k)`, which Spark plans as TakeOrderedAndProject:
+    * each partition keeps its own top-k and only k·p candidate rows merge —
+    * the full vocabulary is NEVER sorted on one reducer. The final dense-id
+    * rank window runs over exactly k rows and reuses the limit's
+    * single-partition output, so no extra exchange appears (PlanSpec).
     */
-  def fitVocab(terms: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame = {
+  def fitVocab(terms: org.apache.spark.sql.DataFrame, k: Int,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("term").asc)
     terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
       .withColumn("tid", (row_number().over(w) - 1).cast("int"))
-      .filter(col("tid") < k)
       .select("term", "tid")
   }
 

@@ -85,6 +85,22 @@ class CleanOpsSpec extends SparkSpec {
     assert(CleanOps.removeRareRowsArrays(toy, Seq("agents", "solvents"), 2).count() == 3)
   }
 
+  test("C10/C11 join-path fallback matches the literal-set path") {
+    // maxLiteralSet = 0 forces the fully-distributed join form
+    val keyed = toy.withColumn("original_index",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("reactants")).cast("long"))
+    val cols = Seq("agents", "solvents")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("original_index", "agents", "solvents")
+        .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1).toSeq
+
+    assert(norm(CleanOps.mapRareToOtherArrays(keyed, cols, 2, maxLiteralSet = 0))
+      == norm(CleanOps.mapRareToOtherArrays(keyed, cols, 2)))
+    assert(norm(CleanOps.removeRareRowsArrays(keyed, cols, 2, maxLiteralSet = 0))
+      == norm(CleanOps.removeRareRowsArrays(keyed, cols, 2)))
+  }
+
   test("E16 aligned filter co-drops yields with products") {
     val df = Seq((Seq("P1", "", "P2"), Seq(Some(10.0), Some(20.0), None: Option[Double])))
       .toDF("products", "yields")

@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
   test("q58: vocabulary lookup broadcasts to the encode side") {
     val p = plan("q58_vocab_encode")
     assert(p.contains("BroadcastHashJoin"), p)
+    // two-phase top-k: per-partition top-k + k·p merge, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "vocabulary fit regressed to a single-reducer sort:\n" + p)
+  }
+
+  test("addOriginalIndex joins file offsets (no when-chain literal)") {
+    val raw = graft.operators.ReactionTable.load(spark,
+      "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords")
+    val p = raw.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // an O(#files) offset literal would render as a nested when-chain
+    assert(!p.contains("ELSE CASE WHEN (extracted_from_file"),
+      "offset lookup regressed to a when-chain:\n" + p)
   }
 
   test("extract pipeline is a single narrow projection (no exchange)") {

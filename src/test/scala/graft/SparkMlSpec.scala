@@ -55,4 +55,18 @@ class SparkMlSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(r == ((2L, 4L, 0.5)))
   }
+
+  test("beamAccuracyN survives 5 heads with 10k-class dictionaries") {
+    // Unpruned, this cartesian is 10^20 rows; per-head top-n caps it at n^5.
+    val heads = (1 to 5).map(i => s"h$i")
+    def classes(df: org.apache.spark.sql.DataFrame) = heads.foldLeft(df) {
+      (d, h) => d.withColumn(h,
+        concat(lit(h + "_"), pmod(xxhash64(col("id"), lit(h)), lit(10000))))
+    }
+    val train = classes(spark.range(50000).toDF("id"))
+    val test = classes(spark.range(50000, 51000).toDF("id"))
+    val r = Features.beamAccuracyN(train, test, heads, 3)
+      .as[(Long, Long, Double)].head()
+    assert(r._2 == 1000L) // completed a full test pass
+  }
 }
