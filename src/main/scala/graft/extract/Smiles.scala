@@ -14,17 +14,38 @@ import scala.collection.mutable
   * invariant under atom re-ordering / alternative ring numbering / branch
   * order of the SAME graph (spec-locked with a randomized re-writer).
   *
-  * Documented boundaries (vs RDKit): no aromatization/kekulization — the
-  * aromatic flags are taken as written, so `c1ccccc1` and `C1=CC=CC=C1`
-  * stay distinct; bracket-vs-organic-subset H equivalence (`[CH4]` vs `C`)
-  * is not unified; stereo markers (`@`, `/`, `\`) are out of the subset —
-  * inputs containing them are returned unchanged (identity fallback), like
-  * unparsable strings return null in the reference.
+  * Normalization (matching the RDKit round-trip the reference performs):
+  *
+  *  - '''Implicit hydrogens are made structural.''' Every parsed atom gets a
+  *    concrete total-H count — bracket atoms as written, organic-subset
+  *    atoms by the Daylight valence rule (smallest standard valence ≥ bond
+  *    order sum). Canonical ranking uses that count, so `[CH4]` ≡ `C`,
+  *    `[NH3]` ≡ `N`, `[CH3]C` ≡ `CC`. Emission re-derives the reader's
+  *    default and brackets only atoms the bare form cannot represent
+  *    (isotope/charge/map, non-default H like `[CH3]` radical or `[nH]`).
+  *  - '''Kekulized rings are aromatized.''' 5- and 6-membered rings over
+  *    aromatic-capable atoms (B C N O P S) are tested with a Hückel-style
+  *    electron count (in-conjugation double bond → 1 e⁻, pyrrole-type
+  *    N/P/O/S lone pair → 2 e⁻, exocyclic double / B / C⁺ → 0 e⁻; 4n+2
+  *    passes) and rewritten to aromatic form, iterating to a fixpoint so
+  *    fused systems (naphthalene, indole, quinoline) resolve ring by ring.
+  *    So `C1=CC=CC=C1` ≡ `c1ccccc1` and `C1=CC=CN1` ≡ `c1cc[nH]c1`, while
+  *    quinones, cyclohexadienes and other non-aromatic rings keep their
+  *    double bonds.
+  *
+  * Documented boundaries (vs RDKit): stereo markers (`@`, `/`, `\`) are out
+  * of the subset — inputs containing them are returned unchanged (identity
+  * fallback), like unparsable strings return null in the reference;
+  * aromatization covers 5/6-rings only (no tropylium/azulene 7-rings), and
+  * a kekulé assignment of a large fused polycycle in which no 5/6-ring
+  * reaches 4n+2 even iteratively stays kekulized.
   */
 object Smiles {
 
+  /** `hCount` is the concrete total hydrogen count — parseComponent fills
+    * it in for organic-subset atoms via [[readerImplicitH]]. */
   final case class Atom(elem: String, aromatic: Boolean, isotope: Int,
-      charge: Int, hCount: Int, atomMap: Int, bracket: Boolean)
+      charge: Int, hCount: Int, atomMap: Int)
   /** order: 1, 2, 3; 4 = aromatic. */
   final case class Bond(a: Int, b: Int, order: Int)
   final case class Mol(atoms: Vector[Atom], bonds: Vector[Bond]) {
@@ -46,13 +67,43 @@ object Smiles {
     "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag",
     "Hf", "Ta", "W", "Re", "Os", "Ir", "Pt", "Au")
 
+  // ---- implicit hydrogens --------------------------------------------------
+
+  private val defaultValences: Map[String, Seq[Int]] = Map(
+    "B" -> Seq(3), "C" -> Seq(4), "N" -> Seq(3, 5), "O" -> Seq(2),
+    "P" -> Seq(3, 5), "S" -> Seq(2, 4, 6),
+    "F" -> Seq(1), "Cl" -> Seq(1), "Br" -> Seq(1), "I" -> Seq(1))
+
+  /** H count a SMILES reader infers for the BARE (unbracketed) form of this
+    * atom given its incident bond orders. Aromatic atoms: each aromatic bond
+    * counts 1 plus one valence unit for the π system (benzene `c` → 1,
+    * fusion `c` → 0, pyridine `n` → 0 — which is why pyrrole N must be
+    * written `[nH]`). Returns -1 for elements with no bare form.
+    */
+  private def readerImplicitH(a: Atom, orders: Seq[Int]): Int =
+    defaultValences.get(a.elem) match {
+      case None => -1 // non-subset elements are always bracketed
+      case Some(vals) =>
+        if (a.aromatic) {
+          val s = orders.map(o => if (o == 4) 1 else o).sum + 1
+          math.max(0, vals.head - s)
+        } else {
+          val s = orders.map(o => if (o == 4) 1 else o).sum
+          vals.find(_ >= s).map(_ - s).getOrElse(0)
+        }
+    }
+
   // ---- parser --------------------------------------------------------------
 
-  /** Parse one component (no '.'). None on anything outside the subset. */
+  /** Parse one component (no '.'). None on anything outside the subset.
+    * Organic-subset atoms come back with their implicit H count made
+    * concrete (hCount ≥ 0 for every atom).
+    */
   def parseComponent(s: String): Option[Mol] = {
     if (s.isEmpty) return None
     val atoms = mutable.ArrayBuffer[Atom]()
     val bonds = mutable.ArrayBuffer[Bond]()
+    val implicitH = mutable.ArrayBuffer[Boolean]() // subset atoms: H not yet known
     val stack = mutable.Stack[Int]()
     val ringOpen = mutable.Map[Int, (Int, Int)]() // ring# -> (atom, pendingOrder)
     var prev = -1
@@ -67,8 +118,9 @@ object Smiles {
       bonds += Bond(a, b, o)
     }
 
-    def addAtom(a: Atom): Unit = {
+    def addAtom(a: Atom, hImplicit: Boolean): Unit = {
       atoms += a
+      implicitH += hImplicit
       val idx = atoms.length - 1
       if (prev >= 0) { addBond(prev, idx, pendingOrder); pendingOrder = 0 }
       prev = idx
@@ -113,24 +165,32 @@ object Smiles {
           val close = s.indexOf(']', i)
           if (close < 0) return None
           parseBracket(s.substring(i + 1, close)) match {
-            case Some(a) => addAtom(a)
+            case Some(a) => addAtom(a, hImplicit = false)
             case None => return None
           }
           i = close + 1
         case _ =>
           // organic subset (two-letter first)
           val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
-          if (twoLetter(two)) { addAtom(Atom(two, aromatic = false, 0, 0, -1, 0, bracket = false)); i += 2 }
+          if (twoLetter(two)) { addAtom(Atom(two, aromatic = false, 0, 0, 0, 0), hImplicit = true); i += 2 }
           else {
             val one = c.toString
-            if (organicSubset(one)) { addAtom(Atom(one, aromatic = false, 0, 0, -1, 0, bracket = false)); i += 1 }
-            else if (aromaticSubset(one)) { addAtom(Atom(one.toUpperCase, aromatic = true, 0, 0, -1, 0, bracket = false)); i += 1 }
+            if (organicSubset(one)) { addAtom(Atom(one, aromatic = false, 0, 0, 0, 0), hImplicit = true); i += 1 }
+            else if (aromaticSubset(one)) { addAtom(Atom(one.toUpperCase, aromatic = true, 0, 0, 0, 0), hImplicit = true); i += 1 }
             else return None // incl. stereo /\, '@' outside brackets, unknown
           }
       }
     }
     if (stack.nonEmpty || ringOpen.nonEmpty || atoms.isEmpty || pendingOrder != 0) None
-    else Some(Mol(atoms.toVector, bonds.toVector))
+    else {
+      val mol0 = Mol(atoms.toVector, bonds.toVector)
+      val resolved = mol0.atoms.zipWithIndex.map { case (a, idx) =>
+        if (implicitH(idx))
+          a.copy(hCount = math.max(0, readerImplicitH(a, mol0.adj(idx).map(_._2))))
+        else a
+      }
+      Some(Mol(resolved, mol0.bonds))
+    }
   }
 
   /** `[isotope? symbol H<n>? charge? :map?]` — no stereo (`@` → None). */
@@ -184,7 +244,98 @@ object Smiles {
         case _ => return None // '@' stereo and anything else: out of subset
       }
     }
-    Some(Atom(elem, aromatic, isotope, charge, h, map, bracket = true))
+    Some(Atom(elem, aromatic, isotope, charge, h, map))
+  }
+
+  // ---- aromatization -------------------------------------------------------
+
+  private val aromaticCapable = Set("B", "C", "N", "O", "P", "S")
+
+  /** All simple cycles of length 5 or 6, in cycle order, deduped by atom
+    * set. Bounded DFS (each cycle enumerated from its minimum atom only);
+    * molecules are small so this is cheap.
+    */
+  def simpleRings(mol: Mol): Vector[Vector[Int]] = {
+    val n = mol.atoms.length
+    val seen = mutable.Set[Set[Int]]()
+    val out = mutable.ArrayBuffer[Vector[Int]]()
+    val path = mutable.ArrayBuffer[Int]()
+    val onPath = new Array[Boolean](n)
+    def dfs(start: Int, a: Int): Unit = {
+      path += a; onPath(a) = true
+      mol.adj(a).foreach { case (b, _) =>
+        if (b == start && path.length >= 5) {
+          if (seen.add(path.toSet)) out += path.toVector
+        } else if (!onPath(b) && b > start && path.length < 6) dfs(start, b)
+      }
+      path.remove(path.length - 1); onPath(a) = false
+    }
+    (0 until n).foreach(s => dfs(s, s))
+    out.toVector
+  }
+
+  /** Hückel-style aromatization to a fixpoint (see object scaladoc). The
+    * reference gets this from RDKit's SanitizeMol aromaticity perception
+    * (extract/canonicalise.py:12-31); this is an independent 5/6-ring
+    * electron-counting implementation.
+    */
+  def aromatize(mol: Mol): Mol = {
+    val rings = simpleRings(mol)
+    if (rings.isEmpty) return mol
+    def ek(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
+    val n = mol.atoms.length
+    val arom = Array.tabulate(n)(mol.atoms(_).aromatic)
+    val order = mutable.Map[(Int, Int), Int]()
+    mol.bonds.foreach(b => order(ek(b.a, b.b)) = b.order)
+    val ringSystem: Set[Int] = rings.flatten.toSet
+    val degree = Array.tabulate(n)(mol.adj(_).length)
+    var changed = true
+    while (changed) {
+      changed = false
+      rings.foreach { ring =>
+        val allMarked = ring.forall(arom) &&
+          ring.indices.forall(i => order(ek(ring(i), ring((i + 1) % ring.length))) == 4)
+        if (!allMarked && ring.forall(a => aromaticCapable(mol.atoms(a).elem))) {
+          var ok = true
+          var electrons = 0
+          ring.foreach { a =>
+            val at = mol.atoms(a)
+            val nbs = mol.adj(a).map { case (b, _) => (b, order(ek(a, b))) }
+            val conns = degree(a) + at.hCount
+            if (nbs.exists(_._2 == 3) || conns > 3) ok = false
+            else if (arom(a)) electrons += 1
+            else {
+              val doubles = nbs.filter(_._2 == 2)
+              if (doubles.nonEmpty) {
+                // double into the conjugated ring system → 1 π e⁻; purely
+                // exocyclic double (quinone C=O) → sp2 but 0 π e⁻
+                if (doubles.exists { case (b, _) => ringSystem(b) }) electrons += 1
+              } else at.elem match {
+                case "C" =>
+                  if (at.charge == -1) electrons += 2 // cyclopentadienyl
+                  else if (at.charge != 1) ok = false // sp3 carbon
+                case "N" | "P" => electrons += 2 // pyrrole-type lone pair
+                case "O" | "S" =>
+                  if (at.charge == 0 && degree(a) == 2 && at.hCount == 0) electrons += 2
+                  else ok = false
+                case "B" => () // empty p orbital
+                case _ => ok = false
+              }
+            }
+          }
+          if (ok && electrons % 4 == 2) {
+            ring.foreach { a => if (!arom(a)) { arom(a) = true; changed = true } }
+            ring.indices.foreach { i =>
+              val e = ek(ring(i), ring((i + 1) % ring.length))
+              if (order(e) != 4) { order(e) = 4; changed = true }
+            }
+          }
+        }
+      }
+    }
+    Mol(
+      mol.atoms.zipWithIndex.map { case (a, i) => a.copy(aromatic = arom(i)) },
+      mol.bonds.map(b => b.copy(order = order(ek(b.a, b.b)))))
   }
 
   // ---- canonical ranking ---------------------------------------------------
@@ -226,7 +377,7 @@ object Smiles {
     val initial: Array[String] = Array.tabulate(n) { i =>
       val a = mol.atoms(i)
       Seq(a.elem, a.aromatic, a.isotope, a.charge, a.hCount, a.atomMap,
-        a.bracket, mol.adj(i).length).mkString("|")
+        mol.adj(i).length).mkString("|")
     }
     var ranks = refine(initial)
     while (ranks.distinct.length < n) {
@@ -243,8 +394,15 @@ object Smiles {
 
   // ---- canonical emission --------------------------------------------------
 
-  private def emitAtom(a: Atom): String =
-    if (!a.bracket) { if (a.aromatic) a.elem.toLowerCase else a.elem }
+  /** Bare (unbracketed) emission is possible iff the reader would re-infer
+    * exactly this atom: no isotope/charge/map, H count = reader default.
+    */
+  private def emitAtom(a: Atom, readerH: Int): String = {
+    val bareOk = a.isotope == 0 && a.charge == 0 && a.atomMap == 0 &&
+      a.hCount == readerH &&
+      (if (a.aromatic) aromaticSubset(a.elem.toLowerCase)
+       else organicSubset(a.elem))
+    if (bareOk) { if (a.aromatic) a.elem.toLowerCase else a.elem }
     else {
       val sb = new StringBuilder("[")
       if (a.isotope > 0) sb.append(a.isotope)
@@ -256,6 +414,7 @@ object Smiles {
       if (a.atomMap > 0) sb.append(":").append(a.atomMap)
       sb.append("]").toString
     }
+  }
 
   private def bondStr(o: Int, a: Atom, b: Atom): String = o match {
     case 2 => "="
@@ -303,7 +462,8 @@ object Smiles {
     def emitFrom(a: Int, from: Int, bondO: Int): Unit = {
       visited(a) = true
       if (from >= 0) sb.append(bondStr(bondO, mol.atoms(from), mol.atoms(a)))
-      sb.append(emitAtom(mol.atoms(a)))
+      sb.append(emitAtom(mol.atoms(a),
+        readerImplicitH(mol.atoms(a), mol.adj(a).map(_._2))))
       atomRings.get(a).foreach(_.foreach { case (num, o, partner) =>
         // bond char on the ring-opening digit only (first appearance)
         if (ringOpened.add(num))
@@ -343,7 +503,9 @@ object Smiles {
     val parts = s.split("\\.", -1)
     val canon = parts.map { p =>
       parseComponent(p) match {
-        case Some(mol) => emit(mol, canonicalRanks(mol))
+        case Some(mol) =>
+          val norm = aromatize(mol)
+          emit(norm, canonicalRanks(norm))
         case None => return None
       }
     }
@@ -358,7 +520,7 @@ object Smiles {
     val canon = parts.map { p =>
       parseComponent(p) match {
         case Some(mol) =>
-          val stripped = Mol(mol.atoms.map(_.copy(atomMap = 0)), mol.bonds)
+          val stripped = aromatize(Mol(mol.atoms.map(_.copy(atomMap = 0)), mol.bonds))
           emit(stripped, canonicalRanks(stripped))
         case None => return None
       }
@@ -383,6 +545,8 @@ object Smiles {
   /** Graph-based Morgan-style fingerprint (F1): per-atom neighborhood
     * hashes for radii 0..r, each scattered into nBits buckets. Structurally
     * faithful to hashed-Morgan semantics (not RDKit-bit-compatible).
+    * Runs on the aromatized graph so kekulized and aromatic writings of the
+    * same molecule fingerprint identically.
     */
   def morganBits(s: String, radius: Int, nBits: Int): Option[Array[Int]] = {
     if (s == null || s.isEmpty || hasStereo(s)) return None
@@ -390,7 +554,8 @@ object Smiles {
     val parts = s.split("\\.", -1)
     parts.foreach { p =>
       parseComponent(p) match {
-        case Some(mol) =>
+        case Some(raw) =>
+          val mol = aromatize(raw)
           val n = mol.atoms.length
           var h = Array.tabulate(n) { i =>
             val a = mol.atoms(i)

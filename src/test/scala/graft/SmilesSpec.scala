@@ -19,7 +19,12 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     "C1CC2CCC1CC2", // bridged bicycle
     "O=C(O)c1ccccc1", "N#Cc1ccccc1", "ClC(Cl)(Cl)Cl",
     "[NH4+]", "[13CH3]O", "[O-]C(=O)C", "[Fe+2]", "[Pd]",
-    "CC[N+](C)(C)CC", "C%10CCCCC%10", "O.CCO", "[CH2:5]=[CH:6]C")
+    "CC[N+](C)(C)CC", "C%10CCCCC%10", "O.CCO", "[CH2:5]=[CH:6]C",
+    // kekulized aromatics (must unify with the lowercase forms above)
+    "C1=CC=CC=C1", "C1=CC=CN1", "C1=CC2=CC=CC=C2C=C1",
+    "CC(=O)OC1=CC=CC=C1C(=O)O",
+    // genuinely non-aromatic unsaturated rings (must NOT aromatize)
+    "O=C1C=CC(=O)C=C1", "C1=CCCCC1")
 
   test("equivalent writings unify") {
     def c(s: String) = Smiles.canonical(s).get
@@ -31,6 +36,42 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c("CC(N)O") == c("CC(O)N"))
     assert(c("O.CCO") == c("CCO.O"))
     assert(c("[CH3]C") == c("C[CH3]"))
+  }
+
+  test("kekulized and aromatic writings unify") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(c("C1=CC=CC=C1") == c("c1ccccc1")) // benzene
+    assert(c("C1=CC=NC=C1") == c("c1ccncc1")) // pyridine
+    assert(c("C1=CC=CN1") == c("c1cc[nH]c1")) // pyrrole
+    assert(c("C1=CC=CO1") == c("c1ccoc1")) // furan
+    assert(c("C1=CC=CS1") == c("c1ccsc1")) // thiophene
+    assert(c("CN1C=CC=C1") == c("Cn1cccc1")) // N-methylpyrrole
+    assert(c("C1=CC=C2C=CC=CC2=C1") == c("c1ccc2ccccc2c1")) // naphthalene
+    assert(c("C1=CC2=CC=CC=C2C=C1") == c("c1ccc2ccccc2c1")) // alt. kekulé
+    assert(c("C1=CC=C2NC=CC2=C1") == c("c1ccc2[nH]ccc2c1")) // indole
+    assert(c("CC(=O)OC1=CC=CC=C1C(=O)O") == c("CC(=O)Oc1ccccc1C(=O)O")) // aspirin
+    assert(c("[O-][N+]1=CC=CC=C1") == c("[O-][n+]1ccccc1")) // pyridine N-oxide
+  }
+
+  test("non-aromatic unsaturated rings stay kekulized") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(!c("C1CCCCC1").exists(_.isLower)) // cyclohexane
+    assert(!c("C1=CCCCC1").exists(_.isLower)) // cyclohexene
+    assert(!c("C1=CC=CCC1").exists(_.isLower)) // 1,3-cyclohexadiene
+    assert(!c("O=C1C=CC(=O)C=C1").exists(_.isLower)) // p-quinone: 4 pi e-
+    assert(c("C1=CC=CC=C1") != c("C1=CCCCC1"))
+  }
+
+  test("bracket-H and organic-subset forms unify") {
+    def c(s: String) = Smiles.canonical(s).get
+    assert(c("[CH4]") == "C")
+    assert(c("[NH3]") == "N")
+    assert(c("[OH2]") == "O")
+    assert(c("[CH3]C") == "CC")
+    assert(c("[CH3][CH2][OH]") == c("CCO"))
+    assert(c("[CH3]") == "[CH3]") // methyl radical: H != reader default 4
+    assert(c("[NH4+]") == "[NH4+]") // charge keeps the bracket
+    assert(c("[13CH4]") == "[13CH4]") // isotope keeps the bracket
   }
 
   test("distinct molecules stay distinct") {
