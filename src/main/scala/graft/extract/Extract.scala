@@ -76,6 +76,21 @@ object Extract {
     flatten(transform(nonNull, s => split(s, "[.]")))
   }
 
+  /** E19 — Pd/C exception (extract/extractor.py:1024-1048): when a
+    * transition metal sits among the conditions or the procedure text
+    * mentions charcoal, bare carbon ("C"/"[C]") is the catalyst support,
+    * not an agent — drop it from the condition list. */
+  def pdCException(agents: Column, procedure: Column, chem: Chemistry): Column =
+    when(exists(agents, a => chem.hasTransitionMetal(a)) ||
+      contains(lower(coalesce(procedure, lit(""))), lit("charcoal")),
+      array_except(agents, array(lit("[C]"), lit("C"))))
+      .otherwise(agents)
+
+  /** E20 — ice defaults a missing temperature to 0 °C
+    * (extract/extractor.py:432-441 ice handling). */
+  def iceTemperature(temperature: Column, ice: Column): Column =
+    coalesce(temperature, when(ice, lit(0.0)))
+
   /** E4 ice detection: "ice" / "ice water" NAME among inputs. */
   def icePresent: Column = {
     val comps = flatten(transform(col("inputs"), e => e.getField("components")))
@@ -248,18 +263,14 @@ object Extract {
         concat(col("reactants"), col("products_raw"))))
       // E19 — Pd/C exception: metal or charcoal present → drop bare carbon
       .withColumn("agents_pre",
-        when(exists(col("agents_pre"), a => chem.hasTransitionMetal(a)) ||
-          contains(lower(coalesce(col("procedureDetails"), lit(""))), lit("charcoal")),
-          array_except(col("agents_pre"), array(lit("[C]"), lit("C"))))
-          .otherwise(col("agents_pre")))
+        pdCException(col("agents_pre"), col("procedureDetails"), chem))
       // E15 — drop numeric-string "molecules"
       .withColumn("agents", ArrayOps.dropNumeric(col("agents_pre")))
       // E6/E7 — unit conversions
       .withColumn("temperature", Conversions.temperatureToCelsius(
         col("tempValue"), col("tempUnits"), col("tempControl")))
       // E20 — ice defaults temperature to 0°C
-      .withColumn("temperature",
-        coalesce(col("temperature"), when(icePresent, lit(0.0))))
+      .withColumn("temperature", iceTemperature(col("temperature"), icePresent))
       .withColumn("rxn_time", Conversions.rxnTimeToHours(
         col("timeValue"), col("timeUnits")))
       // E9 — experiment date

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.extract.{Extract, IdentityChemistry}
 import graft.functions.{ArrayOps, Exact, XHash}
 import graft.operators.{Relational, TextOps}
 import graft.streaming.Streams
@@ -12,6 +13,11 @@ import graft.streaming.Streams
   * salted-join parity, and batch sessionization — each oracle-gated.
   */
 object ExtendedQueries {
+
+  /** IdentityChemistry's transition-metal alternation (extract/defaults.py:
+    * 10-39), inlined into the q63 oracle regex. */
+  private val TmAlt: String =
+    "Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -271,6 +277,58 @@ object ExtendedQueries {
           (sum(col("n")).cast("double") / count(lit(1))).as("mean_len"),
           (sum(col("n")).cast("double") / col("tot")).as("token_share"))
         .drop("tot")
+    },
+
+    // E19 — Pd/C exception as an oracle-gated operator: a synthetic agents
+    // list and procedure text are derived deterministically from documents
+    // rows so all three branches fire (metal present / charcoal mentioned /
+    // neither), then Extract.pdCException runs with IdentityChemistry's
+    // transition-metal regex, replicated verbatim on the DuckDB side.
+    QueryDef(
+      "q63_pdc_exception",
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |    ['C', lang, CASE WHEN doc_id % 3 = 0 THEN '[Pd]' ELSE source END] AS agents,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' over charcoal' ELSE text END AS proc
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(list_filter(agents, a ->
+         |             regexp_matches(a, '\[($TmAlt)[^A-Za-z]')
+         |             OR regexp_matches(a, '\[($TmAlt)\]'))) > 0
+         |           OR contains(lower(proc), 'charcoal')
+         |      THEN list_filter(agents, a -> a <> 'C' AND a <> '[C]')
+         |      ELSE agents END AS res
+         |  FROM t)
+         |SELECT doc_id, cast(len(res) as int) AS n_agents,
+         |  array_to_string(res, '|') AS agents_str
+         |FROM u""".stripMargin) { (s, dir) =>
+      val agents = array(lit("C"), col("lang"),
+        when(col("doc_id") % 3 === 0, lit("[Pd]")).otherwise(col("source")))
+      val proc = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" over charcoal"))).otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Extract.pdCException(agents, proc, IdentityChemistry).as("res"))
+        .select(col("doc_id"),
+          size(col("res")).cast("int").as("n_agents"),
+          array_join(col("res"), "|").as("agents_str"))
+    },
+
+    // E20 — ice→0 °C default, oracle-gated: temperature is nulled above a
+    // cutoff, "ice" presence is a deterministic predicate, and
+    // Extract.iceTemperature fills exactly the null-and-ice rows.
+    QueryDef(
+      "q64_ice_default",
+      """SELECT event_id,
+        |  coalesce(CASE WHEN value < 150 THEN value END,
+        |           CASE WHEN event_type = 'click' THEN cast(0.0 as double) END)
+        |    AS temp_c
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        Extract.iceTemperature(
+          when(col("value") < 150, col("value")),
+          col("event_type") === "click").as("temp_c"))
     }
   )
 }

@@ -107,8 +107,11 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("toks")).as("fp"))
     },
 
-    // Multimodal plumbing: binary payload + fake-decode metadata +
-    // frame sampling (decode itself STUBBED — see Multimodal.FakeCodec).
+    // Multimodal plumbing with a REAL decode in the loop: each row
+    // synthesizes an actual PNG whose dimensions come from the byte-length
+    // formula, then ImageIO header-decodes the payload — the oracle's
+    // formula only matches if the real decode recovers the real dimensions.
+    // (Frame counts remain length-derived: video decode is the stub half.)
     QueryDef(
       "q39_multimodal_meta",
       """SELECT doc_id,
@@ -119,13 +122,17 @@ object TextQueries {
         |    AS n_sampled
         |FROM documents""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
-      Multimodal.withMediaMeta(d, "payload")
-        .select(col("doc_id"),
-          col("media_meta.width").as("width"),
-          col("media_meta.height").as("height"),
-          col("media_meta.n_frames").as("n_frames"),
-          size(Multimodal.sampleFrameIdx(col("media_meta.n_frames"), 3)).as("n_sampled"))
+        .withColumn("blen", length(col("text").cast("binary")).cast("int"))
+        .withColumn("payload", Multimodal.synthPng(
+          col("blen") % 512 + 64, col("blen") % 384 + 48, col("doc_id")))
+        .withColumn("dims", Multimodal.imageDims(col("payload")))
+        .withColumn("n_frames",
+          greatest(floor(col("blen") / 100), lit(1)).cast("int"))
+      d.select(col("doc_id"),
+        col("dims._1").as("width"),
+        col("dims._2").as("height"),
+        col("n_frames"),
+        size(Multimodal.sampleFrameIdx(col("n_frames"), 3)).as("n_sampled"))
     }
   )
 }

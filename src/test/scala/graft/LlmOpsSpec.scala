@@ -149,6 +149,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaExpr == viaDense)
   }
 
+  test("real PNG decode recovers synthesized dimensions") {
+    // codec level: synth -> header-only decode round-trips exactly
+    val png = Multimodal.ImageCodec.synthPng(123, 45, 7L)
+    assert(Multimodal.ImageCodec.dimensions(png).contains((123, 45)))
+    assert(Multimodal.ImageCodec.dimensions("not an image".getBytes).isEmpty)
+    // pipeline level: synthesize in a column, decode via mapPartitions
+    val df = Seq((1L, 123, 45), (2L, 64, 480)).toDF("id", "w", "h")
+      .withColumn("payload", Multimodal.synthPng(col("w"), col("h"), col("id")))
+    val out = Multimodal.batchDecode(df, "id", "payload")
+      .collect().map(d => d.id -> d).toMap
+    assert(out(1L).width == 123 && out(1L).height == 45)
+    assert(out(2L).width == 64 && out(2L).height == 480)
+    // and the Column-level real decode agrees
+    val dims = df.select(col("id"), Multimodal.imageDims(col("payload")).as("d"))
+      .select(col("id"), col("d._1"), col("d._2"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dims(1L) == ((123, 45)) && dims(2L) == ((64, 480)))
+  }
+
   test("resize meta preserves aspect bucket") {
     val df = Seq((640, 480), (100, 50)).toDF("w", "h")
     val out = df.select(Multimodal.resizeMeta(col("w"), col("h"), 256).as("r"))
