@@ -67,7 +67,7 @@ object ArrayOps {
     */
   def scramble(arr: Column, seed: String, rowKey: Column): Column = {
     val keyed = transform(arr, (x, i) =>
-      struct(md5(concat_ws("", lit(seed), rowKey, x, i)).as("h"), x.as("v")))
+      struct(md5(concat_ws("\u0001", lit(seed), rowKey, x, i)).as("h"), x.as("v")))
     transform(array_sort(keyed), s => s.getField("v"))
   }
 

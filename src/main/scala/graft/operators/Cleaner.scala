@@ -51,8 +51,8 @@ object Cleaner {
     // an \u0003 sentinel BEFORE the join — concat_ws silently drops nulls,
     // which would otherwise collide ["50", null] with [null, "50"].
     def part(c: Column): Column =
-      concat_ws("", transform(c, x => coalesce(x, lit(""))))
-    md5(concat_ws("",
+      concat_ws("\u0002", transform(c, x => coalesce(x, lit("\u0003"))))
+    md5(concat_ws("\u0001",
       componentCols(df).map(c => part(col(c))) :+
         part(col("yields").cast("array<string>")): _*))
   }
@@ -128,7 +128,7 @@ object Cleaner {
       val zipped = zip_with(col("products"), col("yields"),
         (p, y) => struct(p.as("p"), y.as("y")))
       val keyed = transform(zipped, (z, i) => struct(
-        md5(concat_ws("", lit(cfg.seed + "products"),
+        md5(concat_ws("\u0001", lit(cfg.seed + "products"),
           col("original_index").cast("string"), z.getField("p"), i)).as("h"),
         z.as("z")))
       val perm = transform(array_sort(keyed), s => s.getField("z"))

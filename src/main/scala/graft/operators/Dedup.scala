@@ -83,9 +83,9 @@ object Dedup {
     * Docs sharing ANY band key are near-dup candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      md5(concat_ws("", b.cast("string"),
+      md5(concat_ws("\u0001", b.cast("string"),
         array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          v => v.cast("string")), ""))))
+          v => v.cast("string")), "\u0001"))))
 
   /** MinHash+LSH near-duplicate pairs over (id, shingles):
     * explode band keys → self-join per bucket (a.id < b.id) → distinct

@@ -166,27 +166,52 @@ object Relational {
     *
     * Unlike a Bernoulli hash-threshold sample (`bucket < pct`, see
     * [[splitBucket]]), the per-stratum counts here are exact, which
-    * class-balanced training-set construction needs. Scale note: the
-    * row_number window shuffles each stratum to one partition — fine while
-    * strata are balanced classes; for few huge strata, replace with a
-    * two-pass hash-histogram threshold (same semantics, narrow second pass).
+    * class-balanced training-set construction needs.
+    *
+    * Two-pass hash-histogram implementation — NO whole-stratum sort. The
+    * 60-bit row hash's top 12 bits form 4096 order-preserving buckets;
+    * pass 1 histograms (stratum, bucket) with a map-side-combining
+    * aggregate (≤4096 rows per stratum), a tiny cumulative-sum window over
+    * the histogram locates each stratum's boundary bucket, and pass 2 keeps
+    * buckets strictly below the boundary outright — only the boundary
+    * bucket itself (~n_s/4096 rows) is row_number-ranked. A giant stratum
+    * never lands on a single reducer; selection is bit-identical to the
+    * full sort: global rank = rows-below-bucket + in-bucket rank.
     */
   def stratifiedSample(df: DataFrame, strata: Seq[String], pct: Int,
       seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame = {
     val part = strata.map(col)
-    // stratum sizes via a map-side-combining aggregate + broadcast join —
-    // NOT a count-over-partition window, which would force a second full
-    // pass over each stratum's sorted rows
+    // stratum sizes via a map-side-combining aggregate — NOT a
+    // count-over-partition window
     val counts = df.groupBy(part: _*).agg(count(lit(1)).as("__n"))
-    df.withColumn("__h", XHash.bucketHash(seed, hashKeys: _*))
-      .join(broadcast(counts), strata)
-      .withColumn("__rn",
-        row_number().over(
-          Window.partitionBy(part: _*).orderBy((col("__h") +: tieBreak): _*)))
-      // long arithmetic: row_number is IntegerType and (rn-1)*100 would
-      // overflow 32 bits on strata past ~21M rows (ANSI throws, else wraps)
-      .filter((col("__rn").cast("long") - 1) * 100 < col("__n") * pct)
-      .drop("__h", "__rn", "__n")
+    val withH = df.withColumn("__h", XHash.bucketHash(seed, hashKeys: _*))
+      .withColumn("__b", shiftright(col("__h"), 48))
+    // pass 1: order-preserving bucket histogram + boundary location.
+    // Long arithmetic throughout: counts are longs, so n*pct and the
+    // rank predicates never touch 32-bit overflow (strata past ~21M rows).
+    val hist = withH.groupBy((part :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__cum", sum(col("__bc")).over(
+        Window.partitionBy(part: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(counts, strata)
+      .withColumn("__below", col("__cum") - col("__bc"))
+      // bucket's last row kept → whole bucket kept
+      .withColumn("__fullKeep", (col("__cum") - 1) * 100 < col("__n") * pct)
+      // bucket's first row kept → bucket at least partially kept
+      .withColumn("__anyKeep", col("__below") * 100 < col("__n") * pct)
+      .select((part :+ col("__b") :+ col("__below") :+ col("__n") :+
+        col("__fullKeep") :+ col("__anyKeep")): _*)
+    // pass 2: histogram is tiny (strata × ≤4096) → broadcast it
+    val tagged = withH.join(broadcast(hist), strata :+ "__b")
+    val keptFull = tagged.filter(col("__fullKeep"))
+    val boundary = tagged.filter(col("__anyKeep") && !col("__fullKeep"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((part :+ col("__b")): _*)
+          .orderBy((col("__h") +: tieBreak): _*)))
+      .filter((col("__below") + col("__rn") - 1) * 100 < col("__n") * pct)
+    val outCols = part ++ df.columns.filterNot(strata.contains).map(col)
+    keptFull.select(outCols: _*).unionAll(boundary.select(outCols: _*))
   }
 
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`

@@ -177,13 +177,16 @@ object Similarity {
       centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(
       col(id).as("__cid"), col(vec).as("__cvec")))
-    val w = Window.partitionBy(id)
-      .orderBy(col("__dist").asc, col("__cid").asc)
+    // min_by, NOT a row_number window: all k candidate rows for an id are
+    // produced in the same task (broadcast cross join), so the grouped
+    // min_by partial-aggregates them map-side and the exchange carries ~1
+    // row per id — a k× shuffle reduction on what is, at 100 TB, the
+    // bucketed-write pass. The struct orders (dist asc, cid asc), the same
+    // deterministic tie-break the window had.
     df.crossJoin(c)
       .withColumn("__dist", l2sq(col(vec), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(id), col("__cid").as("cell"))
+      .groupBy(col(id))
+      .agg(min_by(col("__cid"), struct(col("__dist"), col("__cid"))).as("cell"))
   }
 
   /** Full IVF search: each query probes its `nprobe` nearest cells and

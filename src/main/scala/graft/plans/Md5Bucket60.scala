@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen'd Expression).
   *
   * Semantically identical to
-  * `conv(substring(md5(concat_ws('', parts…)), 1, 15), 16, 10)` —
+  * `conv(substring(md5(concat_ws('\u0001', parts…)), 1, 15), 16, 10)` —
   * the [[graft.functions.XHash.bucketHash]] contract that the DuckDB oracle
   * reproduces — but evaluated in one pass over the digest bytes: no hex
   * string materialization, no substring, no base-16 parse. `concat_ws`
@@ -68,7 +68,7 @@ object Md5Bucket60 {
   }
   private val SEP = Array[Byte](1)
 
-  /** First 60 bits of md5(join-non-null-parts-with-), as a positive
+  /** First 60 bits of md5(join-non-null-parts-with-\u0001), as a positive
     * long — equals `conv(substring(hex, 1, 15), 16, 10)`. */
   def compute(parts: Array[UTF8String]): Long = {
     val d = md.get()

@@ -53,6 +53,25 @@ class PlanSpec extends SparkSpec {
       || plan("q47_ivf_cells").contains("BroadcastExchange"))
   }
 
+  test("q47: assignment partial-aggregates map-side (no corpus×k shuffle)") {
+    val p = plan("q47_ivf_cells")
+    // the ×k candidate intermediate must be reduced BEFORE the exchange:
+    // a partial min_by aggregate, never a per-id row_number window (which
+    // would hash-exchange corpus×k rows)
+    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("Window"), "ivfAssign regressed to a window:\n" + p)
+  }
+
+  test("q54: only the boundary bucket is ranked (no whole-stratum window)") {
+    val p = plan("q54_stratified_sample")
+    val rn = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty, p)
+    // every ranking window must partition by the hash bucket too — a
+    // row_number over the bare stratum puts the whole stratum on one reducer
+    rn.foreach(l => assert(l.contains("__b"),
+      "whole-stratum row_number regression:\n" + l))
+  }
+
   test("q49: containment check is a semi-join aggregate, not a pair join") {
     val p = plan("q49_decontaminate")
     assert(p.contains("LeftSemi"), p)
