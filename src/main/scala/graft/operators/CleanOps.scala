@@ -131,14 +131,20 @@ object CleanOps {
     }
 
   /** C11 over array columns — drop rows containing any rare value
-    * (clean/cleaner.py:370-396). Same frequent-set reasoning as C10. */
+    * (clean/cleaner.py:370-396). Same frequent-set reasoning as C10.
+    * Null-array semantics (both paths agree, spec-locked): a null list
+    * contains no values, so it never makes its row rare — the row is
+    * dropped only if some OTHER column holds a rare value. */
   def removeRareRowsArrays(df: DataFrame, cols: Seq[String], minFreq: Long,
       maxLiteralSet: Int = defaultMaxLiteralSet,
       rowKey: String = "original_index"): DataFrame =
     frequentSet(df, cols, minFreq, maxLiteralSet) match {
       case Some(fs) =>
+        // coalesce: exists(null_array) is SQL-null, which would flip the
+        // whole predicate to null and silently DROP the row under !
         df.filter(!cols.map(c =>
-          exists(col(c), x => x.isNotNull && !array_contains(fs, x))).reduce(_ || _))
+          exists(coalesce(col(c), array().cast("array<string>")),
+            x => x.isNotNull && !array_contains(fs, x))).reduce(_ || _))
       case None =>
         Relational.removeRareRowsArraysJoin(df, cols, minFreq, rowKey)
     }
@@ -154,7 +160,11 @@ object CleanOps {
       maxLiteralSet: Int): Option[Column] = {
     val freq = valueCountsArrays(df, cols).filter(col("cnt") >= minFreq)
       .select("value")
-    if (freq.limit(maxLiteralSet + 1).count() > maxLiteralSet) None
-    else Some(typedLit(freq.collect().map(_.getString(0)).toSeq))
+    // one action, not a count-probe + collect (which would run the full
+    // value-counts aggregation twice): pulling max+1 strings is within the
+    // same driver budget the guard enforces
+    val rows = freq.limit(maxLiteralSet + 1).collect()
+    if (rows.length > maxLiteralSet) None
+    else Some(typedLit(rows.map(_.getString(0)).toSeq))
   }
 }

@@ -57,6 +57,13 @@ object Features {
     * per head, so a combo in the global top-n can only be built from
     * per-head top-n classes. Then top-n combos are taken BEFORE touching
     * the test split, which does one broadcast-join pass.
+    *
+    * Tie caveat: the per-head cut breaks probability ties by class value
+    * while the global cut breaks score ties by the '|'-joined combo string;
+    * for variable-length labels those orders can disagree at the per-head
+    * boundary, so a combo built from a tied-out class could in principle
+    * belong to the exact unpruned top-n. The reference prunes per-head the
+    * same way, so this matches its semantics exactly.
     */
   def beamAccuracyN(train: DataFrame, test: DataFrame,
       heads: Seq[String], n: Int): DataFrame = {

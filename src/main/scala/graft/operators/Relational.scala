@@ -141,13 +141,19 @@ object Relational {
   /** C11 over array columns, at-scale form: a row is dropped iff any of its
     * values fails a semi-join against the frequent-value table. One explode +
     * one anti join + one anti join — no driver-side set.
+    * Null-array semantics match the literal path (CleanOps): a null list
+    * contributes no values and never dooms its row by itself.
     */
   def removeRareRowsArraysJoin(df: DataFrame, cols: Seq[String], minFreq: Long,
       rowKey: String): DataFrame = {
     val frequent = CleanOps.valueCountsArrays(df, cols)
       .filter(col("cnt") >= minFreq).select(col("value").as("__fv"))
-    val badKeys = df.select(col(rowKey).as("__k"),
-        explode(flatten(array(cols.map(col): _*))).as("__v"))
+    // coalesce each column: flatten(array(...)) is null when ANY sub-array
+    // is null, which would mask rare values in the SIBLING columns of a
+    // row with one null list
+    val flat = flatten(array(cols.map(c =>
+      coalesce(col(c), array().cast("array<string>"))): _*))
+    val badKeys = df.select(col(rowKey).as("__k"), explode(flat).as("__v"))
       .filter(col("__v").isNotNull)
       .join(frequent, col("__v") === col("__fv"), "left_anti")
       .select("__k").distinct()

@@ -101,6 +101,22 @@ class CleanOpsSpec extends SparkSpec {
       == norm(CleanOps.removeRareRowsArrays(keyed, cols, 2)))
   }
 
+  test("C11 null-array rows: kept unless a sibling column is rare, both paths") {
+    // "a" is frequent (3 uses), "rare" appears once
+    val df = Seq(
+      (1L, Some(Seq("a")), Some(Seq("a"))),
+      (2L, None: Option[Seq[String]], Some(Seq("a"))), // null list, no rare → keep
+      (3L, None: Option[Seq[String]], Some(Seq("rare"))), // null list, rare sibling → drop
+      (4L, Some(Seq("a")), None: Option[Seq[String]]) // keep
+    ).toDF("original_index", "agents", "solvents")
+    val cols = Seq("agents", "solvents")
+    def kept(maxLit: Int) =
+      CleanOps.removeRareRowsArrays(df, cols, 2, maxLiteralSet = maxLit)
+        .select("original_index").as[Long].collect().sorted.toSeq
+    assert(kept(100) == Seq(1L, 2L, 4L)) // literal path
+    assert(kept(0) == Seq(1L, 2L, 4L)) // join path
+  }
+
   test("E16 aligned filter co-drops yields with products") {
     val df = Seq((Seq("P1", "", "P2"), Seq(Some(10.0), Some(20.0), None: Option[Double])))
       .toDF("products", "yields")

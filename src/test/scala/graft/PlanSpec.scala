@@ -99,8 +99,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
-    val raw = graft.operators.ReactionTable.load(spark,
-      "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords")
+    val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
+    assume(new java.io.File(dir).exists(), "reference checkout not present")
+    val raw = graft.operators.ReactionTable.load(spark, dir)
     val p = raw.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -110,8 +111,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("extract pipeline is a single narrow projection (no exchange)") {
-    val nested = graft.extract.OrdSource.readNested(spark,
-      "/root/reference/orderly/data/test_data/ord_test_data")
+    val dir = "/root/reference/orderly/data/test_data/ord_test_data"
+    assume(new java.io.File(dir).exists(), "reference checkout not present")
+    val nested = graft.extract.OrdSource.readNested(spark, dir)
     val extracted = graft.extract.Extract.extractReactions(
       nested, graft.extract.ExtractConfig(), graft.extract.IdentityChemistry,
       Seq("O", "CO"))
