@@ -33,22 +33,39 @@ import scala.collection.mutable
   *    quinones, cyclohexadienes and other non-aromatic rings keep their
   *    double bonds.
   *
-  * Documented boundaries (vs RDKit): stereo markers (`@`, `/`, `\`) are out
-  * of the subset — inputs containing them are returned unchanged (identity
+  *  - '''Tetrahedral stereo is canonicalized.''' `@`/`@@` parse as a parity
+  *    relative to the written neighbor order (with the OpenSMILES
+  *    implicit-H / lone-pair phantom slot), and emission re-derives the
+  *    flag for the canonical neighbor order by permutation parity — so
+  *    every writing of the same configuration emits one canonical string,
+  *    and enantiomers stay distinct.
+  *
+  * Documented boundaries (vs RDKit): double-bond stereo (`/`, `\`) is out
+  * of the subset — inputs containing it are returned unchanged (identity
   * fallback), like unparsable strings return null in the reference;
-  * aromatization covers 5/6-rings only (no tropylium/azulene 7-rings), and
-  * a kekulé assignment of a large fused polycycle in which no 5/6-ring
-  * reaches 4n+2 even iteratively stays kekulized.
+  * chirality flags on atoms with automorphically equivalent substituents
+  * (chemically meaningless stereo) are kept, not cleaned; aromatization
+  * covers 5/6-rings only (no tropylium/azulene 7-rings), and a kekulé
+  * assignment of a large fused polycycle in which no 5/6-ring reaches 4n+2
+  * even iteratively stays kekulized.
   */
 object Smiles {
 
   /** `hCount` is the concrete total hydrogen count — parseComponent fills
-    * it in for organic-subset atoms via [[readerImplicitH]]. */
+    * it in for organic-subset atoms via [[readerImplicitH]]. `chiral`:
+    * 0 = none, 1 = `@`, 2 = `@@` — as WRITTEN; the config it denotes is
+    * only meaningful together with [[Mol.nbOrder]]. */
   final case class Atom(elem: String, aromatic: Boolean, isotope: Int,
-      charge: Int, hCount: Int, atomMap: Int)
+      charge: Int, hCount: Int, atomMap: Int, chiral: Int = 0)
   /** order: 1, 2, 3; 4 = aromatic. */
   final case class Bond(a: Int, b: Int, order: Int)
-  final case class Mol(atoms: Vector[Atom], bonds: Vector[Bond]) {
+  /** `nbOrder`: per atom, its neighbors in WRITTEN order (preceding atom,
+    * then ring-closure partners at their digit positions, then branch/chain
+    * atoms), with `-1` marking the implicit-H / lone-pair phantom slot of a
+    * chiral atom (OpenSMILES: first if the atom has no preceding atom, else
+    * immediately after it). Only consulted for chiral atoms. */
+  final case class Mol(atoms: Vector[Atom], bonds: Vector[Bond],
+      nbOrder: Vector[Vector[Int]] = Vector.empty) {
     lazy val adj: Vector[Vector[(Int, Int)]] = { // atom -> (neighbor, order)
       val m = Vector.fill(atoms.length)(mutable.ArrayBuffer[(Int, Int)]())
       bonds.foreach { bd => m(bd.a) += ((bd.b, bd.order)); m(bd.b) += ((bd.a, bd.order)) }
@@ -104,6 +121,8 @@ object Smiles {
     val atoms = mutable.ArrayBuffer[Atom]()
     val bonds = mutable.ArrayBuffer[Bond]()
     val implicitH = mutable.ArrayBuffer[Boolean]() // subset atoms: H not yet known
+    val hadPreceder = mutable.ArrayBuffer[Boolean]()
+    val nbOrder = mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]()
     val stack = mutable.Stack[Int]()
     val ringOpen = mutable.Map[Int, (Int, Int)]() // ring# -> (atom, pendingOrder)
     var prev = -1
@@ -121,8 +140,14 @@ object Smiles {
     def addAtom(a: Atom, hImplicit: Boolean): Unit = {
       atoms += a
       implicitH += hImplicit
+      nbOrder += mutable.ArrayBuffer[Int]()
+      hadPreceder += (prev >= 0)
       val idx = atoms.length - 1
-      if (prev >= 0) { addBond(prev, idx, pendingOrder); pendingOrder = 0 }
+      if (prev >= 0) {
+        addBond(prev, idx, pendingOrder); pendingOrder = 0
+        nbOrder(prev) += idx
+        nbOrder(idx) += prev
+      }
       prev = idx
     }
 
@@ -134,9 +159,15 @@ object Smiles {
             else if (opening != 0) opening else 0
           addBond(other, prev, o)
           pendingOrder = 0
+          // written-order bookkeeping: the closer sees the partner at this
+          // digit; the opener reserved the slot at ITS digit position
+          nbOrder(prev) += other
+          val slot = nbOrder(other).indexOf(-(100 + n))
+          if (slot >= 0) nbOrder(other)(slot) = prev
         case None =>
           ringOpen(n) = (prev, pendingOrder)
           pendingOrder = 0
+          nbOrder(prev) += -(100 + n) // placeholder until the ring closes
       }
     }
 
@@ -189,11 +220,26 @@ object Smiles {
           a.copy(hCount = math.max(0, readerImplicitH(a, mol0.adj(idx).map(_._2))))
         else a
       }
-      Some(Mol(resolved, mol0.bonds))
+      // resolve chiral phantoms: a 3-connected chiral atom's implicit H (or
+      // lone pair) occupies the OpenSMILES phantom slot; 4-connected needs
+      // none; anything else is stereo outside the subset → None (canonical()
+      // falls back to identity passthrough for '@'-bearing inputs)
+      var ok = true
+      resolved.zipWithIndex.foreach { case (a, idx) =>
+        if (a.chiral != 0) {
+          val deg = nbOrder(idx).length
+          if (deg == 3 && a.hCount <= 1)
+            nbOrder(idx).insert(if (hadPreceder(idx)) 1 else 0, -1)
+          else if (!(deg == 4 && a.hCount == 0)) ok = false
+        }
+      }
+      if (!ok) None
+      else Some(Mol(resolved, mol0.bonds, nbOrder.map(_.toVector).toVector))
     }
   }
 
-  /** `[isotope? symbol H<n>? charge? :map?]` — no stereo (`@` → None). */
+  /** `[isotope? symbol @|@@? H<n>? charge? :map?]` — `@TH1`-style named
+    * stereo classes stay out of the subset (→ None). */
   private def parseBracket(b: String): Option[Atom] = {
     var i = 0
     def digits(): Int = {
@@ -222,6 +268,14 @@ object Smiles {
     var h = 0
     var charge = 0
     var map = 0
+    var chiral = 0
+    if (i < b.length && b.charAt(i) == '@') {
+      i += 1
+      if (i < b.length && b.charAt(i) == '@') { chiral = 2; i += 1 }
+      else chiral = 1
+      // @TH1 / @AL1 / @SP... named classes: out of subset
+      if (i < b.length && b.charAt(i).isUpper && b.charAt(i) != 'H') return None
+    }
     while (i < b.length) {
       b.charAt(i) match {
         case 'H' =>
@@ -241,10 +295,10 @@ object Smiles {
           val d = digits()
           if (d < 0) return None
           map = d
-        case _ => return None // '@' stereo and anything else: out of subset
+        case _ => return None // anything else: out of subset
       }
     }
-    Some(Atom(elem, aromatic, isotope, charge, h, map))
+    Some(Atom(elem, aromatic, isotope, charge, h, map, chiral))
   }
 
   // ---- aromatization -------------------------------------------------------
@@ -335,18 +389,34 @@ object Smiles {
     }
     Mol(
       mol.atoms.zipWithIndex.map { case (a, i) => a.copy(aromatic = arom(i)) },
-      mol.bonds.map(b => b.copy(order = order(ek(b.a, b.b)))))
+      mol.bonds.map(b => b.copy(order = order(ek(b.a, b.b)))),
+      mol.nbOrder)
   }
 
   // ---- canonical ranking ---------------------------------------------------
 
   /** Morgan-style refinement: start from local invariants, refine by sorted
-    * neighbor (order, rank) multisets, break ties deterministically on the
-    * smallest ambiguous class, re-refine. Returns a permutation-invariant
-    * rank per atom (classic limitation: non-automorphic ties in pathological
-    * regular graphs — not observed on chemical graphs in the spec corpus).
+    * neighbor (order, rank) multisets, then stereo-descriptor refinement,
+    * then break residual ties deterministically on the smallest ambiguous
+    * class. Returns the molecule with chemically meaningless chirality
+    * flags dropped plus a canonical rank per atom.
+    *
+    * Stereo handling (the part a stereo-blind ranking gets wrong):
+    *  - Each chiral atom contributes a rank-relative parity descriptor —
+    *    its flag re-expressed against neighbors sorted by current rank —
+    *    which joins the refinement invariant. That splits classes only
+    *    stereo distinguishes (the R and S centers of a meso compound), so
+    *    symmetric multi-center molecules rank canonically.
+    *  - A chiral atom whose neighbors still share a rank class at
+    *    convergence is NOT a stereocenter (two automorphically equivalent
+    *    substituents — `O[C@H]1CCCC1`): its flag is dropped, mirroring
+    *    RDKit's AssignStereochemistry cleanup. Pseudo-asymmetric (r/s)
+    *    centers are cleaned too — documented boundary.
+    *
+    * Classic limitation: non-automorphic ties in pathological regular
+    * graphs — not observed on chemical graphs in the spec corpus.
     */
-  def canonicalRanks(mol: Mol): Array[Int] = {
+  def canonicalAssign(mol: Mol): (Mol, Array[Int]) = {
     val n = mol.atoms.length
     // Full strings as refinement keys — NOT 32-bit hashes, whose collisions
     // would silently merge distinct invariant classes and break canonical
@@ -374,12 +444,49 @@ object Smiles {
       }
       ranks
     }
+    // NOTE: the raw `chiral` flag is EXCLUDED — it is only meaningful
+    // relative to the written neighbor order, so two writings of the same
+    // config carry different flags; stereo joins via descriptors below.
     val initial: Array[String] = Array.tabulate(n) { i =>
       val a = mol.atoms(i)
       Seq(a.elem, a.aromatic, a.isotope, a.charge, a.hCount, a.atomMap,
         mol.adj(i).length).mkString("|")
     }
     var ranks = refine(initial)
+    // rank-relative parity: the written flag re-expressed against the
+    // phantom-first, rank-sorted neighbor order; 0 while neighbors tie
+    def descriptor(i: Int): Int = {
+      val a = mol.atoms(i)
+      if (a.chiral == 0) 0
+      else {
+        val nbs = mol.adj(i).map(_._1)
+        if (nbs.map(ranks(_)).distinct.length < nbs.length) 0
+        else {
+          val ref = (if (nbs.length == 3) Vector(-1) else Vector.empty) ++
+            nbs.sortBy(ranks(_))
+          if (permParity(mol.nbOrder(i), ref) == 0) a.chiral else 3 - a.chiral
+        }
+      }
+    }
+    var changed = mol.atoms.exists(_.chiral != 0)
+    while (changed) {
+      val desc = Array.tabulate(n)(descriptor)
+      if (desc.forall(_ == 0)) changed = false
+      else {
+        val next = refine(Array.tabulate(n)(i => f"${ranks(i)}%09d|${desc(i)}"))
+        changed = next.distinct.length != ranks.distinct.length
+        ranks = next
+      }
+    }
+    // clean non-stereogenic flags at convergence (descriptors contributed
+    // nothing for these atoms, so the ranks are unaffected by the drop)
+    val cleaned = Mol(
+      mol.atoms.zipWithIndex.map { case (a, i) =>
+        if (a.chiral != 0 &&
+          mol.adj(i).map(b => ranks(b._1)).distinct.length < mol.adj(i).length)
+          a.copy(chiral = 0)
+        else a
+      }, mol.bonds, mol.nbOrder)
     while (ranks.distinct.length < n) {
       val tie = ranks.groupBy(identity).collect {
         case (r, g) if g.length > 1 => r
@@ -389,17 +496,21 @@ object Smiles {
         f"${ranks(i)}%09d|${if (i == r) 0 else 1}")
       ranks = refine(lifted)
     }
-    ranks
+    (cleaned, ranks)
   }
+
+  def canonicalRanks(mol: Mol): Array[Int] = canonicalAssign(mol)._2
 
   // ---- canonical emission --------------------------------------------------
 
   /** Bare (unbracketed) emission is possible iff the reader would re-infer
-    * exactly this atom: no isotope/charge/map, H count = reader default.
+    * exactly this atom: no isotope/charge/map/stereo, H = reader default.
+    * `chiralOut` is the flag for the EMITTED neighbor order (parity-adjusted
+    * by the caller), not the parsed one.
     */
-  private def emitAtom(a: Atom, readerH: Int): String = {
+  private def emitAtom(a: Atom, readerH: Int, chiralOut: Int): String = {
     val bareOk = a.isotope == 0 && a.charge == 0 && a.atomMap == 0 &&
-      a.hCount == readerH &&
+      chiralOut == 0 && a.hCount == readerH &&
       (if (a.aromatic) aromaticSubset(a.elem.toLowerCase)
        else organicSubset(a.elem))
     if (bareOk) { if (a.aromatic) a.elem.toLowerCase else a.elem }
@@ -407,6 +518,8 @@ object Smiles {
       val sb = new StringBuilder("[")
       if (a.isotope > 0) sb.append(a.isotope)
       sb.append(if (a.aromatic) a.elem.toLowerCase else a.elem)
+      if (chiralOut == 1) sb.append("@")
+      else if (chiralOut == 2) sb.append("@@")
       if (a.hCount == 1) sb.append("H")
       else if (a.hCount > 1) sb.append("H").append(a.hCount)
       if (a.charge > 0) sb.append(if (a.charge == 1) "+" else s"+${a.charge}")
@@ -414,6 +527,21 @@ object Smiles {
       if (a.atomMap > 0) sb.append(":").append(a.atomMap)
       sb.append("]").toString
     }
+  }
+
+  /** Permutation parity (0 even / 1 odd) between two orderings of the same
+    * element set. */
+  private def permParity(from: Seq[Int], to: Seq[Int]): Int = {
+    val idx = to.zipWithIndex.toMap
+    val p = from.map(idx.getOrElse(_, -1)).toArray
+    var inv = 0
+    var i = 0
+    while (i < p.length) {
+      var j = i + 1
+      while (j < p.length) { if (p(i) > p(j)) inv += 1; j += 1 }
+      i += 1
+    }
+    inv & 1
   }
 
   private def bondStr(o: Int, a: Atom, b: Atom): String = o match {
@@ -462,16 +590,33 @@ object Smiles {
     def emitFrom(a: Int, from: Int, bondO: Int): Unit = {
       visited(a) = true
       if (from >= 0) sb.append(bondStr(bondO, mol.atoms(from), mol.atoms(a)))
-      sb.append(emitAtom(mol.atoms(a),
-        readerImplicitH(mol.atoms(a), mol.adj(a).map(_._2))))
-      atomRings.get(a).foreach(_.foreach { case (num, o, partner) =>
-        // bond char on the ring-opening digit only (first appearance)
-        if (ringOpened.add(num))
-          sb.append(bondStr(o, mol.atoms(a), mol.atoms(partner)) + ringToken(num))
-        else sb.append(ringToken(num))
-      })
+      val at = mol.atoms(a)
+      val rings = atomRings.getOrElse(a, mutable.ArrayBuffer.empty)
       val kids = neighbors(a).filter { case (b, _) =>
         b != from && !visited(b) && inTree(key(a, b))
+      }
+      // stereo: the written flag is relative to the written neighbor order;
+      // re-derive it for the order THIS emission produces (preceder, phantom
+      // H/lone-pair slot, ring digits, then children) — odd permutation
+      // parity flips @ <-> @@
+      val chiralOut =
+        if (at.chiral == 0) 0
+        else {
+          val emitted = mutable.ArrayBuffer[Int]()
+          if (from >= 0) emitted += from
+          if (mol.adj(a).length == 3) emitted += -1 // phantom slot
+          rings.foreach { case (_, _, partner) => emitted += partner }
+          kids.foreach { case (b, _) => emitted += b }
+          if (permParity(mol.nbOrder(a), emitted.toSeq) == 0) at.chiral
+          else 3 - at.chiral
+        }
+      sb.append(emitAtom(at,
+        readerImplicitH(at, mol.adj(a).map(_._2)), chiralOut))
+      rings.foreach { case (num, o, partner) =>
+        // bond char on the ring-opening digit only (first appearance)
+        if (ringOpened.add(num))
+          sb.append(bondStr(o, at, mol.atoms(partner)) + ringToken(num))
+        else sb.append(ringToken(num))
       }
       kids.zipWithIndex.foreach { case ((b, o), idx) =>
         if (!visited(b)) {
@@ -490,47 +635,46 @@ object Smiles {
 
   // ---- public API ----------------------------------------------------------
 
-  private def hasStereo(s: String): Boolean =
-    s.contains('@') || s.contains('/') || s.contains('\\')
+  /** Double-bond (cis/trans) stereo is the remaining passthrough boundary;
+    * tetrahedral `@`/`@@` is handled structurally. */
+  private def hasBondStereo(s: String): Boolean =
+    s.contains('/') || s.contains('\\')
+
+  /** Canonicalize every component, or None if any falls outside the subset.
+    * For '@'-bearing inputs an unparseable component degrades to identity
+    * passthrough (like the pre-stereo behavior) instead of null. */
+  private def canonicalVia(s: String)(prep: Mol => Mol): Option[String] = {
+    if (s == null || s.isEmpty) return None
+    if (hasBondStereo(s)) return Some(s)
+    val parts = s.split("\\.", -1)
+    val canon = parts.map { p =>
+      parseComponent(p) match {
+        case Some(mol) =>
+          val norm = aromatize(prep(mol))
+          val (cleaned, ranks) = canonicalAssign(norm)
+          emit(cleaned, ranks)
+        case None =>
+          return if (s.contains('@')) Some(s) else None
+      }
+    }
+    Some(canon.sorted.mkString("."))
+  }
 
   /** Canonical SMILES of the (possibly multi-component) input; None when
-    * outside the parseable subset; stereo-bearing inputs pass through
-    * unchanged (documented boundary).
+    * outside the parseable subset; bond-stereo (`/`,`\`) inputs pass
+    * through unchanged (documented boundary) while tetrahedral centers
+    * canonicalize with parity-correct `@`/`@@`.
     */
-  def canonical(s: String): Option[String] = {
-    if (s == null || s.isEmpty) return None
-    if (hasStereo(s)) return Some(s)
-    val parts = s.split("\\.", -1)
-    val canon = parts.map { p =>
-      parseComponent(p) match {
-        case Some(mol) =>
-          val norm = aromatize(mol)
-          emit(norm, canonicalRanks(norm))
-        case None => return None
-      }
-    }
-    Some(canon.sorted.mkString("."))
-  }
+  def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 
   /** Strip atom maps structurally, then canonicalize. */
-  def canonicalNoMaps(s: String): Option[String] = {
-    if (s == null || s.isEmpty) return None
-    if (hasStereo(s)) return Some(s)
-    val parts = s.split("\\.", -1)
-    val canon = parts.map { p =>
-      parseComponent(p) match {
-        case Some(mol) =>
-          val stripped = aromatize(Mol(mol.atoms.map(_.copy(atomMap = 0)), mol.bonds))
-          emit(stripped, canonicalRanks(stripped))
-        case None => return None
-      }
-    }
-    Some(canon.sorted.mkString("."))
-  }
+  def canonicalNoMaps(s: String): Option[String] =
+    canonicalVia(s)(mol =>
+      Mol(mol.atoms.map(_.copy(atomMap = 0)), mol.bonds, mol.nbOrder))
 
   /** Exact transition-metal test from parsed atoms (E14). */
   def hasTransitionMetalParsed(s: String): Option[Boolean] = {
-    if (s == null || s.isEmpty || hasStereo(s)) return None
+    if (s == null || s.isEmpty || hasBondStereo(s)) return None
     val parts = s.split("\\.", -1)
     var any = false
     parts.foreach { p =>
@@ -549,7 +693,7 @@ object Smiles {
     * same molecule fingerprint identically.
     */
   def morganBits(s: String, radius: Int, nBits: Int): Option[Array[Int]] = {
-    if (s == null || s.isEmpty || hasStereo(s)) return None
+    if (s == null || s.isEmpty || hasBondStereo(s)) return None
     val fp = new Array[Int](nBits)
     val parts = s.split("\\.", -1)
     parts.foreach { p =>

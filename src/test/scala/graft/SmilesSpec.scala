@@ -24,7 +24,12 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     "C1=CC=CC=C1", "C1=CC=CN1", "C1=CC2=CC=CC=C2C=C1",
     "CC(=O)OC1=CC=CC=C1C(=O)O",
     // genuinely non-aromatic unsaturated rings (must NOT aromatize)
-    "O=C1C=CC(=O)C=C1", "C1=CCCCC1")
+    "O=C1C=CC(=O)C=C1", "C1=CCCCC1",
+    // tetrahedral stereo: chain, ring-closure, first-atom, lone-pair forms,
+    // a cleaned non-stereocenter, and the meso/chiral diol pair
+    "C[C@H](N)O", "N[C@@H](C)C(=O)O", "O[C@H]1CCCC1", "C[C@H]1CCCO1",
+    "[C@](F)(Cl)(Br)I", "CC[S@](=O)C",
+    "C[C@H](O)[C@H](O)C", "C[C@H](O)[C@@H](O)C")
 
   test("equivalent writings unify") {
     def c(s: String) = Smiles.canonical(s).get
@@ -121,8 +126,45 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Smiles.canonical("C1CC").isEmpty) // unclosed ring
     assert(Smiles.canonical("C(").isEmpty) // unclosed branch
     assert(Smiles.canonical("C=").isEmpty) // dangling bond
-    // stereo passthrough boundary
-    assert(Smiles.canonical("C[C@H](N)O").contains("C[C@H](N)O"))
+    // double-bond stereo: the remaining passthrough boundary
+    assert(Smiles.canonical("F/C=C/F").contains("F/C=C/F"))
+    // named stereo classes stay out of subset → passthrough, not null
+    assert(Smiles.canonical("C[C@TH1](N)O").contains("C[C@TH1](N)O"))
+  }
+
+  test("tetrahedral stereo: equivalent writings unify, enantiomers distinct") {
+    def c(s: String) = Smiles.canonical(s).get
+    // swapping two written neighbors flips the flag → same configuration
+    assert(c("C[C@H](N)O") == c("C[C@@H](O)N"))
+    assert(c("C[C@H](O)N") == c("C[C@@H](N)O"))
+    // chirality first-in-string: the phantom H is FIRST when there is no
+    // preceding atom, so moving the preceder flips parity once
+    assert(c("[C@H](C)(N)O") == c("C[C@@H](N)O"))
+    // enantiomers must stay distinct
+    assert(c("C[C@H](N)O") != c("C[C@@H](N)O"))
+    // 4 explicit neighbors, no phantom
+    assert(c("[C@](F)(Cl)(Br)I") == c("[C@@](Cl)(F)(Br)I"))
+    assert(c("[C@](F)(Cl)(Br)I") != c("[C@@](F)(Cl)(Br)I"))
+    // genuine ring stereocenter: distinct arms → enantiomers distinct
+    assert(c("C[C@H]1CCCO1") != c("C[C@@H]1CCCO1"))
+    assert(c("C[C@H]1CCCO1") == c("C[C@@H]1OCCC1")) // arm swap flips flag
+    // atom-map stripping preserves configuration identity
+    assert(Smiles.canonicalNoMaps("C[C@H:2](N)O")
+      == Smiles.canonicalNoMaps("C[C@@H](O)N"))
+    // amino acid with both bracket-H and stereo through the full pipeline
+    assert(c("N[C@@H](C)C(=O)O") == c("C(=O)(O)[C@H](C)N"))
+  }
+
+  test("non-stereogenic flags are cleaned; meso symmetry ranks canonically") {
+    def c(s: String) = Smiles.canonical(s).get
+    // identical ring arms: not a stereocenter — flag dropped (RDKit cleanIt)
+    assert(c("O[C@H]1CCCC1") == c("OC1CCCC1"))
+    assert(c("O[C@@H]1CCCC1") == c("OC1CCCC1"))
+    // meso 2,3-butanediol: same achiral molecule under both flag writings
+    assert(c("C[C@H](O)[C@H](O)C") == c("C[C@@H](O)[C@@H](O)C"))
+    // (R,R)/(S,S): chiral pair — distinct from each other and from meso
+    assert(c("C[C@H](O)[C@@H](O)C") != c("C[C@@H](O)[C@H](O)C"))
+    assert(c("C[C@H](O)[C@H](O)C") != c("C[C@H](O)[C@@H](O)C"))
   }
 
   test("transition-metal detection from parsed atoms") {
