@@ -38,16 +38,23 @@ import scala.collection.mutable
   *    implicit-H / lone-pair phantom slot), and emission re-derives the
   *    flag for the canonical neighbor order by permutation parity — so
   *    every writing of the same configuration emits one canonical string,
-  *    and enantiomers stay distinct.
+  *    and enantiomers stay distinct. Flags on non-stereogenic centers
+  *    (rank-equivalent substituents) are dropped, like RDKit's cleanup.
+  *  - '''Double-bond (E/Z) stereo is canonicalized.''' `/`/`\` marks parse
+  *    into per-bond side relations; meaningless or incomplete marks are
+  *    dropped; and emission re-anchors each conjugated stereo system's
+  *    sign at its rank-lowest end (the absolute signs are
+  *    writing-dependent: `F/C=C/F` ≡ `F\C=C\F`), so every writing of a
+  *    configuration emits one canonical string and E ≠ Z.
   *
-  * Documented boundaries (vs RDKit): double-bond stereo (`/`, `\`) is out
-  * of the subset — inputs containing it are returned unchanged (identity
-  * fallback), like unparsable strings return null in the reference;
-  * chirality flags on atoms with automorphically equivalent substituents
-  * (chemically meaningless stereo) are kept, not cleaned; aromatization
-  * covers 5/6-rings only (no tropylium/azulene 7-rings), and a kekulé
-  * assignment of a large fused polycycle in which no 5/6-ring reaches 4n+2
-  * even iteratively stays kekulized.
+  * Documented boundaries (vs RDKit): direction marks on ring-closure
+  * digits (macrocycle E/Z across a back-edge) are out of the subset —
+  * such inputs are returned unchanged (identity fallback), like
+  * unparsable strings return null in the reference; pseudo-asymmetric
+  * (r/s) centers are cleaned rather than kept; allene axial stereo is
+  * dropped; aromatization covers 5/6-rings only (no tropylium/azulene
+  * 7-rings), and a kekulé assignment of a large fused polycycle in which
+  * no 5/6-ring reaches 4n+2 even iteratively stays kekulized.
   */
 object Smiles {
 
@@ -57,8 +64,9 @@ object Smiles {
     * only meaningful together with [[Mol.nbOrder]]. */
   final case class Atom(elem: String, aromatic: Boolean, isotope: Int,
       charge: Int, hCount: Int, atomMap: Int, chiral: Int = 0)
-  /** order: 1, 2, 3; 4 = aromatic. */
-  final case class Bond(a: Int, b: Int, order: Int)
+  /** order: 1, 2, 3; 4 = aromatic. `dir`: E/Z direction mark on a single
+    * bond in a→b orientation — +1 = `/`, -1 = `\`, 0 = none. */
+  final case class Bond(a: Int, b: Int, order: Int, dir: Int = 0)
   /** `nbOrder`: per atom, its neighbors in WRITTEN order (preceding atom,
     * then ring-closure partners at their digit positions, then branch/chain
     * atoms), with `-1` marking the implicit-H / lone-pair phantom slot of a
@@ -127,14 +135,16 @@ object Smiles {
     val ringOpen = mutable.Map[Int, (Int, Int)]() // ring# -> (atom, pendingOrder)
     var prev = -1
     var pendingOrder = 0 // 0 = unset (default)
+    var pendingDir = 0 // +1 = '/', -1 = '\' (E/Z mark on a single bond)
+    var ringDir = false // direction mark on a ring-closure bond: out of subset
     var i = 0
 
     def defaultOrder(a: Int, b: Int): Int =
       if (atoms(a).aromatic && atoms(b).aromatic) 4 else 1
 
-    def addBond(a: Int, b: Int, explicit: Int): Unit = {
+    def addBond(a: Int, b: Int, explicit: Int, dir: Int): Unit = {
       val o = if (explicit != 0) explicit else defaultOrder(a, b)
-      bonds += Bond(a, b, o)
+      bonds += Bond(a, b, o, if (o == 1) dir else 0)
     }
 
     def addAtom(a: Atom, hImplicit: Boolean): Unit = {
@@ -144,7 +154,8 @@ object Smiles {
       hadPreceder += (prev >= 0)
       val idx = atoms.length - 1
       if (prev >= 0) {
-        addBond(prev, idx, pendingOrder); pendingOrder = 0
+        addBond(prev, idx, pendingOrder, pendingDir)
+        pendingOrder = 0; pendingDir = 0
         nbOrder(prev) += idx
         nbOrder(idx) += prev
       }
@@ -152,13 +163,14 @@ object Smiles {
     }
 
     def ringBond(n: Int): Unit = {
+      if (pendingDir != 0) ringDir = true // can't express E/Z across a digit
       ringOpen.remove(n) match {
         case Some((other, opening)) =>
           // bond type may be written at either end; they must agree if both
           val o = if (pendingOrder != 0) pendingOrder
             else if (opening != 0) opening else 0
-          addBond(other, prev, o)
-          pendingOrder = 0
+          addBond(other, prev, o, 0)
+          pendingOrder = 0; pendingDir = 0
           // written-order bookkeeping: the closer sees the partner at this
           // digit; the opener reserved the slot at ITS digit position
           nbOrder(prev) += other
@@ -166,7 +178,7 @@ object Smiles {
           if (slot >= 0) nbOrder(other)(slot) = prev
         case None =>
           ringOpen(n) = (prev, pendingOrder)
-          pendingOrder = 0
+          pendingOrder = 0; pendingDir = 0
           nbOrder(prev) += -(100 + n) // placeholder until the ring closes
       }
     }
@@ -184,6 +196,8 @@ object Smiles {
         case '=' => pendingOrder = 2; i += 1
         case '#' => pendingOrder = 3; i += 1
         case ':' => pendingOrder = 4; i += 1
+        case '/' => pendingOrder = 1; pendingDir = 1; i += 1
+        case '\\' => pendingOrder = 1; pendingDir = -1; i += 1
         case d if d.isDigit =>
           if (prev < 0) return None
           ringBond(d - '0'); i += 1
@@ -212,7 +226,8 @@ object Smiles {
           }
       }
     }
-    if (stack.nonEmpty || ringOpen.nonEmpty || atoms.isEmpty || pendingOrder != 0) None
+    if (stack.nonEmpty || ringOpen.nonEmpty || atoms.isEmpty ||
+      pendingOrder != 0 || ringDir) None
     else {
       val mol0 = Mol(atoms.toVector, bonds.toVector)
       val resolved = mol0.atoms.zipWithIndex.map { case (a, idx) =>
@@ -234,8 +249,150 @@ object Smiles {
         }
       }
       if (!ok) None
-      else Some(Mol(resolved, mol0.bonds, nbOrder.map(_.toVector).toVector))
+      else normalizeEz(Mol(resolved, mol0.bonds, nbOrder.map(_.toVector).toVector))
     }
+  }
+
+  // ---- E/Z double-bond stereo ----------------------------------------------
+
+  /** s-value of neighbor `x` approaching end-atom `atom`: dir(x→atom).
+    * Bonds store dir in a→b orientation. */
+  private def sTo(b: Bond, atom: Int): Int = if (b.b == atom) b.dir else -b.dir
+
+  /** Validate direction marks and clear the meaningless ones. A double bond
+    * is stereo-specified only when BOTH ends carry a mark; marks serving no
+    * such bond (lone marks, marks next to triple bonds or allene centers)
+    * are dropped like RDKit drops them. Two marks on the same end must
+    * claim opposite sides, else the SMILES is contradictory → None. */
+  private def normalizeEz(mol: Mol): Option[Mol] = {
+    val marked = mol.bonds.zipWithIndex.filter(_._1.dir != 0)
+    if (marked.isEmpty) return Some(mol)
+    val keep = mutable.Set[Int]()
+    mol.bonds.foreach { db =>
+      if (db.order == 2) {
+        val sides = Seq(db.a, db.b).map { e =>
+          marked.filter { case (sb, _) => sb.a == e || sb.b == e }
+        }
+        if (sides.forall(_.nonEmpty)) {
+          sides.zip(Seq(db.a, db.b)).foreach { case (ms, e) =>
+            if (ms.length > 2) return None
+            if (ms.length == 2 && sTo(ms(0)._1, e) == sTo(ms(1)._1, e))
+              return None // both substituents claim the same side
+          }
+          sides.flatten.foreach { case (_, i) => keep += i }
+        }
+      }
+    }
+    Some(Mol(mol.atoms, mol.bonds.zipWithIndex.map { case (b, i) =>
+      if (b.dir != 0 && !keep(i)) b.copy(dir = 0) else b
+    }, mol.nbOrder))
+  }
+
+  /** Perceive stereo double bonds: (a, b) pairs plus the s-value of EVERY
+    * real substituent around each live end (marked bonds give theirs; the
+    * sibling substituent is the opposite side). */
+  private def ezPerception(mol: Mol)
+      : (Vector[(Int, Int)], Map[(Int, Int), Int]) = {
+    val marked = mol.bonds.filter(b => b.dir != 0 && b.order == 1)
+    if (marked.isEmpty) return (Vector.empty, Map.empty)
+    val side = mutable.Map[(Int, Int), Int]() // (end, subst) -> s-value
+    val stereo = mutable.ArrayBuffer[(Int, Int)]()
+    mol.bonds.foreach { db =>
+      if (db.order == 2) {
+        val ok = Seq(db.a, db.b).forall { e =>
+          marked.exists(sb => sb.a == e || sb.b == e)
+        }
+        if (ok) {
+          stereo += ((db.a, db.b))
+          Seq(db.a, db.b).foreach { e =>
+            val other = if (e == db.a) db.b else db.a
+            marked.filter(sb => sb.a == e || sb.b == e).foreach { sb =>
+              val x = if (sb.a == e) sb.b else sb.a
+              side((e, x)) = sTo(sb, e)
+            }
+            // the unmarked sibling substituent sits on the opposite side
+            val subst = mol.adj(e).map(_._1).filter(_ != other)
+            if (subst.length == 2) {
+              (subst.find(x => side.contains((e, x))), subst.find(x => !side.contains((e, x)))) match {
+                case (Some(m), Some(u)) => side((e, u)) = -side((e, m))
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+    }
+    (stereo.toVector, side.toMap)
+  }
+
+  /** Canonically re-anchored direction marks for the tree-edge substituent
+    * bonds of live stereo double bonds, as (parent, child)-oriented dirs.
+    * The parsed marks' absolute signs are writing-dependent (`F/C=C/F` ≡
+    * `F\C=C\F`), so only the same/opposite-side RELATIONS survive; each
+    * connected stereo system (conjugated dienes share mark bonds) is
+    * re-anchored at its rank-lowest end's rank-lowest tree substituent and
+    * propagated, giving one canonical sign choice per system. Stereo bonds
+    * whose substituent bonds are all ring-closure back-edges cannot carry a
+    * digit-side mark in this subset and are dropped (documented boundary).
+    */
+  private def ezAssign(mol: Mol, ranks: Array[Int],
+      inTree: ((Int, Int)) => Boolean): Map[(Int, Int), Int] = {
+    val (stereo, side) = ezPerception(mol)
+    if (stereo.isEmpty) return Map.empty
+    def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
+    def treeSubst(e: Int, other: Int): Vector[Int] =
+      mol.adj(e).map(_._1).filter(x => x != other && inTree(key(e, x)))
+    val live = stereo.filter { case (a, b) =>
+      treeSubst(a, b).nonEmpty && treeSubst(b, a).nonEmpty
+    }
+    if (live.isEmpty) return Map.empty
+    // constraint graph over variables v(e,x) = dir(x→e)
+    val edges = mutable.Map[(Int, Int), mutable.ArrayBuffer[((Int, Int), Int)]]()
+    def addEdge(k1: (Int, Int), k2: (Int, Int), sign: Int): Unit = {
+      edges.getOrElseUpdate(k1, mutable.ArrayBuffer()) += ((k2, sign))
+      edges.getOrElseUpdate(k2, mutable.ArrayBuffer()) += ((k1, sign))
+    }
+    live.foreach { case (a, b) =>
+      Seq((a, b), (b, a)).foreach { case (e, o) =>
+        val subs = mol.adj(e).map(_._1).filter(_ != o)
+        if (subs.length == 2) addEdge((e, subs(0)), (e, subs(1)), -1)
+      }
+      val sa = mol.adj(a).map(_._1).filter(_ != b)
+      val sb2 = mol.adj(b).map(_._1).filter(_ != a)
+      for {
+        x <- sa.find(x => side.contains((a, x)))
+        y <- sb2.find(y => side.contains((b, y)))
+      } addEdge((a, x), (b, y), if (side((a, x)) == side((b, y))) 1 else -1)
+    }
+    // a substituent bond shared between two stereo systems couples them:
+    // dir(x→e) = -dir(e→x)
+    edges.keySet.toVector.foreach { case (e, x) =>
+      if (edges.contains((x, e))) addEdge((e, x), (x, e), -1)
+    }
+    val v = mutable.Map[(Int, Int), Int]()
+    val ordered = live.sortBy { case (a, b) =>
+      (math.min(ranks(a), ranks(b)), math.max(ranks(a), ranks(b)))
+    }
+    ordered.foreach { case (a, b) =>
+      val (eLow, oLow) = if (ranks(a) <= ranks(b)) (a, b) else (b, a)
+      val anchor = (eLow, treeSubst(eLow, oLow).minBy(ranks(_)))
+      if (!v.contains(anchor)) {
+        v(anchor) = 1
+        val q = mutable.Queue(anchor)
+        while (q.nonEmpty) {
+          val k = q.dequeue()
+          val dk = v(k)
+          edges.getOrElse(k, mutable.ArrayBuffer.empty).foreach { case (k2, sign) =>
+            if (!v.contains(k2)) { v(k2) = dk * sign; q.enqueue(k2) }
+          }
+        }
+      }
+    }
+    val out = mutable.Map[(Int, Int), Int]()
+    v.foreach { case ((e, x), d) =>
+      if (inTree(key(e, x))) { out((x, e)) = d; out((e, x)) = -d }
+    }
+    out.toMap
   }
 
   /** `[isotope? symbol @|@@? H<n>? charge? :map?]` — `@TH1`-style named
@@ -389,7 +546,11 @@ object Smiles {
     }
     Mol(
       mol.atoms.zipWithIndex.map { case (a, i) => a.copy(aromatic = arom(i)) },
-      mol.bonds.map(b => b.copy(order = order(ek(b.a, b.b)))),
+      mol.bonds.map { b =>
+        val o = order(ek(b.a, b.b))
+        // a direction mark cannot survive on an aromatized bond
+        b.copy(order = o, dir = if (o == 4) 0 else b.dir)
+      },
       mol.nbOrder)
   }
 
@@ -453,9 +614,12 @@ object Smiles {
         mol.adj(i).length).mkString("|")
     }
     var ranks = refine(initial)
+    val (ezStereo, ezSide) = ezPerception(mol)
+    val ezEnd: Map[Int, Int] = // stereo end atom -> its double-bond partner
+      ezStereo.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toMap
     // rank-relative parity: the written flag re-expressed against the
     // phantom-first, rank-sorted neighbor order; 0 while neighbors tie
-    def descriptor(i: Int): Int = {
+    def chiralDesc(i: Int): Int = {
       val a = mol.atoms(i)
       if (a.chiral == 0) 0
       else {
@@ -468,10 +632,32 @@ object Smiles {
         }
       }
     }
-    var changed = mol.atoms.exists(_.chiral != 0)
+    // rank-relative E/Z: same-or-opposite side of the two rank-lowest
+    // substituents across the double bond; 0 while either side's
+    // substituents tie (or the atom is not a stereo-bond end)
+    def ezDesc(i: Int): Int = ezEnd.get(i) match {
+      case None => 0
+      case Some(j) =>
+        def sub(e: Int, o: Int) = mol.adj(e).map(_._1).filter(_ != o)
+        val si = sub(i, j)
+        val sj = sub(j, i)
+        if (si.map(ranks(_)).distinct.length < si.length ||
+          sj.map(ranks(_)).distinct.length < sj.length) 0
+        else {
+          val xm = si.minBy(ranks(_))
+          val ym = sj.minBy(ranks(_))
+          // geometric side σ(x) = -dir(x→e) on BOTH ends, so equal
+          // approach values ⟺ same side (F/C=C/F: +1 vs -1 → trans)
+          (ezSide.get((i, xm)), ezSide.get((j, ym))) match {
+            case (Some(sx), Some(sy)) => if (sx == sy) 1 else 2 // same side = 1
+            case _ => 0
+          }
+        }
+    }
+    var changed = mol.atoms.exists(_.chiral != 0) || ezStereo.nonEmpty
     while (changed) {
-      val desc = Array.tabulate(n)(descriptor)
-      if (desc.forall(_ == 0)) changed = false
+      val desc = Array.tabulate(n)(i => s"${chiralDesc(i)}:${ezDesc(i)}")
+      if (desc.forall(_ == "0:0")) changed = false
       else {
         val next = refine(Array.tabulate(n)(i => f"${ranks(i)}%09d|${desc(i)}"))
         changed = next.distinct.length != ranks.distinct.length
@@ -480,13 +666,29 @@ object Smiles {
     }
     // clean non-stereogenic flags at convergence (descriptors contributed
     // nothing for these atoms, so the ranks are unaffected by the drop)
-    val cleaned = Mol(
-      mol.atoms.zipWithIndex.map { case (a, i) =>
-        if (a.chiral != 0 &&
-          mol.adj(i).map(b => ranks(b._1)).distinct.length < mol.adj(i).length)
-          a.copy(chiral = 0)
-        else a
-      }, mol.bonds, mol.nbOrder)
+    val cleanedAtoms = mol.atoms.zipWithIndex.map { case (a, i) =>
+      if (a.chiral != 0 &&
+        mol.adj(i).map(b => ranks(b._1)).distinct.length < mol.adj(i).length)
+        a.copy(chiral = 0)
+      else a
+    }
+    // E/Z cleaning: a stereo double bond with rank-tied substituents on
+    // either side is not stereogenic — drop the marks that only serve it
+    val deadEnds: Set[Int] = ezStereo.flatMap { case (a, b) =>
+      def tied(e: Int, o: Int) = {
+        val s = mol.adj(e).map(_._1).filter(_ != o)
+        s.map(ranks(_)).distinct.length < s.length
+      }
+      if (tied(a, b) || tied(b, a)) Seq(a, b) else Seq.empty
+    }.toSet
+    val liveEnds: Set[Int] = ezStereo.flatMap { case (a, b) =>
+      if (deadEnds(a) || deadEnds(b)) Seq.empty else Seq(a, b)
+    }.toSet
+    val cleanedBonds = mol.bonds.map { b =>
+      if (b.dir != 0 && !(liveEnds(b.a) || liveEnds(b.b))) b.copy(dir = 0)
+      else b
+    }
+    val cleaned = Mol(cleanedAtoms, cleanedBonds, mol.nbOrder)
     while (ranks.distinct.length < n) {
       val tie = ranks.groupBy(identity).collect {
         case (r, g) if g.length > 1 => r
@@ -582,6 +784,8 @@ object Smiles {
     }
     val start = ranks.zipWithIndex.minBy(_._1)._2
     walk(start, -1)
+    // E/Z marks for the canonical tree, re-anchored canonically
+    val ezRender = ezAssign(mol, ranks, e => inTree(e))
     // second pass: emit
     java.util.Arrays.fill(visited, false)
     val sb = new StringBuilder
@@ -589,7 +793,11 @@ object Smiles {
     def ringToken(num: Int): String = if (num < 10) num.toString else f"%%$num%02d"
     def emitFrom(a: Int, from: Int, bondO: Int): Unit = {
       visited(a) = true
-      if (from >= 0) sb.append(bondStr(bondO, mol.atoms(from), mol.atoms(a)))
+      if (from >= 0) {
+        val mark = if (bondO == 1) ezRender.getOrElse((from, a), 0) else 0
+        if (mark != 0) sb.append(if (mark > 0) "/" else "\\")
+        else sb.append(bondStr(bondO, mol.atoms(from), mol.atoms(a)))
+      }
       val at = mol.atoms(a)
       val rings = atomRings.getOrElse(a, mutable.ArrayBuffer.empty)
       val kids = neighbors(a).filter { case (b, _) =>
@@ -635,17 +843,14 @@ object Smiles {
 
   // ---- public API ----------------------------------------------------------
 
-  /** Double-bond (cis/trans) stereo is the remaining passthrough boundary;
-    * tetrahedral `@`/`@@` is handled structurally. */
-  private def hasBondStereo(s: String): Boolean =
-    s.contains('/') || s.contains('\\')
+  private def hasAnyStereo(s: String): Boolean =
+    s.contains('@') || s.contains('/') || s.contains('\\')
 
   /** Canonicalize every component, or None if any falls outside the subset.
-    * For '@'-bearing inputs an unparseable component degrades to identity
-    * passthrough (like the pre-stereo behavior) instead of null. */
+    * For stereo-bearing inputs an unparseable component degrades to
+    * identity passthrough (like the pre-stereo behavior) instead of null. */
   private def canonicalVia(s: String)(prep: Mol => Mol): Option[String] = {
     if (s == null || s.isEmpty) return None
-    if (hasBondStereo(s)) return Some(s)
     val parts = s.split("\\.", -1)
     val canon = parts.map { p =>
       parseComponent(p) match {
@@ -654,7 +859,7 @@ object Smiles {
           val (cleaned, ranks) = canonicalAssign(norm)
           emit(cleaned, ranks)
         case None =>
-          return if (s.contains('@')) Some(s) else None
+          return if (hasAnyStereo(s)) Some(s) else None
       }
     }
     Some(canon.sorted.mkString("."))
@@ -674,7 +879,7 @@ object Smiles {
 
   /** Exact transition-metal test from parsed atoms (E14). */
   def hasTransitionMetalParsed(s: String): Option[Boolean] = {
-    if (s == null || s.isEmpty || hasBondStereo(s)) return None
+    if (s == null || s.isEmpty) return None
     val parts = s.split("\\.", -1)
     var any = false
     parts.foreach { p =>
@@ -693,7 +898,7 @@ object Smiles {
     * same molecule fingerprint identically.
     */
   def morganBits(s: String, radius: Int, nBits: Int): Option[Array[Int]] = {
-    if (s == null || s.isEmpty || hasBondStereo(s)) return None
+    if (s == null || s.isEmpty) return None
     val fp = new Array[Int](nBits)
     val parts = s.split("\\.", -1)
     parts.foreach { p =>

@@ -29,7 +29,10 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     // a cleaned non-stereocenter, and the meso/chiral diol pair
     "C[C@H](N)O", "N[C@@H](C)C(=O)O", "O[C@H]1CCCC1", "C[C@H]1CCCO1",
     "[C@](F)(Cl)(Br)I", "CC[S@](=O)C",
-    "C[C@H](O)[C@H](O)C", "C[C@H](O)[C@@H](O)C")
+    "C[C@H](O)[C@H](O)C", "C[C@H](O)[C@@H](O)C",
+    // E/Z: simple trans/cis, trisubstituted, conjugated diene, styrene-like
+    "F/C=C/F", "C/C=C\\C", "C/C(F)=C/Br", "C/C=C/C=C/C",
+    "c1ccccc1/C=C/C")
 
   test("equivalent writings unify") {
     def c(s: String) = Smiles.canonical(s).get
@@ -126,10 +129,37 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Smiles.canonical("C1CC").isEmpty) // unclosed ring
     assert(Smiles.canonical("C(").isEmpty) // unclosed branch
     assert(Smiles.canonical("C=").isEmpty) // dangling bond
-    // double-bond stereo: the remaining passthrough boundary
-    assert(Smiles.canonical("F/C=C/F").contains("F/C=C/F"))
     // named stereo classes stay out of subset → passthrough, not null
     assert(Smiles.canonical("C[C@TH1](N)O").contains("C[C@TH1](N)O"))
+    // ring-closure direction marks (macrocycle E/Z) → passthrough boundary
+    assert(Smiles.canonical("C/1=C/CCCCCC1").contains("C/1=C/CCCCCC1"))
+  }
+
+  test("E/Z double-bond stereo: writings unify, E and Z distinct") {
+    def c(s: String) = Smiles.canonical(s).get
+    // global sign flip is the same geometry
+    assert(c("F/C=C/F") == c("F\\C=C\\F")) // trans, both writings
+    assert(c("F/C=C\\F") == c("F\\C=C/F")) // cis, both writings
+    assert(c("F/C=C/F") != c("F/C=C\\F")) // E != Z
+    // moving the mark to the branch form flips it
+    assert(c("F/C=C/F") == c("C(\\F)=C/F"))
+    // branch-form rewriting of a trisubstituted alkene: dir(Me→C) must be
+    // preserved, so the branch bond C→Me carries the opposite mark
+    assert(c("C/C(F)=C/C") == c("C(\\C)(/F)=C/C"))
+    assert(c("C/C(F)=C/C") != c("C(/C)(\\F)=C/C")) // that's the other isomer
+    // E-2-butene from either end
+    assert(c("C/C=C/C") == c("C/C=C/C"))
+    assert(c("C/C=C\\C") != c("C/C=C/C"))
+    // unmarked double bond stays unmarked; lone marks are dropped
+    assert(!c("CC=CC").contains("/"))
+    assert(c("C/C=CC") == c("CC=CC")) // incomplete spec → no stereo
+    // non-stereogenic: identical substituents on one side → cleaned
+    assert(c("C/C(C)=C/F") == c("CC(C)=CF"))
+    // conjugated diene: both bonds stereo, shared middle bond
+    assert(c("C/C=C/C=C/C") == c("C\\C=C\\C=C\\C"))
+    assert(c("C/C=C/C=C/C") != c("C/C=C/C=C\\C"))
+    // E/Z through an aromatic substituent (styrene-like)
+    assert(c("c1ccccc1/C=C/C") == c("C(\\c1ccccc1)=C/C"))
   }
 
   test("tetrahedral stereo: equivalent writings unify, enantiomers distinct") {
