@@ -325,6 +325,31 @@ object Smiles {
     (stereo.toVector, side.toMap)
   }
 
+  /** True when some stereo-specified double bond lies inside a ring: its
+    * marks would land on ring-closure digits or back-edges, which this
+    * subset cannot express. The whole input then degrades to identity
+    * passthrough — macrocycle cis/trans isomers stay DISTINCT strings,
+    * never silently merged by dropping their marks. */
+  private def hasRingEzStereo(mol: Mol): Boolean = {
+    val (stereo, _) = ezPerception(mol)
+    stereo.exists { case (a, b) =>
+      // in a cycle ⟺ endpoints stay connected without the direct bond
+      val visited = mutable.Set(a)
+      val q = mutable.Queue(a)
+      var found = false
+      while (q.nonEmpty && !found) {
+        val u = q.dequeue()
+        mol.adj(u).foreach { case (v, _) =>
+          if (!((u == a && v == b) || (u == b && v == a))) {
+            if (v == b) found = true
+            else if (visited.add(v)) q.enqueue(v)
+          }
+        }
+      }
+      found
+    }
+  }
+
   /** Canonically re-anchored direction marks for the tree-edge substituent
     * bonds of live stereo double bonds, as (parent, child)-oriented dirs.
     * The parsed marks' absolute signs are writing-dependent (`F/C=C/F` ≡
@@ -498,12 +523,12 @@ object Smiles {
     val arom = Array.tabulate(n)(mol.atoms(_).aromatic)
     val order = mutable.Map[(Int, Int), Int]()
     mol.bonds.foreach(b => order(ek(b.a, b.b)) = b.order)
-    val ringSystem: Set[Int] = rings.flatten.toSet
     val degree = Array.tabulate(n)(mol.adj(_).length)
     var changed = true
     while (changed) {
       changed = false
       rings.foreach { ring =>
+        val rs = ring.toSet
         val allMarked = ring.forall(arom) &&
           ring.indices.forall(i => order(ek(ring(i), ring((i + 1) % ring.length))) == 4)
         if (!allMarked && ring.forall(a => aromaticCapable(mol.atoms(a).elem))) {
@@ -518,9 +543,13 @@ object Smiles {
             else {
               val doubles = nbs.filter(_._2 == 2)
               if (doubles.nonEmpty) {
-                // double into the conjugated ring system → 1 π e⁻; purely
-                // exocyclic double (quinone C=O) → sp2 but 0 π e⁻
-                if (doubles.exists { case (b, _) => ringSystem(b) }) electrons += 1
+                // ENDOCYCLIC double (within this ring) → 1 π e⁻; any
+                // exocyclic double (quinone C=O, quinoid =CR2 — even when
+                // the partner sits in some other ring) → sp2 but 0 π e⁻.
+                // Fused systems don't need the cross-ring credit: the ring
+                // with full alternation aromatizes first and its atoms then
+                // count via the arom(a) branch on the next fixpoint pass.
+                if (doubles.exists { case (b, _) => rs(b) }) electrons += 1
               } else at.elem match {
                 case "C" =>
                   if (at.charge == -1) electrons += 2 // cyclopentadienyl
@@ -855,6 +884,10 @@ object Smiles {
     val canon = parts.map { p =>
       parseComponent(p) match {
         case Some(mol) =>
+          // in-ring double-bond stereo: inexpressible on the emission tree
+          // (marks would sit on back-edge digits) → identity passthrough,
+          // consistent with the digit-marked writings of the same molecule
+          if (hasRingEzStereo(mol)) return Some(s)
           val norm = aromatize(prep(mol))
           val (cleaned, ranks) = canonicalAssign(norm)
           emit(cleaned, ranks)
@@ -866,9 +899,11 @@ object Smiles {
   }
 
   /** Canonical SMILES of the (possibly multi-component) input; None when
-    * outside the parseable subset; bond-stereo (`/`,`\`) inputs pass
-    * through unchanged (documented boundary) while tetrahedral centers
-    * canonicalize with parity-correct `@`/`@@`.
+    * outside the parseable subset. Tetrahedral centers canonicalize with
+    * parity-correct `@`/`@@` and acyclic double bonds with re-anchored
+    * `/`/`\` marks; stereo the subset cannot re-express (in-ring E/Z,
+    * ring-digit marks, named `@TH`-style classes) degrades to identity
+    * passthrough of the whole input — never a silent stereo drop.
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 

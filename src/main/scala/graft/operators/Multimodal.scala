@@ -125,7 +125,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol)).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        // null payload = empty payload: one null row must not kill the scan
+        val raw = r.getAs[Array[Byte]](1)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val (w, h) = ImageCodec.dimensions(bytes).getOrElse(
           (bytes.length % 512 + 64, bytes.length % 384 + 48))
         var f = 0xcbf29ce484222325L

@@ -48,18 +48,26 @@ object NpySink {
     * axis=1)` (fingerprints.py:50) while [[Fingerprints]] carries
     * `concat(product, diff)`. */
   def write(ds: Dataset[FpRow], path: String, swapHalves: Boolean = false): Unit = {
-    val spark = ds.sparkSession
-    import spark.implicits._
+    // Two actions total: the count for the header (NPY's shape precedes the
+    // data), then one sorted streaming pass; the column width comes from
+    // the first streamed row, not a separate head() job. Callers writing a
+    // derived dataset they also use elsewhere should persist() it.
     val n = ds.count()
-    val cols = if (n == 0L) 0 else ds.select(size(col("fp"))).as[Int].head()
     val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
     try {
+      val it = ds.orderBy(col("original_index")).toLocalIterator()
+      if (!it.hasNext) { out.write(header(0L, 0)); return }
+      val first = it.next()
+      val cols = first.fp.length
       out.write(header(n, cols))
       val half = cols / 2
       val bb = ByteBuffer.allocate(cols * 8).order(ByteOrder.LITTLE_ENDIAN)
-      val it = ds.orderBy(col("original_index")).toLocalIterator()
-      while (it.hasNext) {
-        val fp = it.next().fp
+      def writeRow(row: FpRow): Unit = {
+        val fp = row.fp
+        // a ragged row would otherwise overflow the buffer or silently
+        // leave the previous row's bytes in place (clear() does not zero)
+        require(fp.length == cols,
+          s"ragged fp row ${row.original_index}: ${fp.length} != $cols")
         bb.clear()
         if (swapHalves) {
           var i = half
@@ -69,6 +77,8 @@ object NpySink {
         } else fp.foreach(v => bb.putLong(v.toLong))
         out.write(bb.array())
       }
+      writeRow(first)
+      while (it.hasNext) writeRow(it.next())
     } finally out.close()
   }
 

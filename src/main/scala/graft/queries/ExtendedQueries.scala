@@ -286,24 +286,35 @@ object ExtendedQueries {
     // transition-metal regex, replicated verbatim on the DuckDB side.
     QueryDef(
       "q63_pdc_exception",
+      // the duplicated `lang` entry pins the duplicate semantics of BOTH
+      // branches: Spark's array_except dedups the surviving agents in the
+      // drop branch (list_distinct here), while the otherwise-branch
+      // passes the list through untouched (duplicates kept)
       raw"""WITH t AS (
          |  SELECT doc_id,
-         |    ['C', lang, CASE WHEN doc_id % 3 = 0 THEN '[Pd]' ELSE source END] AS agents,
+         |    ['C', lang, lang, CASE WHEN doc_id % 3 = 0 THEN '[Pd]' ELSE source END] AS agents,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' over charcoal' ELSE text END AS proc
          |  FROM documents),
          |u AS (
+         |  SELECT doc_id, agents,
+         |    list_filter(agents, a -> a <> 'C' AND a <> '[C]') AS fl,
+         |    len(list_filter(agents, a ->
+         |        regexp_matches(a, '\[($TmAlt)[^A-Za-z]')
+         |        OR regexp_matches(a, '\[($TmAlt)\]'))) > 0
+         |      OR contains(lower(proc), 'charcoal') AS dropc
+         |  FROM t),
+         |v AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(list_filter(agents, a ->
-         |             regexp_matches(a, '\[($TmAlt)[^A-Za-z]')
-         |             OR regexp_matches(a, '\[($TmAlt)\]'))) > 0
-         |           OR contains(lower(proc), 'charcoal')
-         |      THEN list_filter(agents, a -> a <> 'C' AND a <> '[C]')
+         |    CASE WHEN dropc
+         |      -- first-occurrence dedup: DuckDB list_distinct reorders,
+         |      -- Spark array_except keeps first-occurrence order
+         |      THEN list_filter(fl, (x, i) -> list_position(fl, x) = i)
          |      ELSE agents END AS res
-         |  FROM t)
+         |  FROM u)
          |SELECT doc_id, cast(len(res) as int) AS n_agents,
          |  array_to_string(res, '|') AS agents_str
-         |FROM u""".stripMargin) { (s, dir) =>
-      val agents = array(lit("C"), col("lang"),
+         |FROM v""".stripMargin) { (s, dir) =>
+      val agents = array(lit("C"), col("lang"), col("lang"),
         when(col("doc_id") % 3 === 0, lit("[Pd]")).otherwise(col("source")))
       val proc = when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" over charcoal"))).otherwise(col("text"))

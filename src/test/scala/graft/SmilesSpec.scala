@@ -67,6 +67,12 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!c("C1=CCCCC1").exists(_.isLower)) // cyclohexene
     assert(!c("C1=CC=CCC1").exists(_.isLower)) // 1,3-cyclohexadiene
     assert(!c("O=C1C=CC(=O)C=C1").exists(_.isLower)) // p-quinone: 4 pi e-
+    // quinoid core whose exocyclic =C partners sit in saturated rings:
+    // the cross-ring electron credit must NOT fire (exec-confirmed bug)
+    assert(!c("C1(=C2CCCC2)C=CC(=C2CCCC2)C=C1").exists(_.isLower))
+    assert(!c("C(=C)1C=CC(=C)C=C1").exists(_.isLower)) // p-quinodimethane
+    // endocyclic-only counting still cascades through fused systems
+    assert(c("C1=CC=C2C=C3C=CC=CC3=CC2=C1") == c("c1ccc2cc3ccccc3cc2c1")) // anthracene
     assert(c("C1=CC=CC=C1") != c("C1=CCCCC1"))
   }
 
@@ -160,6 +166,12 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c("C/C=C/C=C/C") != c("C/C=C/C=C\\C"))
     // E/Z through an aromatic substituent (styrene-like)
     assert(c("c1ccccc1/C=C/C") == c("C(\\c1ccccc1)=C/C"))
+    // in-ring double-bond stereo (cyclooctene): inexpressible on the
+    // emission tree → identity passthrough; cis and trans must NOT merge
+    // (exec-confirmed bug: they previously unified with marks dropped)
+    assert(c("C1CCCC/C=C/C1") == "C1CCCC/C=C/C1")
+    assert(c("C1CCCC/C=C\\C1") == "C1CCCC/C=C\\C1")
+    assert(c("C1CCCC/C=C/C1") != c("C1CCCC/C=C\\C1"))
   }
 
   test("tetrahedral stereo: equivalent writings unify, enantiomers distinct") {
