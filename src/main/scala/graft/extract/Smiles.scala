@@ -325,50 +325,62 @@ object Smiles {
     (stereo.toVector, side.toMap)
   }
 
-  /** True when some stereo-specified double bond lies inside a ring: its
-    * marks would land on ring-closure digits or back-edges, which this
-    * subset cannot express. The whole input then degrades to identity
-    * passthrough — macrocycle cis/trans isomers stay DISTINCT strings,
-    * never silently merged by dropping their marks. */
-  private def hasRingEzStereo(mol: Mol): Boolean = {
-    val (stereo, _) = ezPerception(mol)
-    stereo.exists { case (a, b) =>
-      // in a cycle ⟺ endpoints stay connected without the direct bond
-      val visited = mutable.Set(a)
-      val q = mutable.Queue(a)
-      var found = false
-      while (q.nonEmpty && !found) {
-        val u = q.dequeue()
-        mol.adj(u).foreach { case (v, _) =>
-          if (!((u == a && v == b) || (u == b && v == a))) {
-            if (v == b) found = true
-            else if (visited.add(v)) q.enqueue(v)
-          }
+  /** In a cycle ⟺ endpoints stay connected without the direct bond. */
+  private def bondInCycle(mol: Mol, a: Int, b: Int): Boolean = {
+    val visited = mutable.Set(a)
+    val q = mutable.Queue(a)
+    var found = false
+    while (q.nonEmpty && !found) {
+      val u = q.dequeue()
+      mol.adj(u).foreach { case (v, _) =>
+        if (!((u == a && v == b) || (u == b && v == a))) {
+          if (v == b) found = true
+          else if (visited.add(v)) q.enqueue(v)
         }
       }
-      found
+    }
+    found
+  }
+
+  /** Substituents of end `e` reachable through a NON-cycle bond — the only
+    * bonds emission may mark (a non-cycle bond is a tree edge in EVERY
+    * DFS, so renderability is graph-determined, never tree-determined). */
+  private def safeSubst(mol: Mol, e: Int, other: Int): Vector[Int] =
+    mol.adj(e).map(_._1).filter(x => x != other && !bondInCycle(mol, e, x))
+
+  /** True when some stereo-specified double bond cannot be re-expressed on
+    * the emission tree: the bond itself lies in a ring (marks would land on
+    * ring-closure digits), or a side's only substituent bonds are ring
+    * chords. The whole input then degrades to identity passthrough —
+    * macrocycle cis/trans isomers stay DISTINCT strings, never silently
+    * merged by dropping their marks. */
+  private def hasUnrenderableEzStereo(mol: Mol): Boolean = {
+    val (stereo, _) = ezPerception(mol)
+    stereo.exists { case (a, b) =>
+      bondInCycle(mol, a, b) ||
+        safeSubst(mol, a, b).isEmpty || safeSubst(mol, b, a).isEmpty
     }
   }
 
-  /** Canonically re-anchored direction marks for the tree-edge substituent
+  /** Canonically re-anchored direction marks for the non-cycle substituent
     * bonds of live stereo double bonds, as (parent, child)-oriented dirs.
     * The parsed marks' absolute signs are writing-dependent (`F/C=C/F` ≡
     * `F\C=C\F`), so only the same/opposite-side RELATIONS survive; each
     * connected stereo system (conjugated dienes share mark bonds) is
-    * re-anchored at its rank-lowest end's rank-lowest tree substituent and
-    * propagated, giving one canonical sign choice per system. Stereo bonds
-    * whose substituent bonds are all ring-closure back-edges cannot carry a
-    * digit-side mark in this subset and are dropped (documented boundary).
+    * re-anchored at its rank-lowest end's rank-lowest safe substituent and
+    * propagated, giving one canonical sign choice per system. The live set
+    * and every rendered mark are GRAPH-determined (non-cycle bonds are
+    * tree edges in every DFS) — emission never varies with tree shape;
+    * unrenderable stereo (in-ring bonds, chord-only sides) is dropped
+    * here, and [[canonicalVia]] guards those inputs into identity
+    * passthrough before emission.
     */
-  private def ezAssign(mol: Mol, ranks: Array[Int],
-      inTree: ((Int, Int)) => Boolean): Map[(Int, Int), Int] = {
+  private def ezAssign(mol: Mol, ranks: Array[Int]): Map[(Int, Int), Int] = {
     val (stereo, side) = ezPerception(mol)
     if (stereo.isEmpty) return Map.empty
-    def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
-    def treeSubst(e: Int, other: Int): Vector[Int] =
-      mol.adj(e).map(_._1).filter(x => x != other && inTree(key(e, x)))
     val live = stereo.filter { case (a, b) =>
-      treeSubst(a, b).nonEmpty && treeSubst(b, a).nonEmpty
+      !bondInCycle(mol, a, b) &&
+        safeSubst(mol, a, b).nonEmpty && safeSubst(mol, b, a).nonEmpty
     }
     if (live.isEmpty) return Map.empty
     // constraint graph over variables v(e,x) = dir(x→e)
@@ -400,7 +412,7 @@ object Smiles {
     }
     ordered.foreach { case (a, b) =>
       val (eLow, oLow) = if (ranks(a) <= ranks(b)) (a, b) else (b, a)
-      val anchor = (eLow, treeSubst(eLow, oLow).minBy(ranks(_)))
+      val anchor = (eLow, safeSubst(mol, eLow, oLow).minBy(ranks(_)))
       if (!v.contains(anchor)) {
         v(anchor) = 1
         val q = mutable.Queue(anchor)
@@ -415,7 +427,7 @@ object Smiles {
     }
     val out = mutable.Map[(Int, Int), Int]()
     v.foreach { case ((e, x), d) =>
-      if (inTree(key(e, x))) { out((x, e)) = d; out((e, x)) = -d }
+      if (!bondInCycle(mol, e, x)) { out((x, e)) = d; out((e, x)) = -d }
     }
     out.toMap
   }
@@ -813,8 +825,8 @@ object Smiles {
     }
     val start = ranks.zipWithIndex.minBy(_._1)._2
     walk(start, -1)
-    // E/Z marks for the canonical tree, re-anchored canonically
-    val ezRender = ezAssign(mol, ranks, e => inTree(e))
+    // E/Z marks, re-anchored canonically (graph-determined, tree-free)
+    val ezRender = ezAssign(mol, ranks)
     // second pass: emit
     java.util.Arrays.fill(visited, false)
     val sb = new StringBuilder
@@ -884,10 +896,10 @@ object Smiles {
     val canon = parts.map { p =>
       parseComponent(p) match {
         case Some(mol) =>
-          // in-ring double-bond stereo: inexpressible on the emission tree
-          // (marks would sit on back-edge digits) → identity passthrough,
-          // consistent with the digit-marked writings of the same molecule
-          if (hasRingEzStereo(mol)) return Some(s)
+          // unrenderable double-bond stereo (in-ring bonds, chord-only
+          // sides): inexpressible via non-cycle marks → identity
+          // passthrough, consistent with digit-marked writings
+          if (hasUnrenderableEzStereo(mol)) return Some(s)
           val norm = aromatize(prep(mol))
           val (cleaned, ranks) = canonicalAssign(norm)
           emit(cleaned, ranks)
