@@ -467,8 +467,14 @@ object Smiles {
       i += 1
       if (i < b.length && b.charAt(i) == '@') { chiral = 2; i += 1 }
       else chiral = 1
-      // @TH1 / @AL1 / @SP... named classes: out of subset
-      if (i < b.length && b.charAt(i).isUpper && b.charAt(i) != 'H') return None
+      // named tetrahedral classes are aliases (OpenSMILES: @TH1 = @,
+      // @TH2 = @@); other classes (@AL/@SP/@TB/@OH) are out of subset
+      if (chiral == 1 && b.regionMatches(i, "TH", 0, 2)) {
+        if (b.regionMatches(i, "TH1", 0, 3)) { i += 3 }
+        else if (b.regionMatches(i, "TH2", 0, 3)) { chiral = 2; i += 3 }
+        else return None
+      } else if (i < b.length && b.charAt(i).isUpper && b.charAt(i) != 'H')
+        return None
     }
     while (i < b.length) {
       b.charAt(i) match {
@@ -912,10 +918,11 @@ object Smiles {
 
   /** Canonical SMILES of the (possibly multi-component) input; None when
     * outside the parseable subset. Tetrahedral centers canonicalize with
-    * parity-correct `@`/`@@` and acyclic double bonds with re-anchored
-    * `/`/`\` marks; stereo the subset cannot re-express (in-ring E/Z,
-    * ring-digit marks, named `@TH`-style classes) degrades to identity
-    * passthrough of the whole input — never a silent stereo drop.
+    * parity-correct `@`/`@@` (`@TH1`/`@TH2` are read as their aliases) and
+    * acyclic double bonds with re-anchored `/`/`\` marks; stereo the
+    * subset cannot re-express (in-ring E/Z, ring-digit marks, `@AL`/`@SP`
+    * classes) degrades to identity passthrough of the whole input — never
+    * a silent stereo drop.
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 

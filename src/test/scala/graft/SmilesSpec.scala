@@ -135,8 +135,10 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Smiles.canonical("C1CC").isEmpty) // unclosed ring
     assert(Smiles.canonical("C(").isEmpty) // unclosed branch
     assert(Smiles.canonical("C=").isEmpty) // dangling bond
-    // named stereo classes stay out of subset → passthrough, not null
-    assert(Smiles.canonical("C[C@TH1](N)O").contains("C[C@TH1](N)O"))
+    // named tetrahedral classes are aliases; other classes pass through
+    assert(Smiles.canonical("[C@TH1](C)(N)(O)F") == Smiles.canonical("[C@](C)(N)(O)F"))
+    assert(Smiles.canonical("[C@TH2](C)(N)(O)F") == Smiles.canonical("[C@@](C)(N)(O)F"))
+    assert(Smiles.canonical("C[C@SP1](N)O").contains("C[C@SP1](N)O"))
     // ring-closure direction marks (macrocycle E/Z) → passthrough boundary
     assert(Smiles.canonical("C/1=C/CCCCCC1").contains("C/1=C/CCCCCC1"))
   }
