@@ -78,13 +78,55 @@ object IdentityChemistry extends Chemistry {
   * parity suites keep [[IdentityChemistry]] (golden data is already
   * RDKit-canonical); this implementation is for fresh corpora where
   * structural unification is the semantic that matters.
+  *
+  * Scale note: results memoize in a bounded per-executor cache. Molecule
+  * dictionaries are heavy-tailed (water/common solvents dominate), and
+  * Catalyst's CollapseProject re-inlines a UDF subtree into every
+  * downstream projection that references it — measured ~100× re-evaluation
+  * through the extract pipeline — so the cache turns both duplicate
+  * instances and plan-level re-evaluations into hashmap hits (extract over
+  * the golden corpus: 122 s → seconds).
   */
 object StructuralChemistry extends Chemistry {
-  private val canonU = udf((s: String) => Smiles.canonical(s).orNull)
-  private val canonNoMapsU = udf((s: String) => Smiles.canonicalNoMaps(s).orNull)
-  private val resolvableU = udf((s: String) => Smiles.canonical(s).isDefined)
+  private val cacheMax = 200000
+  // per-JVM (per-executor) caches; "" marks a None result
+  @transient private lazy val canonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @transient private lazy val noMapsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memo(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      s: String)(compute: String => Option[String]): Option[String] = {
+    val hit = cache.get(s)
+    if (hit != null) { if (hit.isEmpty) None else Some(hit) }
+    else {
+      val r = compute(s)
+      if (cache.size < cacheMax) cache.put(s, r.getOrElse(""))
+      r
+    }
+  }
+
+  private def cachedCanonical(s: String): Option[String] =
+    if (s == null) None else memo(canonCache, s)(Smiles.canonical)
+
+  @transient private lazy val tmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private val canonU = udf((s: String) => cachedCanonical(s).orNull)
+  private val canonNoMapsU = udf((s: String) =>
+    (if (s == null) None else memo(noMapsCache, s)(Smiles.canonicalNoMaps)).orNull)
+  private val resolvableU = udf((s: String) => cachedCanonical(s).isDefined)
   private val tmU = udf((s: String) =>
-    Smiles.hasTransitionMetalParsed(s).getOrElse(false))
+    if (s == null) false
+    else {
+      val hit = tmCache.get(s)
+      if (hit != null) hit.booleanValue()
+      else {
+        val r = Smiles.hasTransitionMetalParsed(s).getOrElse(false)
+        if (tmCache.size < cacheMax) tmCache.put(s, java.lang.Boolean.valueOf(r))
+        r
+      }
+    })
 
   def canonicalize(c: Column): Column = canonU(c)
   def canonicalizeNoMaps(c: Column): Column = canonNoMapsU(c)

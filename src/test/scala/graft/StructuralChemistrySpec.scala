@@ -18,6 +18,30 @@ class StructuralChemistrySpec extends SparkSpec {
     assert(out(3).isEmpty)
   }
 
+  test("full golden corpus canonicalizes idempotently (55k real molecules)") {
+    val dir = "/root/reference/orderly/data/test_data/ord_test_data"
+    assume(new java.io.File(dir).exists(), "reference checkout not present")
+    val nested = OrdSource.readNested(spark, dir)
+    val out = Extract.extractReactions(
+      nested, ExtractConfig(), StructuralChemistry,
+      solventSet = Seq("O", "CO", "CCO", "C1CCOC1", "ClCCl"))
+    assert(out.count() == 14798)
+    // distributed idempotence sweep: canonical(canonical(m)) == canonical(m)
+    // over every distinct molecule the pipeline emitted (real USPTO SMILES:
+    // kekulized aromatics, stereo, charges, isotopes, the lot)
+    val canonU = udf((s: String) => Smiles.canonical(s).orNull)
+    val mols = out
+      .select(explode(concat(
+        col("reactants"), col("agents"), col("solvents"), col("products"))).as("m"))
+      .filter(col("m").isNotNull).distinct()
+    val notIdempotent = mols
+      .withColumn("c1", canonU(col("m"))).filter(col("c1").isNotNull)
+      .withColumn("c2", canonU(col("c1")))
+      .filter(col("c2").isNull || col("c2") =!= col("c1"))
+    assert(notIdempotent.count() == 0,
+      notIdempotent.limit(5).collect().mkString("; "))
+  }
+
   test("full extract pipeline runs with StructuralChemistry") {
     val nested = OrdSource.readNested(spark,
       "/root/reference/orderly/data/test_data/ord_test_data")
