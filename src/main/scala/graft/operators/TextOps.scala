@@ -126,6 +126,51 @@ object TextOps {
       .select(col(id), col("term"), col("tc"), col("dl"), col("df"), col("score"))
   }
 
+  /** Sequence packing (concat-and-chunk): order documents deterministically
+    * (seeded hash shuffle — the packing order a pretraining pipeline
+    * randomizes), lay them on one global token tape, and give each document
+    * its start offset plus the id of the fixed-size context chunk that
+    * offset falls in. This is the standard LLM-pretraining packing step
+    * (documents concatenate; the tape is sliced every `ctxLen` tokens).
+    *
+    * Scale shape: a global running total with NO global-order window. The
+    * 60-bit order hash's top 12 bits form 4096 order-preserving buckets;
+    * pass 1 aggregates per-bucket token totals map-side (≤4096 rows) and a
+    * cumulative sum over that TINY histogram yields each bucket's tape
+    * start; pass 2 adds a within-bucket running sum (windows partitioned by
+    * bucket — ~n/4096 rows each, never one reducer). Offsets are identical
+    * to the single-window formulation: global prefix = bucket start +
+    * in-bucket prefix.
+    *
+    * Returns (id, n_tokens, tok_offset, chunk_id).
+    */
+  def packChunks(docs: org.apache.spark.sql.DataFrame, id: String,
+      nTokens: Column, ctxLen: Long, seed: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    val rows = docs.select(col(id), nTokens.cast("long").as("__t"))
+      .withColumn("__h", XHash.bucketHash(seed, col(id).cast("string")))
+      .withColumn("__b", shiftright(col("__h"), 48))
+    // pass 1: bucket histogram + exclusive prefix sum. The cumsum window is
+    // deliberately unpartitioned — it runs over the ≤4096-row histogram,
+    // not the data (same trick as Relational.stratifiedSample).
+    val hist = rows.groupBy("__b").agg(sum(col("__t")).as("__bktot"))
+      .withColumn("__start", coalesce(
+        sum(col("__bktot")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__b", "__start")
+    // pass 2: in-bucket exclusive running sum, bucket-partitioned
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(broadcast(hist), "__b")
+      .withColumn("tok_offset",
+        col("__start") + coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select(col(id), col("__t").as("n_tokens"), col("tok_offset"),
+        // integral div, not floor(double /): exact past 2^53 tokens
+        expr(s"tok_offset div ${ctxLen}L").as("chunk_id"))
+  }
+
   /** Benchmark decontamination: flag evaluation documents sharing any word
     * n-gram with the training corpus (the standard containment check run
     * before training on scraped data; the reference's C20 leakage move is

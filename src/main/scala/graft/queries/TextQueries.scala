@@ -133,6 +133,30 @@ object TextQueries {
         col("dims._2").as("height"),
         col("n_frames"),
         size(Multimodal.sampleFrameIdx(col("n_frames"), 3)).as("n_sampled"))
+    },
+
+    // Sequence packing (concat-and-chunk): seeded-hash document order, global
+    // token-tape offsets, fixed-size context chunks. The oracle is the
+    // single-global-window formulation; the engine computes identical
+    // offsets with the two-pass bucket-histogram pattern (no global window
+    // over data — PlanSpec).
+    QueryDef(
+      "q65_pack_chunks",
+      s"""$toksCte,
+         |o AS (SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+         |        ${XHash.bucketHashSql("pack", "cast(doc_id as varchar)")} AS h
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |  cast(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+         |    AS tok_offset,
+         |  cast(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 as bigint)
+         |    AS chunk_id
+         |FROM o""".stripMargin) { (s, dir) =>
+      TextOps.packChunks(
+        Tables.documents(s, dir).withColumn("toks", ArrayOps.tokens(col("text"))),
+        "doc_id", size(col("toks")), 2048L, "pack")
     }
   )
 }

@@ -201,6 +201,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(groupA.size == 1 && groupB.size == 1 && groupA != groupB)
   }
 
+  test("packChunks: two-pass offsets equal the single-window formulation") {
+    val docs = (1L to 200L).map(i => (i, Seq.fill((i % 7).toInt + 1)("w")))
+      .toDF("doc_id", "toks")
+    val out = TextOps.packChunks(docs, "doc_id", size(col("toks")), 16L, "s")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = out.map(_._2).sum
+    // offsets tile the tape exactly: sorted offsets are the exclusive
+    // prefix sums of the token counts in that same order (no gap/overlap)
+    val sorted = out.sortBy(_._3)
+    var run = 0L
+    sorted.foreach { case (_, nt, off, chunk) =>
+      assert(off == run, s"gap/overlap at offset $off, expected $run")
+      assert(chunk == off / 16, s"chunk id mismatch at $off")
+      run += nt
+    }
+    assert(run == total)
+    // deterministic in the seed: same seed = same layout, new seed = reshuffle
+    val again = TextOps.packChunks(docs, "doc_id", size(col("toks")), 16L, "s")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))

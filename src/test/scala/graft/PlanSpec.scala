@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
       "vocabulary fit regressed to a single-reducer sort:\n" + p)
   }
 
+  test("q65: packing windows stay bucket-partitioned (no global data window)") {
+    val p = plan("q65_pack_chunks")
+    // the per-row running sum orders by the 60-bit hash __h; any window
+    // doing so must partition by the bucket __b, or the whole corpus lands
+    // on one reducer. (The one unpartitioned cumsum runs over the ≤4096-row
+    // bucket histogram, which never references __h.)
+    p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("__h")).foreach(l =>
+      assert(l.contains("__b"), "global-order data window regression:\n" + l))
+    assert(p.contains("partial_sum"), p) // histogram aggregates map-side
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
