@@ -194,4 +194,43 @@ object TextOps {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) === 0).as("is_clean"))
   }
+
+  /** [[contaminationCheck]] with a bloom prefilter on the training side —
+    * the 100 TB shape. The exact check's cost driver is `distinct()` over
+    * ALL training shingles: a full-width shuffle of the big corpus. Here a
+    * bloom filter is built over the (small) benchmark side's shingles with
+    * `df.stat.bloomFilter` (distributed aggregate, ~1.2 MB per 1M items at
+    * 1% fpp), broadcast to the scan of the training side, and only bloom
+    * hits — true overlaps plus the fpp sliver — reach the exchange. The
+    * final semi-join against those candidates keeps the result EXACT: a
+    * bloom has no false negatives, so candidates ⊇ train∩test shingles,
+    * and candidates ⊆ train shingles means false positives cannot match a
+    * test shingle that the exact check would not match. Returns the same
+    * (id, n_shared, is_clean) as [[contaminationCheck]], bit-identical.
+    */
+  def contaminationCheckBloom(test: org.apache.spark.sql.DataFrame,
+      train: org.apache.spark.sql.DataFrame,
+      id: String, shingles: String,
+      expectedTestShingles: Long, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val spark = test.sparkSession
+    // eager: one aggregate job over the SMALL side builds the filter
+    val bf = test.select(explode(col(shingles)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .stat.bloomFilter("sh", expectedTestShingles, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val bloomHit = udf((s: String) => s != null && bfB.value.mightContainString(s))
+      .withName("bloom_might_contain")
+    val candidates = train
+      .select(explode(col(shingles)).as("sh"))
+      .filter(bloomHit(col("sh")))
+      .distinct()
+    val testExploded = test.select(col(id), explode(col(shingles)).as("sh"))
+    val hits = testExploded.join(candidates, Seq("sh"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_shared"))
+    test.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) === 0).as("is_clean"))
+  }
 }

@@ -24,6 +24,40 @@ object ClusterQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Shared oracle for q49/q66 — the two implementations must agree
+    * bit-for-bit (the bloom prefilter is a plan optimization, not a
+    * semantics change). */
+  private val decontaminateSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+       |         ${XHash.bucketSql("dc", 100, "cast(doc_id as varchar)")} AS bk
+       |  FROM documents),
+       |sh AS (SELECT doc_id, bk,
+       |         CASE WHEN len(toks) >= 8
+       |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+       |                     i -> array_to_string(toks[i:i+7], ' ')))
+       |              ELSE [array_to_string(toks, ' ')] END AS sh
+       |       FROM t),
+       |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bk < 90),
+       |hits AS (SELECT doc_id, count(*) AS n_shared
+       |         FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bk >= 90) u
+       |         WHERE s IN (SELECT s FROM tr) GROUP BY doc_id)
+       |SELECT s2.doc_id,
+       |  cast(coalesce(h.n_shared, 0) as bigint) AS n_shared,
+       |  coalesce(h.n_shared, 0) = 0 AS is_clean
+       |FROM (SELECT doc_id FROM sh WHERE bk >= 90) s2
+       |LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  private def decontaminateSplits(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", ArrayOps.tokens(col("text")))
+      .withColumn("bk", XHash.bucket("dc", 100, col("doc_id").cast("string")))
+      .withColumn("sh", Dedup.wordShingles(col("toks"), 8))
+    (docs.filter(col("bk") < 90), docs.filter(col("bk") >= 90))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // IVF cell assignment: nearest of 8 fixed centroids (ids < 8).
@@ -99,33 +133,21 @@ object ClusterQueries {
     // Benchmark decontamination: test docs sharing any 8-gram with train.
     QueryDef(
       "q49_decontaminate",
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
-         |         ${XHash.bucketSql("dc", 100, "cast(doc_id as varchar)")} AS bk
-         |  FROM documents),
-         |sh AS (SELECT doc_id, bk,
-         |         CASE WHEN len(toks) >= 8
-         |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
-         |                     i -> array_to_string(toks[i:i+7], ' ')))
-         |              ELSE [array_to_string(toks, ' ')] END AS sh
-         |       FROM t),
-         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bk < 90),
-         |hits AS (SELECT doc_id, count(*) AS n_shared
-         |         FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bk >= 90) u
-         |         WHERE s IN (SELECT s FROM tr) GROUP BY doc_id)
-         |SELECT s2.doc_id,
-         |  cast(coalesce(h.n_shared, 0) as bigint) AS n_shared,
-         |  coalesce(h.n_shared, 0) = 0 AS is_clean
-         |FROM (SELECT doc_id FROM sh WHERE bk >= 90) s2
-         |LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", ArrayOps.tokens(col("text")))
-        .withColumn("bk", XHash.bucket("dc", 100, col("doc_id").cast("string")))
-        .withColumn("sh", Dedup.wordShingles(col("toks"), 8))
-      val train = docs.filter(col("bk") < 90)
-      val test = docs.filter(col("bk") >= 90)
+      decontaminateSql) { (s, dir) =>
+      val (train, test) = decontaminateSplits(s, dir)
       graft.operators.TextOps.contaminationCheck(test, train, "doc_id", "sh")
+    },
+
+    // Same semantics, bloom-prefiltered training side (the 100 TB shape:
+    // the big corpus never shuffles at full width; the bloom's false
+    // positives are eliminated by the exact semi-join, so the answer is
+    // bit-identical to q49 and shares its oracle).
+    QueryDef(
+      "q66_decontaminate_bloom",
+      decontaminateSql) { (s, dir) =>
+      val (train, test) = decontaminateSplits(s, dir)
+      graft.operators.TextOps.contaminationCheckBloom(
+        test, train, "doc_id", "sh", expectedTestShingles = 1L << 16)
     },
 
     // Full IVF search: probe the 2 nearest of the 8 fixed cells per query,

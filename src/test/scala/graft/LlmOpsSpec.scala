@@ -223,6 +223,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("bloom decontamination agrees with the exact check bit-for-bit") {
+    val train = Seq(
+      (1L, Seq("a b c", "c d e")),
+      (2L, Seq("x y z"))).toDF("doc_id", "sh")
+    val test = Seq(
+      (10L, Seq("c d e", "q q q")), // contaminated: 1 shared shingle
+      (11L, Seq("a b c", "x y z")), // contaminated: 2 shared shingles
+      (12L, Seq("fresh only"))      // clean
+    ).toDF("doc_id", "sh")
+    val exact = TextOps.contaminationCheck(test, train, "doc_id", "sh")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val bloom = TextOps.contaminationCheckBloom(test, train, "doc_id", "sh",
+      expectedTestShingles = 64)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(exact == Seq((10L, 1L, false), (11L, 2L, false), (12L, 0L, true)))
+    assert(bloom == exact)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))

@@ -98,6 +98,15 @@ class PlanSpec extends SparkSpec {
       "vocabulary fit regressed to a single-reducer sort:\n" + p)
   }
 
+  test("q66: bloom prefilter gates the training side before its exchange") {
+    val p = plan("q66_decontaminate_bloom")
+    // the broadcast bloom must appear as a filter on the train-shingle scan
+    // side — the whole point is that only bloom hits reach the distinct's
+    // exchange, never the full training shingle set
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q65: packing windows stay bucket-partitioned (no global data window)") {
     val p = plan("q65_pack_chunks")
     // the per-row running sum orders by the 60-bit hash __h; any window
