@@ -211,14 +211,21 @@ object TextOps {
   def contaminationCheckBloom(test: org.apache.spark.sql.DataFrame,
       train: org.apache.spark.sql.DataFrame,
       id: String, shingles: String,
-      expectedTestShingles: Long, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
-    val spark = test.sparkSession
-    // eager: one aggregate job over the SMALL side builds the filter
-    val bf = test.select(explode(col(shingles)).as("sh"))
+      expectedTestShingles: Long = -1L, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val testShingles = test.select(explode(col(shingles)).as("sh"))
       .filter(col("sh").isNotNull)
-      .stat.bloomFilter("sh", expectedTestShingles, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val bloomHit = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    // Sizing: callers may pass an expected count; otherwise one cheap
+    // map-side count of the small benchmark side keeps the fpp honest (a
+    // non-distinct count only oversizes the filter, which is safe).
+    val expected =
+      if (expectedTestShingles > 0) expectedTestShingles else testShingles.count()
+    // eager: one aggregate job over the SMALL side builds the filter
+    val bf = testShingles.stat.bloomFilter("sh", math.max(expected, 1L), fpp)
+    // The filter rides inside the UDF closure — part of the per-stage task
+    // binary, which Spark itself torrent-broadcasts once per stage and whose
+    // lifecycle the ContextCleaner owns. No explicit Broadcast handle means
+    // nothing driver-resident leaks across invocations.
+    val bloomHit = udf((s: String) => s != null && bf.mightContainString(s))
       .withName("bloom_might_contain")
     val candidates = train
       .select(explode(col(shingles)).as("sh"))

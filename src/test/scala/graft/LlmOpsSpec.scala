@@ -217,10 +217,24 @@ class LlmOpsSpec extends SparkSpec {
       run += nt
     }
     assert(run == total)
-    // deterministic in the seed: same seed = same layout, new seed = reshuffle
+    // deterministic in the seed: same seed = same layout
     val again = TextOps.packChunks(docs, "doc_id", size(col("toks")), 16L, "s")
       .as[(Long, Long, Long, Long)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // new seed = genuine reshuffle: the offset layout differs while the
+    // tape-tiling invariant (exclusive prefix sums, no gap/overlap) holds
+    val reseeded = TextOps.packChunks(docs, "doc_id", size(col("toks")), 16L, "t")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq != reseeded.sortBy(_._1).toSeq,
+      "different seed produced the identical offset layout")
+    val rSorted = reseeded.sortBy(_._3)
+    var rRun = 0L
+    rSorted.foreach { case (_, nt, off, chunk) =>
+      assert(off == rRun, s"reseeded gap/overlap at offset $off, expected $rRun")
+      assert(chunk == off / 16, s"reseeded chunk id mismatch at $off")
+      rRun += nt
+    }
+    assert(rRun == total)
   }
 
   test("bloom decontamination agrees with the exact check bit-for-bit") {

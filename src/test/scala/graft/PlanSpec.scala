@@ -113,8 +113,13 @@ class PlanSpec extends SparkSpec {
     // doing so must partition by the bucket __b, or the whole corpus lands
     // on one reducer. (The one unpartitioned cumsum runs over the ≤4096-row
     // bucket histogram, which never references __h.)
-    p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && l.contains("__h")).foreach(l =>
+    val hashWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("__h")).toSeq
+    // guard against vacuity: if Spark renames/elides __h in the plan string
+    // this test must fail loudly, not pass by matching zero lines
+    assert(hashWindows.nonEmpty,
+      "expected at least one windowspecdefinition over __h in the plan:\n" + p)
+    hashWindows.foreach(l =>
       assert(l.contains("__b"), "global-order data window regression:\n" + l))
     assert(p.contains("partial_sum"), p) // histogram aggregates map-side
   }
