@@ -214,13 +214,19 @@ object TextOps {
       expectedTestShingles: Long = -1L, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
     val testShingles = test.select(explode(col(shingles)).as("sh"))
       .filter(col("sh").isNotNull)
-    // Sizing: callers may pass an expected count; otherwise one cheap
-    // map-side count of the small benchmark side keeps the fpp honest (a
-    // non-distinct count only oversizes the filter, which is safe).
+    // Sizing: callers may pass an expected count; otherwise one cheap count
+    // of the small benchmark side keeps the fpp honest at any scale (a
+    // non-distinct count only oversizes the filter, which is safe). The
+    // shingle set is persisted so the count and the bloom aggregate share
+    // one computation — both are eager actions, so the persist lifecycle
+    // never escapes this method.
+    val derive = expectedTestShingles <= 0
+    if (derive) testShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected =
-      if (expectedTestShingles > 0) expectedTestShingles else testShingles.count()
+      if (derive) testShingles.count() else expectedTestShingles
     // eager: one aggregate job over the SMALL side builds the filter
     val bf = testShingles.stat.bloomFilter("sh", math.max(expected, 1L), fpp)
+    if (derive) testShingles.unpersist(blocking = false)
     // The filter rides inside the UDF closure — part of the per-stage task
     // binary, which Spark itself torrent-broadcasts once per stage and whose
     // lifecycle the ContextCleaner owns. No explicit Broadcast handle means
