@@ -58,6 +58,64 @@ object TextOps {
   def digitTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[0-9]+"), lit(0)))
 
+  /** PII patterns for [[piiRedact]]. Deliberately RE2-compatible (no
+    * lookaround, no backreferences) so the DuckDB oracle runs the SAME
+    * pattern text: email local@domain.tld, dotted-quad IPv4, and a
+    * phone-shaped 3-3/4 digit-group run. Order matters — emails are
+    * redacted first so their digit runs can't half-match as phones. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3,4}\\b", "<PHONE>"))
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and phone-shaped digit
+    * groups, each replaced by a typed tag, with per-type match counts
+    * (the audit trail a compliance pass needs). Pure regexp Column
+    * expressions — scan-speed, codegen'd, no shuffle at any scale. Counts
+    * are taken per-pattern on the text as that pattern sees it (after the
+    * earlier redactions), so counts always agree with what was replaced.
+    * Returns (cleanText, Seq(type -> count)).
+    */
+  def piiRedact(text: Column): (Column, Seq[(String, Column)]) = {
+    val (cleaned, counts) =
+      piiPatterns.foldLeft((text, Seq.empty[(String, Column)])) {
+        case ((t, acc), (name, pat, tag)) =>
+          val n = size(regexp_extract_all(t, lit(pat), lit(0)))
+          (regexp_replace(t, pat, tag), acc :+ (name -> n))
+      }
+    (cleaned, counts)
+  }
+
+  /** Text normalization for robust exact-dedup: collapse all whitespace
+    * runs to single spaces, trim, lowercase. The cheap high-recall
+    * normalizer every corpus dedup runs before hashing (case/format
+    * variants of the same page hash identically afterwards). */
+  def normalizeWs(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact-duplicate groups under a normalizer: group docs by normalized
+    * text, return each doc with its canonical representative (lowest id in
+    * the group) and the group size. One hash aggregate on the normalized
+    * key + one key join — shuffle bounded by distinct texts, the exact-dedup
+    * scale shape (C13/q26), never pairwise. */
+  def normalizedDupGroups(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val keyed = docs.select(col(id), normalizeWs(col(text)).as("__norm"))
+    val groups = keyed.groupBy("__norm")
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, Seq("__norm"))
+      .select(col(id), col("canonical_id"), col("group_size"))
+  }
+
+  /** Non-distinct word n-grams (frequency semantics — unlike
+    * [[Dedup.wordShingles]], which distincts per doc for set containment).
+    * Empty when the document has fewer than n tokens. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Document fingerprint: rolling polynomial hash over token hashes,
     * mod 2^31-1 — order-sensitive (unlike a bag-of-words hash), sequential
     * fold reproduced exactly by the oracle's list_reduce. */

@@ -157,6 +157,88 @@ object TextQueries {
       TextOps.packChunks(
         Tables.documents(s, dir).withColumn("toks", ArrayOps.tokens(col("text"))),
         "doc_id", size(col("toks")), 2048L, "pack")
+    },
+
+    // PII scrubbing with typed tags + per-type audit counts. PII is planted
+    // deterministically (synthetic docs carry none), then redacted in the
+    // fixed piiPatterns order; the oracle runs the IDENTICAL pattern text
+    // (RE2-compatible by construction) over the same progressive chain.
+    QueryDef(
+      "q67_pii_redact", {
+        val chain = TextOps.piiPatterns.zipWithIndex.map {
+          case ((pname, pat, tag), i) =>
+            s"""p${i + 1} AS (SELECT doc_id,
+               |  regexp_replace(t$i, '$pat', '$tag', 'g') AS t${i + 1},
+               |  ${(0 until i).map(j => s"n_${TextOps.piiPatterns(j)._1}, ").mkString}
+               |  cast(len(regexp_extract_all(t$i, '$pat')) as int) AS n_$pname
+               |FROM p$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p0 AS (SELECT doc_id,
+           |  text || ' contact user' || cast(doc_id as varchar)
+           |       || '@mail.example or 10.0.' || cast(doc_id % 256 as varchar)
+           |       || '.7 ext 555-' || cast(doc_id % 9000 + 1000 as varchar) AS t0
+           |  FROM documents),
+           |$chain
+           |SELECT doc_id, t${TextOps.piiPatterns.size} AS clean_text,
+           |  ${TextOps.piiPatterns.map(p => s"n_${p._1}").mkString(", ")}
+           |FROM p${TextOps.piiPatterns.size}""".stripMargin
+      }) { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ext 555-"), (col("doc_id") % 9000 + 1000).cast("string"))
+      val (clean, counts) = TextOps.piiRedact(planted)
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: clean.as("clean_text") +:
+          counts.map { case (n, c) => c.as(s"n_$n") }): _*)
+    },
+
+    // Corpus-wide bigram top-k (Zipf head): non-distinct n-gram frequency,
+    // deterministic rank (count desc, bigram asc). Scale shape: explode →
+    // map-side hash aggregate → orderBy.limit(k) = TakeOrderedAndProject
+    // (per-partition top-k; the full bigram dictionary is never globally
+    // sorted) — same discipline as fitVocab/q58.
+    QueryDef(
+      "q69_bigram_topk",
+      s"""$toksCte,
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+         |c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg)
+         |SELECT bg, cast(cnt as bigint) AS cnt, cast(rank as int) AS rank FROM (
+         |  SELECT bg, cnt, row_number() OVER (ORDER BY cnt DESC, bg) AS rank
+         |  FROM c) WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("bg").asc)
+      Tables.documents(s, dir)
+        .select(explode(TextOps.ngrams(ArrayOps.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // Normalized exact-dup groups: whitespace/case variants (planted: two
+    // leading spaces + uppercased copies) collapse to one canonical id via
+    // a hash aggregate on the normalized text — dedup robustness without
+    // any pairwise comparison.
+    QueryDef(
+      "q71_norm_dup_groups",
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || upper(text) FROM documents),
+        |k AS (SELECT doc_id,
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM c),
+        |g AS (SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size
+        |      FROM k GROUP BY norm)
+        |SELECT k.doc_id, canonical_id, cast(group_size as bigint) AS group_size
+        |FROM k JOIN g USING (norm)""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text"))).as("text")))
+      TextOps.normalizedDupGroups(corpus, "doc_id", "text")
     }
   )
 }

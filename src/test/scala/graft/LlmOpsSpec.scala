@@ -255,6 +255,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("piiRedact: typed tags, per-type counts, fixed order") {
+    val df = Seq(
+      (1L, "mail a.b@x.co or c@y.org, ip 10.0.0.7, dial 555-1234 now"),
+      (2L, "no pii here 123 4.5")).toDF("id", "text")
+    val (clean, counts) = TextOps.piiRedact(col("text"))
+    val cols = col("id") +: clean.as("t") +: counts.map { case (n, c) => c.as(n) }
+    val out = df.select(cols: _*).as[(Long, String, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(out(0)._2 == "mail <EMAIL> or <EMAIL>, ip <IP>, dial <PHONE> now")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((2, 1, 1)))
+    assert(out(1)._2 == "no pii here 123 4.5")
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0, 0, 0)))
+  }
+
+  test("normalizeWs collapses whitespace/case variants to one dup group") {
+    val df = Seq(
+      (1L, "Hello  world"),
+      (2L, "  hello\tWORLD \n"),
+      (3L, "hello worlds")).toDF("doc_id", "text")
+    val out = TextOps.normalizedDupGroups(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("ngrams: non-distinct frequency semantics, short-doc empty") {
+    val df = Seq(
+      Tuple1(Seq("a", "b", "a", "b")),
+      Tuple1(Seq("only")),
+      Tuple1(Seq.empty[String])).toDF("toks")
+    val out = df.select(TextOps.ngrams(col("toks"), 2)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "b a", "a b")) // repeats kept (unlike shingles)
+    assert(out(1) == Seq.empty && out(2) == Seq.empty)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
