@@ -185,38 +185,72 @@ object Relational {
     * full sort: global rank = rows-below-bucket + in-bucket rank.
     */
   def stratifiedSample(df: DataFrame, strata: Seq[String], pct: Int,
-      seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame = {
-    val part = strata.map(col)
-    // stratum sizes via a map-side-combining aggregate — NOT a
+      seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame =
+    // keep iff rank·100 < n·pct, i.e. rank < ceil(n·pct/100) — integer-only
+    hashRankKeep(df, strata, seed, tieBreak, hashKeys: _*)(
+      (rank0, n) => rank0 * 100 < n * pct)
+
+  /** Per-group deterministic cap: keep at most `maxPerGroup` rows of each
+    * group, chosen by seeded hash order — the source-rebalancing step a
+    * corpus-mix pipeline runs before training (no web domain may contribute
+    * more than N documents). Same two-pass hash-histogram execution as
+    * [[stratifiedSample]]: a giant group never lands on one reducer.
+    */
+  def capPerGroup(df: DataFrame, groups: Seq[String], maxPerGroup: Long,
+      seed: String, tieBreak: Seq[Column], hashKeys: Column*): DataFrame =
+    hashRankKeep(df, groups, seed, tieBreak, hashKeys: _*)(
+      (rank0, _) => rank0 < maxPerGroup)
+
+  /** Shared two-pass core: keep each row iff `keep(rank0, n)` where `rank0`
+    * is the row's 0-based rank within its group under deterministic
+    * (hash, tieBreak) order and `n` the group size. `keep` MUST be monotone
+    * in rank0 (kept ranks form a prefix) — both callers are threshold
+    * predicates.
+    *
+    * Execution — NO whole-group sort: the 60-bit row hash's top 12 bits
+    * form 4096 order-preserving buckets; pass 1 histograms (group, bucket)
+    * with a map-side-combining aggregate (≤4096 rows per group), a tiny
+    * cumulative-sum window over the histogram locates each group's boundary
+    * bucket, and pass 2 keeps buckets strictly below the boundary outright —
+    * only the boundary bucket itself (~n/4096 rows) is row_number-ranked.
+    * Selection is bit-identical to the full sort: global rank =
+    * rows-below-bucket + in-bucket rank.
+    */
+  private def hashRankKeep(df: DataFrame, groups: Seq[String], seed: String,
+      tieBreak: Seq[Column], hashKeys: Column*)(
+      keep: (Column, Column) => Column): DataFrame = {
+    val part = groups.map(col)
+    // group sizes via a map-side-combining aggregate — NOT a
     // count-over-partition window
     val counts = df.groupBy(part: _*).agg(count(lit(1)).as("__n"))
     val withH = df.withColumn("__h", XHash.bucketHash(seed, hashKeys: _*))
       .withColumn("__b", shiftright(col("__h"), 48))
     // pass 1: order-preserving bucket histogram + boundary location.
-    // Long arithmetic throughout: counts are longs, so n*pct and the
-    // rank predicates never touch 32-bit overflow (strata past ~21M rows).
+    // Long arithmetic throughout: counts are longs, so threshold products
+    // and the rank predicates never touch 32-bit overflow (groups past
+    // ~21M rows).
     val hist = withH.groupBy((part :+ col("__b")): _*)
       .agg(count(lit(1)).as("__bc"))
       .withColumn("__cum", sum(col("__bc")).over(
         Window.partitionBy(part: _*).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(counts, strata)
+      .join(counts, groups)
       .withColumn("__below", col("__cum") - col("__bc"))
       // bucket's last row kept → whole bucket kept
-      .withColumn("__fullKeep", (col("__cum") - 1) * 100 < col("__n") * pct)
+      .withColumn("__fullKeep", keep(col("__cum") - 1, col("__n")))
       // bucket's first row kept → bucket at least partially kept
-      .withColumn("__anyKeep", col("__below") * 100 < col("__n") * pct)
+      .withColumn("__anyKeep", keep(col("__below"), col("__n")))
       .select((part :+ col("__b") :+ col("__below") :+ col("__n") :+
         col("__fullKeep") :+ col("__anyKeep")): _*)
-    // pass 2: histogram is tiny (strata × ≤4096) → broadcast it
-    val tagged = withH.join(broadcast(hist), strata :+ "__b")
+    // pass 2: histogram is tiny (groups × ≤4096) → broadcast it
+    val tagged = withH.join(broadcast(hist), groups :+ "__b")
     val keptFull = tagged.filter(col("__fullKeep"))
     val boundary = tagged.filter(col("__anyKeep") && !col("__fullKeep"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy((part :+ col("__b")): _*)
           .orderBy((col("__h") +: tieBreak): _*)))
-      .filter((col("__below") + col("__rn") - 1) * 100 < col("__n") * pct)
-    val outCols = part ++ df.columns.filterNot(strata.contains).map(col)
+      .filter(keep(col("__below") + col("__rn") - 1, col("__n")))
+    val outCols = part ++ df.columns.filterNot(groups.contains).map(col)
     keptFull.select(outCols: _*).unionAll(boundary.select(outCols: _*))
   }
 

@@ -238,4 +238,50 @@ object Similarity {
       .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
       .select("a_id", "b_id")
   }
+
+  /** Product-quantization encode: split each vector into `m` equal
+    * subspaces and store, per subspace, the id of the nearest codebook
+    * centroid (L2, ties → lowest id). With the codebook trained offline
+    * (e.g. [[kmeansCentroids]] per subspace), a 64-dim float vector
+    * compresses to `m` small codes — the memory step that makes
+    * billion-vector ANN (IVF-PQ) fit a cluster.
+    *
+    * Scale shape: the codebook is bounded by construction (k·d doubles);
+    * it is collected ONCE behind a size guard and embedded as plan
+    * literals, so encoding is a single narrow codegen'd projection over
+    * the corpus — zero shuffle, zero join, scan speed at any corpus size
+    * (the same guarded literal/driver boundary as the frequent-set path,
+    * CleanOps C10).
+    */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+      codebook: DataFrame, cbId: String, cbVec: String,
+      m: Int, maxCodebook: Int = 65536): DataFrame = {
+    val rows = codebook.select(col(cbId).cast("long"), col(cbVec))
+      .limit(maxCodebook + 1).collect()
+    require(rows.nonEmpty, "pqEncode: empty codebook")
+    require(rows.length <= maxCodebook,
+      s"pqEncode: codebook exceeds $maxCodebook entries — train a smaller one")
+    val cents: Seq[(Long, Seq[Double])] = rows.toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      })
+    }.sortBy(_._1)
+    val dims = cents.head._2.length
+    require(dims % m == 0, s"pqEncode: $dims dims not divisible by m=$m")
+    val sub = dims / m
+    val codes = (0 until m).map { s =>
+      // argmin via least(struct(dist, cid)): struct order = (dist asc,
+      // cid asc), exactly the oracle's ORDER BY dist, cid / rn = 1
+      val cands = cents.map { case (cid, cv) =>
+        struct(
+          graft.plans.VecKernels.l2sq(
+            slice(col(vec), s * sub + 1, sub),
+            typedLit(cv.slice(s * sub, (s + 1) * sub))).as("d"),
+          lit(cid).as("cid"))
+      }
+      least(cands: _*).getField("cid").cast("int")
+    }
+    corpus.select(col(id), array(codes: _*).as("codes"))
+  }
 }

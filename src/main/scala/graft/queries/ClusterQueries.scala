@@ -152,6 +152,44 @@ object ClusterQueries {
         test, train, "doc_id", "sh")
     },
 
+    // Product-quantization codes: 8 subspaces × 4 centroids (the first 4
+    // vectors as the offline-trained codebook stand-in). The codebook is
+    // bounded by construction → collected once and embedded as literals, so
+    // the corpus encode is a single narrow projection (PlanSpec: no join,
+    // no exchange). Completes the IVF→PQ ANN story: q47 routes, this
+    // compresses.
+    QueryDef(
+      "q70_pq_codes", {
+        def subL2(a: String, b: String): String =
+          s"""list_reduce(list_transform(range(1, 9), i ->
+             |  (cast($a[sp.s*8 + i] as double) - cast($b[sp.s*8 + i] as double))
+             |  * (cast($a[sp.s*8 + i] as double) - cast($b[sp.s*8 + i] as double))),
+             |  (x, y) -> x + y)""".stripMargin
+        s"""WITH cb AS (SELECT vec_id AS cid, embedding AS cvec
+           |            FROM embeddings WHERE vec_id < 4),
+           |sp AS (SELECT range AS s FROM range(0, 8)),
+           |d AS (SELECT e.vec_id, sp.s, cb.cid,
+           |        ${subL2("e.embedding", "cb.cvec")} AS dist
+           |      FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
+           |best AS (SELECT vec_id, s, cid,
+           |           row_number() OVER (PARTITION BY vec_id, s
+           |                              ORDER BY dist, cid) AS rn
+           |         FROM d)
+           |SELECT vec_id,
+           |  ${(0 until 8).map(i =>
+                s"cast(max(CASE WHEN s = $i THEN cid END) as int) AS code_$i")
+                .mkString(",\n  ")}
+           |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      // fixed-width code columns at the sink boundary (m is static); the
+      // operator itself stays array-typed
+      Similarity.pqEncode(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding", m = 8)
+        .select(col("vec_id") +: (0 until 8).map(i =>
+          element_at(col("codes"), i + 1).as(s"code_$i")): _*)
+    },
+
     // Full IVF search: probe the 2 nearest of the 8 fixed cells per query,
     // exact cosine top-3 within the probed cells (self excluded).
     QueryDef(

@@ -74,6 +74,26 @@ object ExtendedQueries {
           col("l_orderkey"), col("l_linenumber").cast("string"))
     },
 
+    // Per-source cap (corpus-mix rebalancing): at most 3 documents per
+    // source, picked by deterministic hash order. Same two-pass histogram
+    // execution as q54 — a dominant source never lands on one reducer.
+    QueryDef(
+      "q68_source_cap",
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${XHash.bucketHashSql("cap", "cast(doc_id as varchar)")} AS h
+         |  FROM documents),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |      FROM b)
+         |SELECT doc_id, source FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      Relational.capPerGroup(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          Seq("source"), 3L, "cap",
+          Seq(col("doc_id")), col("doc_id").cast("string"))
+        .select("doc_id", "source")
+    },
+
     // Salted skew join: result must be IDENTICAL to the plain join — the
     // oracle runs the unsalted formulation, proving the salt is semantics-
     // preserving (the skew tool for pathological fact-table keys).

@@ -289,6 +289,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1) == Seq.empty && out(2) == Seq.empty)
   }
 
+  test("capPerGroup equals the single-window formulation; small groups intact") {
+    import graft.functions.XHash
+    import graft.operators.Relational
+    val df = (1L to 300L).map(i => (i, s"src${i % 7}")).toDF("id", "src")
+    val out = Relational.capPerGroup(df, Seq("src"), 10L, "cap",
+        Seq(col("id")), col("id").cast("string"))
+      .select("id", "src").as[(Long, String)].collect().toSet
+    // reference: plain whole-group window over the same hash order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(XHash.bucketHash("cap", col("id").cast("string")), col("id"))
+    val ref = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(out == ref)
+    assert(out.size == 7 * 10)
+    // a group smaller than the cap survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val kept = Relational.capPerGroup(tiny, Seq("src"), 10L, "cap",
+        Seq(col("id")), col("id").cast("string"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("pqEncode: nearest sub-centroid per subspace, ties to lowest id") {
+    val cb = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(10f, 10f, 0f, 0f))).toDF("cid", "v")
+    val corpus = Seq(
+      (100L, Seq(1f, 1f, 1f, 1f)),   // sub0 → c0, sub1 → c1
+      (101L, Seq(9f, 9f, 9f, 9f)),   // sub0 → c1, sub1 → c0
+      (102L, Seq(5f, 5f, 5f, 5f))    // equidistant both → lowest id 0
+    ).toDF("id", "v")
+    val out = Similarity.pqEncode(corpus, "id", "v", cb, "cid", "v", m = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(100L) == Seq(0, 1))
+    assert(out(101L) == Seq(1, 0))
+    assert(out(102L) == Seq(0, 0))
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))

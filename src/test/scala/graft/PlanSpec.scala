@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
       "whole-stratum row_number regression:\n" + l))
   }
 
+  test("q68: per-group cap shares the two-pass shape (no whole-group window)") {
+    val p = plan("q68_source_cap")
+    val rn = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty, p)
+    rn.foreach(l => assert(l.contains("__b"),
+      "whole-group row_number regression:\n" + l))
+  }
+
+  test("q70: PQ encode is a single narrow projection (no join, no exchange)") {
+    val p = plan("q70_pq_codes")
+    // the codebook is embedded as literals — the corpus scan must reach the
+    // output through projections only
+    assert(!p.contains("Join"), "codebook regressed to a join:\n" + p)
+    assert(!p.contains("Exchange"), "PQ encode shuffled the corpus:\n" + p)
+  }
+
   test("q49: containment check is a semi-join aggregate, not a pair join") {
     val p = plan("q49_decontaminate")
     assert(p.contains("LeftSemi"), p)
