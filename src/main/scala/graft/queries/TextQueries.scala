@@ -217,6 +217,44 @@ object TextQueries {
         .withColumn("rank", row_number().over(w).cast("int"))
     },
 
+    // Count-min sketch heavy hitters: estimate the top-10 tokens' counts
+    // from a fixed 4×1024 counter grid instead of the unbounded exact
+    // dictionary — the mergeable-sketch shape for vocabularies too large to
+    // materialize. Same md5 hash family as the engine, so the oracle
+    // reproduces every cell (and the up-only collision bias) bit-for-bit.
+    QueryDef(
+      "q72_cms_heavy_hitters",
+      s"""$toksCte,
+         |u AS (SELECT unnest(toks) AS term FROM t),
+         |ex AS (SELECT term, count(*) AS exact_cnt FROM u GROUP BY term),
+         |top AS (SELECT term, exact_cnt FROM (
+         |  SELECT term, exact_cnt,
+         |    row_number() OVER (ORDER BY exact_cnt DESC, term) AS rn FROM ex)
+         |  WHERE rn <= 10),
+         |cell AS (SELECT r.range AS r,
+         |           ${XHash.bucketSql("cms", 1024,
+                        "cast(r.range as varchar)", "term")} AS c,
+         |           count(*) AS cnt
+         |         FROM u CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+         |probe AS (SELECT term, exact_cnt, r.range AS r,
+         |            ${XHash.bucketSql("cms", 1024,
+                         "cast(r.range as varchar)", "term")} AS c
+         |          FROM top CROSS JOIN range(0, 4) r)
+         |SELECT term, cast(exact_cnt as bigint) AS exact_cnt,
+         |  cast(min(coalesce(cell.cnt, 0)) as bigint) AS cms_cnt
+         |FROM probe LEFT JOIN cell USING (r, c)
+         |GROUP BY term, exact_cnt""".stripMargin) { (s, dir) =>
+      import graft.operators.Sketches
+      val toks = Tables.documents(s, dir)
+        .select(explode(ArrayOps.tokens(col("text"))).as("term"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(10)
+      val counters = Sketches.cmsCounters(toks, "term", depth = 4, width = 1024)
+      Sketches.cmsEstimate(counters, top, "term", depth = 4, width = 1024)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_cnt"))
+    },
+
     // Normalized exact-dup groups: whitespace/case variants (planted: two
     // leading spaces + uppercased copies) collapse to one canonical id via
     // a hash aggregate on the normalized text — dedup robustness without

@@ -327,6 +327,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(102L) == Seq(0, 0))
   }
 
+  test("count-min sketch: estimates never undercount; exact when collision-free") {
+    import graft.operators.Sketches
+    val terms = ((1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"t$i")))
+      .toDF("term")
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    // tiny grid → collisions guaranteed: estimate must only overcount
+    val tiny = Sketches.cmsEstimate(
+        Sketches.cmsCounters(terms, "term", 4, 8), exact, "term", 4, 8)
+      .join(exact, Seq("term"))
+      .select("exact_cnt", "cms_cnt").as[(Long, Long)].collect()
+    assert(tiny.forall { case (ex, est) => est >= ex })
+    // wide grid, 50 terms in 4×4096 cells → w.h.p. some row is clean per
+    // term; with d=4 independent rows the min recovers the exact count
+    val wide = Sketches.cmsEstimate(
+        Sketches.cmsCounters(terms, "term", 4, 4096), exact, "term", 4, 4096)
+      .join(exact, Seq("term"))
+      .select("exact_cnt", "cms_cnt").as[(Long, Long)].collect()
+    assert(wide.forall { case (ex, est) => est == ex })
+    // unseen term → 0 (all its cells may still collide, but never negative)
+    val unseen = Sketches.cmsEstimate(
+        Sketches.cmsCounters(terms, "term", 4, 4096),
+        Seq("NEVER_SEEN").toDF("term"), "term", 4, 4096)
+      .select("cms_cnt").as[Long].collect().head
+    assert(unseen == 0L)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
