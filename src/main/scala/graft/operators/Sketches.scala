@@ -47,4 +47,46 @@ object Sketches {
       // a missing cell means nothing hashed there: count 0
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
   }
+
+  /** HLL register count: fixed at 64 (b = 6 index bits), leaving 54 hash
+    * bits for the rank. */
+  val hllM = 64
+
+  /** α₆₄ of the HLL estimator, computed once on the driver and embedded as
+    * the SAME literal in the plan and the oracle SQL. */
+  val hllAlpha: Double = 0.7213 / (1.0 + 1.079 / hllM)
+
+  /** HyperLogLog registers over exploded `(term)` rows: 64 registers, each
+    * the max "rank" (1 + leading-zero count of the 54 post-index hash bits,
+    * computed as an integer string-length of `bin()` — no float log).
+    * A map-side-combinable `max` aggregate over ≤64 keys: the shuffle
+    * carries 64 rows per partition however large the corpus — the standard
+    * mergeable distinct-count sketch. */
+  def hllRegisters(terms: DataFrame, term: String): DataFrame = {
+    val h = XHash.bucketHash("hll", col(term))
+    // top 54 bits via a shift — Column./ is DOUBLE division, inexact past
+    // 2^53; the oracle's `h // 64` is the same integer shift
+    val v = shiftright(h, 6)
+    terms.select(
+        pmod(h, lit(hllM.toLong)).as("reg"),
+        when(v === 0, lit(55)).otherwise(lit(55) - length(bin(v))).as("rank"))
+      .groupBy("reg").agg(max(col("rank")).as("rank"))
+  }
+
+  /** Raw HLL point estimate from the registers: αm·m²/Σ2^(−rank), absent
+    * registers counting rank 0. The harmonic sum folds in register order
+    * (sorted 64-element array), and 2^(−rank) is an exact dyadic double —
+    * the oracle reproduces the estimate bit-for-bit. Raw estimator only
+    * (no small-range linear-counting correction): the corpus regime this
+    * targets is far above 2.5·m distinct values. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    val full = spark.range(0, hllM).select(col("id").as("reg"))
+      .join(regs, Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("rank"), lit(0)).as("rank"))
+    full.agg(sort_array(collect_list(struct(col("reg"), col("rank")))).as("rs"))
+      .select(aggregate(col("rs"),
+        lit(0.0), (acc, x) => acc + pow(lit(0.5), x.getField("rank"))).as("hsum"))
+      .select((lit(hllAlpha) * hllM * hllM / col("hsum")).as("est_distinct"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ArrayOps, XHash}
-import graft.operators.{Multimodal, TextOps}
+import graft.operators.{Multimodal, Sketches, TextOps}
 
 /** Text-analysis + multimodal-plumbing coverage on `documents`. */
 object TextQueries {
@@ -244,7 +244,6 @@ object TextQueries {
          |  cast(min(coalesce(cell.cnt, 0)) as bigint) AS cms_cnt
          |FROM probe LEFT JOIN cell USING (r, c)
          |GROUP BY term, exact_cnt""".stripMargin) { (s, dir) =>
-      import graft.operators.Sketches
       val toks = Tables.documents(s, dir)
         .select(explode(ArrayOps.tokens(col("text"))).as("term"))
       val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
@@ -253,6 +252,39 @@ object TextQueries {
       Sketches.cmsEstimate(counters, top, "term", depth = 4, width = 1024)
         .join(top, Seq("term"))
         .select(col("term"), col("exact_cnt"), col("cms_cnt"))
+    },
+
+    // HyperLogLog distinct-token estimate vs the exact count: 64 max-rank
+    // registers (mergeable max aggregate — the shuffle carries 64 rows per
+    // partition at any corpus size), raw harmonic estimate folded in
+    // register order. Integer bin()-length rank (no float log), dyadic
+    // 2^-rank terms, shared literal alpha: the estimate is bit-identical
+    // across engines.
+    QueryDef(
+      "q73_hll_distinct",
+      s"""$toksCte,
+         |u AS (SELECT unnest(toks) AS term FROM t),
+         |hx AS (SELECT ${XHash.bucketHashSql("hll", "term")} AS h FROM u),
+         |rr AS (SELECT h % 64 AS reg,
+         |         CASE WHEN (h // 64) = 0 THEN 55
+         |              ELSE 55 - length(bin(h // 64)) END AS rank
+         |       FROM hx),
+         |regs AS (SELECT reg, max(rank) AS rank FROM rr GROUP BY reg),
+         |f AS (SELECT r.range AS reg, coalesce(regs.rank, 0) AS rank
+         |      FROM range(0, 64) r LEFT JOIN regs ON regs.reg = r.range),
+         |s AS (SELECT list_reduce(
+         |        [cast(0.0 as double)] || list(pow(0.5, rank) ORDER BY reg),
+         |        (x, y) -> x + y) AS hsum FROM f),
+         |ex AS (SELECT count(DISTINCT term) AS exact_distinct FROM u)
+         |SELECT cast(cast(${Sketches.hllAlpha} as double) * 64 * 64 / hsum
+         |         as double) AS est_distinct,
+         |       cast(exact_distinct as bigint) AS exact_distinct
+         |FROM s CROSS JOIN ex""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(ArrayOps.tokens(col("text"))).as("term"))
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(toks, "term"))
+      val exact = toks.agg(count_distinct(col("term")).as("exact_distinct"))
+      est.crossJoin(exact)
     },
 
     // Normalized exact-dup groups: whitespace/case variants (planted: two

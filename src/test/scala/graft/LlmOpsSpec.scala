@@ -353,6 +353,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(unseen == 0L)
   }
 
+  test("HLL: registers merge by max; raw estimate lands near the truth") {
+    import graft.operators.Sketches
+    val n = 5000
+    val terms = (1 to n).map(i => s"term$i").toDF("term")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(terms, "term"))
+      .as[Double].collect().head
+    // raw HLL with m=64: relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.4, s"estimate $est far from $n")
+    // duplicates must not move the registers (distinct-count semantics)
+    val dup = terms.unionAll(terms).unionAll(terms)
+    val est2 = Sketches.hllEstimate(Sketches.hllRegisters(dup, "term"))
+      .as[Double].collect().head
+    assert(est2 == est)
+    // split-merge equals whole-corpus: registers are a max-mergeable sketch
+    val a = Sketches.hllRegisters(terms.filter(col("term") < "term3"), "term")
+    val b = Sketches.hllRegisters(terms.filter(col("term") >= "term3"), "term")
+    val merged = a.unionAll(b).groupBy("reg").agg(max(col("rank")).as("rank"))
+    val est3 = Sketches.hllEstimate(merged).as[Double].collect().head
+    assert(est3 == est)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
