@@ -30,6 +30,22 @@ object MiscQueries {
         count(k).as("k_cnt"))
     },
 
+    // Z-order (Morton) key: bit-interleave of (user_id, event_id) — the
+    // multi-dimensional clustering key for min/max file skipping (the write
+    // path is Layout.clusterByZOrder; this verifies the key arithmetic,
+    // exact integer shifts in both engines).
+    QueryDef(
+      "q74_zorder_key",
+      s"""SELECT event_id, user_id,
+         |  cast(${graft.operators.Layout.zorder2Sql("user_id", "event_id", 20)}
+         |    as bigint) AS zkey
+         |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        graft.operators.Layout.zorder2(col("user_id"), col("event_id"), 20)
+          .as("zkey"))
+    },
+
     // As-of join composed from built-ins: each purchase joined to the most
     // recent prior click of the same user (union + running last-non-null —
     // no custom physical operator needed, SURVEY §4.3 preference (a)).

@@ -374,6 +374,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(est3 == est)
   }
 
+  test("zorder2 interleaves bits; clustering makes box queries touch few partitions") {
+    import graft.operators.Layout
+    // exact interleave vs a reference Scala implementation
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val df = pts.toDF("a", "b")
+    val got = df.select(col("a"), col("b"), Layout.zorder2(col("a"), col("b"), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == ref(a, b, 8), s"($a,$b)") }
+    // pruning shape: a 64x64 grid z-clustered into 16 range partitions; a
+    // 8x8 box intersects only the partitions whose z-range overlaps it —
+    // far fewer than a row-major layout would touch (8 of 16: every stripe)
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    val clustered = Layout.clusterByZOrder(grid, col("a"), col("b"), 6, 16)
+      .withColumn("pid", spark_partition_id())
+    val touched = clustered
+      .filter(col("a") >= 8 && col("a") < 16 && col("b") >= 8 && col("b") < 16)
+      .select("pid").distinct().count()
+    assert(touched <= 2, s"z-order box query touched $touched of 16 partitions")
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
