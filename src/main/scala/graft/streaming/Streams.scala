@@ -95,6 +95,36 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** [[runStreamingDedup]] holds every id ever seen until the watermark
+    * expires its EVENT's window — state grows with history on ids that
+    * never repeat. `dropDuplicatesWithinWatermark` is the unbounded-stream
+    * shape: duplicates are only suppressed when they arrive within the
+    * watermark delay of the first sighting, letting the store evict ids as
+    * the watermark passes — state is bounded by the late-data horizon
+    * alone, the only invariant the at-least-once source actually needs.
+    * On bounded input whose duplicates all arrive inside the delay, the
+    * result equals batch dropDuplicates.
+    */
+  def runStreamingDedupWithinWatermark(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val dedup = readEventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .select(col("event_id"), col("event_type"))
+      val q = dedup.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom session state via (flat)MapGroupsWithState: split each user's
     * event stream into sessions at >`gapMinutes` inactivity, emit one row
     * per closed session. The streaming analogue of sessionization windows.

@@ -37,6 +37,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark bounds state; equals batch on bounded input") {
+    val streamed = Streams
+      .runStreamingDedupWithinWatermark(spark, sf0001, "spec_dedup_ww")
+      .as[(Long, String)].collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionize splits at the inactivity gap") {
     val evs = Seq(
       Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
