@@ -95,15 +95,17 @@ object TextOps {
 
   /** Exact-duplicate groups under a normalizer: group docs by normalized
     * text, return each doc with its canonical representative (lowest id in
-    * the group) and the group size. One hash aggregate on the normalized
-    * key + one key join — shuffle bounded by distinct texts, the exact-dedup
-    * scale shape (C13/q26), never pairwise. */
+    * the group) and the group size. One hash aggregate + one key join —
+    * the exact-dedup scale shape (C13/q26), never pairwise. The aggregate
+    * and join key is the md5 digest of the normalized text, not the text
+    * itself (same digest-key convention as q26's exactDedup): the
+    * exchanges carry 32-byte digests, not documents. */
   def normalizedDupGroups(docs: org.apache.spark.sql.DataFrame, id: String,
       text: String): org.apache.spark.sql.DataFrame = {
-    val keyed = docs.select(col(id), normalizeWs(col(text)).as("__norm"))
-    val groups = keyed.groupBy("__norm")
+    val keyed = docs.select(col(id), md5(normalizeWs(col(text))).as("__nk"))
+    val groups = keyed.groupBy("__nk")
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("__norm"))
+    keyed.join(groups, Seq("__nk"))
       .select(col(id), col("canonical_id"), col("group_size"))
   }
 
