@@ -254,6 +254,40 @@ object Relational {
     keptFull.select(outCols: _*).unionAll(boundary.select(outCols: _*))
   }
 
+  /** Temperature-weighted source resampling (α = 0.5): downsample each
+    * source so the sampled mixture follows p_s^α instead of the raw p_s —
+    * the standard rebalancing a multilingual / multi-source training mix
+    * applies so giant sources stop drowning small ones. Keep probability
+    * per source is f_s = √(n_min / n_s) (∝ p_s^(α−1), normalized so the
+    * smallest source keeps everything); a row survives iff its seeded
+    * 60-bit hash < ⌊f_s · 2^60⌋, so the sample is deterministic, stable
+    * under repartitioning, and oracle-reproducible.
+    *
+    * Execution: per-source counts are a map-side-combined aggregate
+    * (≤ #sources rows), the min is a bounded unpartitioned window over that
+    * tiny frame, and the thresholds broadcast back onto the corpus — one
+    * narrow filter pass over the big side, no shuffle of the corpus itself.
+    *
+    * α is fixed at 0.5 because `sqrt` is IEEE-754 correctly rounded in both
+    * the JVM and DuckDB (bit-identical thresholds); a general `pow(x, 1−α)`
+    * is not guaranteed correctly rounded across libms and could flip a
+    * boundary row between engines.
+    */
+  def temperatureResample(df: DataFrame, source: String, seed: String,
+      hashKeys: Column*): DataFrame = {
+    val counts = df.groupBy(source).agg(count(lit(1)).as("__ns"))
+      .withColumn("__nmin", min(col("__ns")).over(Window.partitionBy()))
+      // 2^60 is exactly representable; ⌊√(nmin/ns)·2^60⌋ is deterministic
+      .withColumn("__thr",
+        floor(sqrt(col("__nmin").cast("double") / col("__ns").cast("double"))
+          * lit(1152921504606846976.0)).cast("long"))
+      .select(col(source), col("__thr"))
+    // the hash is 60-bit (< 2^60), so the min source's thr = 2^60 keeps all
+    df.join(broadcast(counts), source)
+      .filter(XHash.bucketHash(seed, hashKeys: _*) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
     * by replicating `small` `saltFactor` times and deterministically
     * scattering each big-side row across the salt range. AQE's skew-join

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.XHash
@@ -88,5 +89,59 @@ object Sketches {
       .select(aggregate(col("rs"),
         lit(0.0), (acc, x) => acc + pow(lit(0.5), x.getField("rank"))).as("hsum"))
       .select((lit(hllAlpha) * hllM * hllM / col("hsum")).as("est_distinct"))
+  }
+
+  /** Exact global quantiles WITHOUT a global sort — the mergeable-histogram
+    * companion to the sketch family (the TODO's "quantile sketch with
+    * deterministic two-pass exact refinement").
+    *
+    * Pass 0 (map-side `min`/`max`) fixes an equi-width binning of the value
+    * domain; pass 1 histograms the bins with a map-side-combining aggregate
+    * (shuffle ≤ `bins` rows however large the input) and a cumulative sum
+    * over the ≤`bins`-row histogram locates, for each requested percentile
+    * `p`, the bin holding rank `ceil(n·p/100)` (integer-only as
+    * `(n·p + 99) div 100`, matching the oracle's `//`); pass 2 ranks ONLY
+    * the rows of the chosen bins (~n/bins rows each, never a whole-corpus
+    * reducer) and picks the exact order statistic. Equal values always land
+    * in the same bin (bins partition the value domain), so the selected
+    * value is tie-invariant and bit-identical to a full sort.
+    *
+    * Value domain must be integral (long-valued); bin arithmetic is pure
+    * long math (`width = ceil(range/bins)`), no float boundaries.
+    */
+  def histogramQuantiles(df: DataFrame, value: Column,
+      pcts: Seq[Int], bins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(value.cast("long").as("__v"))
+    // pass 0: domain bounds + row count — one map-side-combined row
+    val bounds = v.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      count(lit(1)).as("__n"))
+    // equi-width long bins: width = ceil((hi-lo+1)/bins) ≥ 1, pure long math
+    val withW = bounds.select(col("__lo"), col("__n"),
+      expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+    val binned = v.crossJoin(broadcast(withW))
+      .select(col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+    // pass 1: the histogram is ≤`bins` rows after the map-side combine; the
+    // unpartitioned cum-sum window over it is bounded by `bins`, never by n
+    val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__bc"))
+      .withColumn("__cum", sum(col("__bc")).over(Window.orderBy(col("__bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__below", col("__cum") - col("__bc"))
+    // rank of percentile p: ceil(n·p/100), integer-only (oracle: `//`)
+    val probes = pcts.toDF("pct")
+      .crossJoin(broadcast(bounds.select(col("__n"))))
+      .withColumn("__rank", expr("(__n * pct + 99) div 100"))
+      .drop("__n")
+    val probeBins = probes.join(broadcast(hist),
+        col("__rank") > col("__below") && col("__rank") <= col("__cum"))
+      .select(col("pct"), col("__rank"), col("__bin"), col("__below"))
+    // pass 2: rank ONLY the chosen bins' rows (~n/bins per probe)
+    binned.join(broadcast(probeBins), "__bin")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("pct")).orderBy(col("__v"))))
+      .filter(col("__below") + col("__rn") === col("__rank"))
+      .select(col("pct"), col("__rank").as("qrank"), col("__v").as("qvalue"))
   }
 }

@@ -244,6 +244,38 @@ object TextOps {
         expr(s"tok_offset div ${ctxLen}L").as("chunk_id"))
   }
 
+  /** Per-document sliding-window chunking with overlap — the RAG-indexing /
+    * long-context-eval counterpart of [[packChunks]] (that one concatenates
+    * across documents; this one windows WITHIN each document, preserving
+    * provenance). Window `win` tokens, stride `stride` (< win ⇒ overlap of
+    * win−stride tokens); the last window is the trailing partial one, and a
+    * document shorter than `win` yields exactly one chunk.
+    *
+    * Pure per-row generate (sequence + explode of start offsets, then an
+    * array slice): no shuffle, no state — chunking 100 TB is a map-only
+    * stage whose output partitioning follows the input.
+    *
+    * Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame, id: String,
+      toks: Column, win: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win: win=$win stride=$stride")
+    // #chunks = 1 + ceil(max(0, n-win)/stride); integer-only, and the div
+    // numerator is clamped non-negative first (floor-vs-trunc division
+    // semantics differ between engines on negative operands)
+    docs.select(col(id), toks.as("__toks"))
+      .withColumn("__nc", lit(1) +
+        expr(s"(greatest(size(__toks) - $win, 0) + $stride - 1) div $stride"))
+      .select(col(id), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)))
+      .select(col(id), col("pos").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("pos") * stride + 1, lit(win)).as("__c"))
+      .select(col(id), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Benchmark decontamination: flag evaluation documents sharing any word
     * n-gram with the training corpus (the standard containment check run
     * before training on scraped data; the reference's C20 leakage move is

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.extract.{Extract, IdentityChemistry}
 import graft.functions.{ArrayOps, Exact, XHash}
-import graft.operators.{Relational, TextOps}
+import graft.operators.{Relational, Sketches, TextOps}
 import graft.streaming.Streams
 
 /** Round-2 coverage extensions: TF-IDF scoring, exact stratified sampling,
@@ -91,6 +91,46 @@ object ExtendedQueries {
           Tables.documents(s, dir).select("doc_id", "source"),
           Seq("source"), 3L, "cap",
           Seq(col("doc_id")), col("doc_id").cast("string"))
+        .select("doc_id", "source")
+    },
+
+    // Exact global quantiles of document length WITHOUT a global sort: the
+    // mergeable-histogram two-pass (≤4096-row shuffle, then rank only the
+    // boundary bins). The oracle runs the naive global-window formulation —
+    // selection must be bit-identical.
+    QueryDef(
+      "q75_quantiles",
+      """WITH r AS (SELECT n_chars,
+        |             row_number() OVER (ORDER BY n_chars) AS rn,
+        |             count(*) OVER () AS n
+        |           FROM documents),
+        |p AS (SELECT unnest([1, 25, 50, 75, 90, 99]) AS pct)
+        |SELECT cast(p.pct as int) AS pct,
+        |       cast((r.n * p.pct + 99) // 100 as bigint) AS qrank,
+        |       cast(r.n_chars as bigint) AS qvalue
+        |FROM p JOIN r ON r.rn = (r.n * p.pct + 99) // 100""".stripMargin) { (s, dir) =>
+      Sketches.histogramQuantiles(Tables.documents(s, dir),
+        col("n_chars"), Seq(1, 25, 50, 75, 90, 99))
+    },
+
+    // Temperature-weighted source resampling (α = 0.5): per-source keep
+    // probability √(n_min/n_s), applied as a deterministic hash threshold —
+    // the corpus-mix flattening step before training. One narrow filter
+    // pass over the corpus; thresholds derive from a tiny broadcast agg.
+    QueryDef(
+      "q76_temp_resample",
+      s"""WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+         |m AS (SELECT min(ns) AS nmin FROM c),
+         |t AS (SELECT source,
+         |        cast(floor(sqrt(cast(nmin as double) / cast(ns as double))
+         |             * 1152921504606846976.0) as bigint) AS thr
+         |      FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN t USING (source)
+         |WHERE ${XHash.bucketHashSql("tr", "cast(doc_id as varchar)")} < t.thr""".stripMargin) { (s, dir) =>
+      Relational.temperatureResample(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", "tr", col("doc_id").cast("string"))
         .select("doc_id", "source")
     },
 

@@ -159,6 +159,27 @@ object TextQueries {
         "doc_id", size(col("toks")), 2048L, "pack")
     },
 
+    // Per-document sliding-window chunking (window 32 tokens, stride 24 →
+    // overlap 8): the RAG-indexing counterpart of q65's cross-document
+    // packing. Map-only generate — no shuffle; chunk counts, boundaries,
+    // and text must match the oracle's list-slicing formulation exactly.
+    QueryDef(
+      "q77_sliding_chunks",
+      s"""$toksCte,
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(0, 1 + (greatest(len(toks) - 32, 0) + 23) // 24))
+         |          AS chunk_id
+         |      FROM t)
+         |SELECT doc_id, cast(chunk_id as bigint) AS chunk_id,
+         |  cast(len(toks[chunk_id*24+1 : chunk_id*24+32]) as bigint)
+         |    AS n_chunk_tokens,
+         |  array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin) { (s, dir) =>
+      TextOps.slidingChunks(Tables.documents(s, dir), "doc_id",
+        ArrayOps.tokens(col("text")), win = 32, stride = 24)
+    },
+
     // PII scrubbing with typed tags + per-type audit counts. PII is planted
     // deterministically (synthetic docs carry none), then redacted in the
     // fixed piiPatterns order; the oracle runs the IDENTICAL pattern text

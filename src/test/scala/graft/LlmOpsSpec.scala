@@ -397,6 +397,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(touched <= 2, s"z-order box query touched $touched of 16 partitions")
   }
 
+  test("histogramQuantiles equals the brute-force sort at every percentile") {
+    import graft.operators.Sketches
+    // skewed longs with heavy ties so boundary bins actually get exercised
+    val vals = ((1 to 400).map(i => (i * i % 97).toLong) ++ Seq.fill(50)(7L))
+    val df = vals.toDF("v")
+    val pcts = Seq(1, 10, 25, 50, 75, 90, 99, 100)
+    val sorted = vals.sorted
+    def rank(p: Int) = (vals.size.toLong * p + 99) / 100
+    // few bins: multiple percentile ranks land mid-bin → in-bin ranking path
+    for (bins <- Seq(4, 16, 4096)) {
+      val got = Sketches.histogramQuantiles(df, col("v"), pcts, bins)
+        .as[(Int, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      pcts.foreach { p =>
+        val r = rank(p)
+        assert(got(p) == (r, sorted(r.toInt - 1)), s"bins=$bins pct=$p")
+      }
+    }
+  }
+
+  test("temperatureResample: min source kept whole, others at sqrt ratio, deterministic") {
+    import graft.functions.XHash
+    import graft.operators.Relational
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    val kept = Relational.temperatureResample(df, "src", "s1",
+        col("id").cast("string"))
+      .select("id", "src").as[(Long, String)].collect().toSet
+    // smallest source: threshold 2^60 keeps everything
+    assert(rows.filter(_._2 == "small").forall(kept.contains))
+    // big source: exactly the ids whose hash clears floor(sqrt(25/400)·2^60)
+    val thr = math.floor(math.sqrt(25.0 / 400.0) * math.pow(2, 60)).toLong
+    val expectBig = rows.filter(_._2 == "big")
+      .filter(r => XHash.bucketHashJvm("s1", r._1.toString) < thr).toSet
+    assert(kept.filter(_._2 == "big") == expectBig)
+    // the ratio lands near sqrt(1/16) of 400 = 100 (hash uniformity)
+    assert(math.abs(expectBig.size - 100) < 40)
+  }
+
+  test("slidingChunks: boundaries, overlap, trailing partial, degenerate docs") {
+    val toks80 = (0 until 80).map(i => s"t$i")
+    val toks33 = (0 until 33).map(i => s"u$i")
+    val df = Seq(
+      (1L, toks80),          // 3 full windows: starts 0/24/48
+      (2L, toks33),          // 2 windows, second is the 9-token tail
+      (3L, (0 until 32).map(i => s"v$i")),  // exactly one window
+      (4L, Seq.empty[String])               // empty doc → one empty chunk
+    ).toDF("doc_id", "toks")
+    val out = TextOps.slidingChunks(df, "doc_id", col("toks"), 32, 24)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._3).toSeq == Seq(32L, 32L, 32L))
+    assert(out(1L)(1)._4.startsWith("t24 ") && out(1L)(2)._4.startsWith("t48 "))
+    // overlap: window 1 re-covers tokens 24..31 of window 0
+    assert(out(1L)(0)._4.endsWith(" t31") && out(1L)(1)._4.contains("t31"))
+    assert(out(2L).map(_._3).toSeq == Seq(32L, 9L))
+    assert(out(2L)(1)._4 == (24 until 33).map(i => s"u$i").mkString(" "))
+    assert(out(3L).map(_._3).toSeq == Seq(32L))
+    assert(out(4L).map(t => (t._3, t._4)).toSeq == Seq((0L, "")))
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
