@@ -132,11 +132,11 @@ object Smiles {
     val hadPreceder = mutable.ArrayBuffer[Boolean]()
     val nbOrder = mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]()
     val stack = mutable.Stack[Int]()
-    val ringOpen = mutable.Map[Int, (Int, Int)]() // ring# -> (atom, pendingOrder)
+    val ringOpen = mutable.Map[Int, (Int, Int, Int)]() // ring# -> (atom, order, dir)
     var prev = -1
     var pendingOrder = 0 // 0 = unset (default)
     var pendingDir = 0 // +1 = '/', -1 = '\' (E/Z mark on a single bond)
-    var ringDir = false // direction mark on a ring-closure bond: out of subset
+    var dirConflict = false // both ring ends marked with contradictory dirs
     var i = 0
 
     def defaultOrder(a: Int, b: Int): Int =
@@ -163,13 +163,20 @@ object Smiles {
     }
 
     def ringBond(n: Int): Unit = {
-      if (pendingDir != 0) ringDir = true // can't express E/Z across a digit
       ringOpen.remove(n) match {
-        case Some((other, opening)) =>
+        case Some((other, opening, dirOpen)) =>
           // bond type may be written at either end; they must agree if both
           val o = if (pendingOrder != 0) pendingOrder
             else if (opening != 0) opening else 0
-          addBond(other, prev, o, 0)
+          // direction marks may sit at either digit (or both): the opening
+          // mark reads opener→closer (= a→b as stored); the closing mark
+          // reads closer→opener, so it lands in a→b as its negation. Marks
+          // at both ends must denote the same side (OpenSMILES: one '/'
+          // and one '\'), else the SMILES is contradictory.
+          val dirClose = -pendingDir
+          if (dirOpen != 0 && dirClose != 0 && dirOpen != dirClose)
+            dirConflict = true
+          addBond(other, prev, o, if (dirOpen != 0) dirOpen else dirClose)
           pendingOrder = 0; pendingDir = 0
           // written-order bookkeeping: the closer sees the partner at this
           // digit; the opener reserved the slot at ITS digit position
@@ -177,7 +184,7 @@ object Smiles {
           val slot = nbOrder(other).indexOf(-(100 + n))
           if (slot >= 0) nbOrder(other)(slot) = prev
         case None =>
-          ringOpen(n) = (prev, pendingOrder)
+          ringOpen(n) = (prev, pendingOrder, pendingDir)
           pendingOrder = 0; pendingDir = 0
           nbOrder(prev) += -(100 + n) // placeholder until the ring closes
       }
@@ -227,7 +234,7 @@ object Smiles {
       }
     }
     if (stack.nonEmpty || ringOpen.nonEmpty || atoms.isEmpty ||
-      pendingOrder != 0 || ringDir) None
+      pendingOrder != 0 || dirConflict) None
     else {
       val mol0 = Mol(atoms.toVector, bonds.toVector)
       val resolved = mol0.atoms.zipWithIndex.map { case (a, idx) =>
@@ -259,17 +266,44 @@ object Smiles {
     * Bonds store dir in a→b orientation. */
   private def sTo(b: Bond, atom: Int): Int = if (b.b == atom) b.dir else -b.dir
 
+  /** Size of the smallest ring containing edge (a,b): BFS shortest
+    * alternative path between the endpoints, avoiding the direct edge.
+    * Int.MaxValue when the edge is not in any cycle. */
+  private def minRingSize(mol: Mol, a: Int, b: Int): Int = {
+    val dist = Array.fill(mol.atoms.length)(-1)
+    dist(a) = 0
+    val q = mutable.Queue(a)
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      mol.adj(u).foreach { case (v, _) =>
+        if (!(u == a && v == b) && dist(v) < 0) {
+          dist(v) = dist(u) + 1
+          q.enqueue(v)
+        }
+      }
+    }
+    if (dist(b) < 0) Int.MaxValue else dist(b) + 1
+  }
+
+  /** A double bond can carry E/Z only outside rings smaller than 8
+    * (RDKit's minimum ring size for bond stereo: cis is geometrically
+    * forced below that, so marks there are redundant and must not split
+    * canonical classes). */
+  private def ezCapable(mol: Mol, a: Int, b: Int): Boolean =
+    minRingSize(mol, a, b) >= 8
+
   /** Validate direction marks and clear the meaningless ones. A double bond
     * is stereo-specified only when BOTH ends carry a mark; marks serving no
-    * such bond (lone marks, marks next to triple bonds or allene centers)
-    * are dropped like RDKit drops them. Two marks on the same end must
-    * claim opposite sides, else the SMILES is contradictory → None. */
+    * such bond (lone marks, marks next to triple bonds or allene centers,
+    * marks around a small-ring double bond) are dropped like RDKit drops
+    * them. Two marks on the same end must claim opposite sides, else the
+    * SMILES is contradictory → None. */
   private def normalizeEz(mol: Mol): Option[Mol] = {
     val marked = mol.bonds.zipWithIndex.filter(_._1.dir != 0)
     if (marked.isEmpty) return Some(mol)
     val keep = mutable.Set[Int]()
     mol.bonds.foreach { db =>
-      if (db.order == 2) {
+      if (db.order == 2 && ezCapable(mol, db.a, db.b)) {
         val sides = Seq(db.a, db.b).map { e =>
           marked.filter { case (sb, _) => sb.a == e || sb.b == e }
         }
@@ -298,7 +332,7 @@ object Smiles {
     val side = mutable.Map[(Int, Int), Int]() // (end, subst) -> s-value
     val stereo = mutable.ArrayBuffer[(Int, Int)]()
     mol.bonds.foreach { db =>
-      if (db.order == 2) {
+      if (db.order == 2 && ezCapable(mol, db.a, db.b)) {
         val ok = Seq(db.a, db.b).forall { e =>
           marked.exists(sb => sb.a == e || sb.b == e)
         }
@@ -325,64 +359,24 @@ object Smiles {
     (stereo.toVector, side.toMap)
   }
 
-  /** In a cycle ⟺ endpoints stay connected without the direct bond. */
-  private def bondInCycle(mol: Mol, a: Int, b: Int): Boolean = {
-    val visited = mutable.Set(a)
-    val q = mutable.Queue(a)
-    var found = false
-    while (q.nonEmpty && !found) {
-      val u = q.dequeue()
-      mol.adj(u).foreach { case (v, _) =>
-        if (!((u == a && v == b) || (u == b && v == a))) {
-          if (v == b) found = true
-          else if (visited.add(v)) q.enqueue(v)
-        }
-      }
-    }
-    found
-  }
-
-  /** Substituents of end `e` reachable through a NON-cycle bond — the only
-    * bonds emission may mark (a non-cycle bond is a tree edge in EVERY
-    * DFS, so renderability is graph-determined, never tree-determined). */
-  private def safeSubst(mol: Mol, e: Int, other: Int): Vector[Int] =
-    mol.adj(e).map(_._1).filter(x => x != other && !bondInCycle(mol, e, x))
-
-  /** True when some stereo-specified double bond cannot be re-expressed on
-    * the emission tree: the bond itself lies in a ring (marks would land on
-    * ring-closure digits), or a side's only substituent bonds are ring
-    * chords. The whole input then degrades to identity passthrough —
-    * macrocycle cis/trans isomers stay DISTINCT strings, never silently
-    * merged by dropping their marks. */
-  private def hasUnrenderableEzStereo(mol: Mol): Boolean = {
-    val (stereo, _) = ezPerception(mol)
-    stereo.exists { case (a, b) =>
-      bondInCycle(mol, a, b) ||
-        safeSubst(mol, a, b).isEmpty || safeSubst(mol, b, a).isEmpty
-    }
-  }
-
-  /** Canonically re-anchored direction marks for the non-cycle substituent
-    * bonds of live stereo double bonds, as (parent, child)-oriented dirs.
-    * The parsed marks' absolute signs are writing-dependent (`F/C=C/F` ≡
+  /** Canonically re-anchored direction marks for the substituent bonds of
+    * live stereo double bonds, as (parent, child)-oriented dirs. The
+    * parsed marks' absolute signs are writing-dependent (`F/C=C/F` ≡
     * `F\C=C\F`), so only the same/opposite-side RELATIONS survive; each
     * connected stereo system (conjugated dienes share mark bonds) is
-    * re-anchored at its rank-lowest end's rank-lowest safe substituent and
-    * propagated, giving one canonical sign choice per system. The live set
-    * and every rendered mark are GRAPH-determined (non-cycle bonds are
-    * tree edges in every DFS) — emission never varies with tree shape;
-    * unrenderable stereo (in-ring bonds, chord-only sides) is dropped
-    * here, and [[canonicalVia]] guards those inputs into identity
-    * passthrough before emission.
+    * re-anchored at its rank-lowest end's rank-lowest substituent and
+    * propagated, giving one canonical sign choice per system. Substituent
+    * bonds may be tree edges OR ring bonds (macrocycle E/Z): emission
+    * renders the former inline and the latter on ring-closure digits; the
+    * emission tree itself is rank-determined, so the rendered string is
+    * identical for every writing of the molecule.
     */
   private def ezAssign(mol: Mol, ranks: Array[Int]): Map[(Int, Int), Int] = {
     val (stereo, side) = ezPerception(mol)
     if (stereo.isEmpty) return Map.empty
-    val live = stereo.filter { case (a, b) =>
-      !bondInCycle(mol, a, b) &&
-        safeSubst(mol, a, b).nonEmpty && safeSubst(mol, b, a).nonEmpty
-    }
-    if (live.isEmpty) return Map.empty
+    // every perceived stereo bond carries a mark on each side, so each end
+    // has at least one substituent — all renderable
+    val live = stereo
     // constraint graph over variables v(e,x) = dir(x→e)
     val edges = mutable.Map[(Int, Int), mutable.ArrayBuffer[((Int, Int), Int)]]()
     def addEdge(k1: (Int, Int), k2: (Int, Int), sign: Int): Unit = {
@@ -412,7 +406,8 @@ object Smiles {
     }
     ordered.foreach { case (a, b) =>
       val (eLow, oLow) = if (ranks(a) <= ranks(b)) (a, b) else (b, a)
-      val anchor = (eLow, safeSubst(mol, eLow, oLow).minBy(ranks(_)))
+      val anchor = (eLow,
+        mol.adj(eLow).map(_._1).filter(_ != oLow).minBy(ranks(_)))
       if (!v.contains(anchor)) {
         v(anchor) = 1
         val q = mutable.Queue(anchor)
@@ -427,7 +422,7 @@ object Smiles {
     }
     val out = mutable.Map[(Int, Int), Int]()
     v.foreach { case ((e, x), d) =>
-      if (!bondInCycle(mol, e, x)) { out((x, e)) = d; out((e, x)) = -d }
+      out((x, e)) = d; out((e, x)) = -d
     }
     out.toMap
   }
@@ -868,10 +863,15 @@ object Smiles {
       sb.append(emitAtom(at,
         readerImplicitH(at, mol.adj(a).map(_._2)), chiralOut))
       rings.foreach { case (num, o, partner) =>
-        // bond char on the ring-opening digit only (first appearance)
-        if (ringOpened.add(num))
-          sb.append(bondStr(o, at, mol.atoms(partner)) + ringToken(num))
-        else sb.append(ringToken(num))
+        // bond char on the ring-opening digit only (first appearance); an
+        // E/Z mark on a single ring bond renders there too, oriented
+        // this-atom→partner (the parser's opening-mark convention)
+        if (ringOpened.add(num)) {
+          val mark = if (o == 1) ezRender.getOrElse((a, partner), 0) else 0
+          if (mark != 0) sb.append(if (mark > 0) "/" else "\\")
+          else sb.append(bondStr(o, at, mol.atoms(partner)))
+          sb.append(ringToken(num))
+        } else sb.append(ringToken(num))
       }
       kids.zipWithIndex.foreach { case ((b, o), idx) =>
         if (!visited(b)) {
