@@ -47,10 +47,14 @@ import scala.collection.mutable
   *    writing-dependent: `F/C=C/F` ≡ `F\C=C\F`), so every writing of a
   *    configuration emits one canonical string and E ≠ Z.
   *
-  * Documented boundaries (vs RDKit): direction marks on ring-closure
-  * digits (macrocycle E/Z across a back-edge) are out of the subset —
-  * such inputs are returned unchanged (identity fallback), like
-  * unparsable strings return null in the reference; pseudo-asymmetric
+  * Ring-bond E/Z follows RDKit: direction marks on ring-closure digits
+  * (macrocycle cis/trans across a back-edge) parse and canonicalize like
+  * chain marks — emission carries them on the closure digits — while
+  * marks on bonds in rings smaller than 8 are dropped (the ring forces
+  * the geometry). Contradictory double-marked closures fail the parse
+  * and degrade to identity passthrough.
+  *
+  * Documented boundaries (vs RDKit): pseudo-asymmetric
   * (r/s) centers are cleaned rather than kept; allene axial stereo is
   * dropped; aromatization covers 5/6-rings only (no tropylium/azulene
   * 7-rings), and a kekulé assignment of a large fused polycycle in which
@@ -902,10 +906,6 @@ object Smiles {
     val canon = parts.map { p =>
       parseComponent(p) match {
         case Some(mol) =>
-          // unrenderable double-bond stereo (in-ring bonds, chord-only
-          // sides): inexpressible via non-cycle marks → identity
-          // passthrough, consistent with digit-marked writings
-          if (hasUnrenderableEzStereo(mol)) return Some(s)
           val norm = aromatize(prep(mol))
           val (cleaned, ranks) = canonicalAssign(norm)
           emit(cleaned, ranks)
@@ -918,11 +918,16 @@ object Smiles {
 
   /** Canonical SMILES of the (possibly multi-component) input; None when
     * outside the parseable subset. Tetrahedral centers canonicalize with
-    * parity-correct `@`/`@@` (`@TH1`/`@TH2` are read as their aliases) and
-    * acyclic double bonds with re-anchored `/`/`\` marks; stereo the
-    * subset cannot re-express (in-ring E/Z, ring-digit marks, `@AL`/`@SP`
-    * classes) degrades to identity passthrough of the whole input — never
-    * a silent stereo drop.
+    * parity-correct `@`/`@@` (`@TH1`/`@TH2` are read as their aliases);
+    * double-bond stereo canonicalizes everywhere it is perceivable —
+    * acyclic bonds re-anchor their `/`/`\` marks, and in-ring bonds carry
+    * them on ring-closure digits. Marks on bonds in rings smaller than 8
+    * are dropped (RDKit-style: the geometry is forced by the ring);
+    * contradictory double-marked closures fail the parse and degrade to
+    * identity passthrough like other stereo-bearing unparseables. Stereo
+    * classes
+    * the subset cannot re-express (`@AL`/`@SP`/`@TB`) degrade to identity
+    * passthrough of the whole input — never a silent stereo drop.
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 

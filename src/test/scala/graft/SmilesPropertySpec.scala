@@ -62,8 +62,10 @@ class SmilesPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
         1 + rnd.nextInt(2)
       else 0
     }
-    // random E/Z marks on ACYCLIC double bonds (in-ring stereo is the
-    // documented passthrough boundary): one substituent bond per end
+    // random E/Z marks on ACYCLIC double bonds (ring-bond marks are
+    // exercised separately by the macrocycle test below, which controls
+    // ring size across the ezCapable boundary): one substituent bond per
+    // end
     def isRingEdge(i: Int) =
       i == ringEdgeIdx && bonds.length == n // ring edge exists iff extra bond
     bonds.zipWithIndex.foreach { case (db, di) =>
@@ -123,5 +125,59 @@ class SmilesPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     }
     assert(tested > 200, s"only $tested non-passthrough molecules exercised")
+  }
+
+  /** In-ring E/Z across the ezCapable boundary: a plain carbocycle of size
+    * 6..14 with one stereo-marked double bond. Every random writing of one
+    * geometry (including writings where the marked bond lands on a
+    * ring-closure digit) must canonicalize to ONE string; below ring size
+    * 8 the marks must drop (marked ≡ unmarked); at 8+ the two geometries
+    * must stay distinct.
+    */
+  test("macrocycle E/Z: writings unify, size-8 boundary, geometries distinct") {
+    val rnd = new Random(20260813)
+    def ringMol(n: Int, d1: Int, d2: Int): Mol = {
+      // cycle 0-1-...-(n-1)-0; double bond 0=1; marks on bonds 1-2 and (n-1)-0
+      val bonds = Vector.tabulate(n) { i =>
+        val j = (i + 1) % n
+        val order = if (i == 0) 2 else 1
+        val dir = if (i == 1) d1 else if (i == n - 1) d2 else 0
+        Bond(i, j, order, dir)
+      }
+      val used = Array.fill(n)(2); used(0) += 1; used(1) += 1
+      val atoms = Vector.tabulate(n)(a =>
+        Atom("C", aromatic = false, 0, 0, 4 - used(a), 0))
+      val nbOrder = {
+        val m = Vector.fill(n)(collection.mutable.ArrayBuffer[Int]())
+        bonds.foreach { bd => m(bd.a) += bd.b; m(bd.b) += bd.a }
+        Vector.tabulate(n)(a => m(a).toVector)
+      }
+      Mol(atoms, bonds, nbOrder)
+    }
+    (6 to 14).foreach { n =>
+      val geomA = ringMol(n, 1, 1)
+      val geomB = ringMol(n, 1, -1) // one mark flipped = other isomer
+      val plain = ringMol(n, 0, 0)
+      def canonOf(mol: Mol): String = {
+        val writings = (1 to 12).map { _ =>
+          Smiles.emit(mol, rnd.shuffle((0 until n).toList).toArray)
+        }
+        val canons = writings.map(w => Smiles.canonical(w).getOrElse(
+          fail(s"ring($n) writing failed to parse: $w")))
+        assert(canons.distinct.size == 1,
+          s"ring($n) writings did not unify: ${writings.zip(canons).distinct}")
+        // canonical form is a fixpoint
+        assert(Smiles.canonical(canons.head).contains(canons.head))
+        canons.head
+      }
+      val (ca, cb, cp) = (canonOf(geomA), canonOf(geomB), canonOf(plain))
+      if (n < 8) {
+        assert(ca == cp && cb == cp,
+          s"ring($n) < 8: marks must drop, got $ca / $cb vs plain $cp")
+      } else {
+        assert(ca != cb, s"ring($n): geometries merged: $ca")
+        assert(!cp.contains("/") && !cp.contains("\\"))
+      }
+    }
   }
 }

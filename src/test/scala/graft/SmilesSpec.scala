@@ -139,8 +139,10 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Smiles.canonical("[C@TH1](C)(N)(O)F") == Smiles.canonical("[C@](C)(N)(O)F"))
     assert(Smiles.canonical("[C@TH2](C)(N)(O)F") == Smiles.canonical("[C@@](C)(N)(O)F"))
     assert(Smiles.canonical("C[C@SP1](N)O").contains("C[C@SP1](N)O"))
-    // ring-closure direction marks (macrocycle E/Z) → passthrough boundary
-    assert(Smiles.canonical("C/1=C/CCCCCC1").contains("C/1=C/CCCCCC1"))
+    // contradictory double-marked closure (both ends `/`, but dir is
+    // antisymmetric) fails the parse → identity passthrough, never a
+    // silent stereo drop
+    assert(Smiles.canonical("C/1=C/CCCCCC/1").contains("C/1=C/CCCCCC/1"))
   }
 
   test("E/Z double-bond stereo: writings unify, E and Z distinct") {
@@ -168,12 +170,29 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c("C/C=C/C=C/C") != c("C/C=C/C=C\\C"))
     // E/Z through an aromatic substituent (styrene-like)
     assert(c("c1ccccc1/C=C/C") == c("C(\\c1ccccc1)=C/C"))
-    // in-ring double-bond stereo (cyclooctene): inexpressible on the
-    // emission tree → identity passthrough; cis and trans must NOT merge
-    // (exec-confirmed bug: they previously unified with marks dropped)
-    assert(c("C1CCCC/C=C/C1") == "C1CCCC/C=C/C1")
-    assert(c("C1CCCC/C=C\\C1") == "C1CCCC/C=C\\C1")
-    assert(c("C1CCCC/C=C/C1") != c("C1CCCC/C=C\\C1"))
+    // in-ring double-bond stereo (cyclooctene, ring size 8 = smallest
+    // where RDKit keeps bond stereo): marks canonicalize onto the
+    // ring-closure digit; every writing of one geometry unifies, and
+    // cis/trans stay distinct
+    assert(c("C1CCCC/C=C/C1") == c("C1CCC/C=C/CC1")) // trans, chain marks
+    assert(c("C1CCCC/C=C\\C1") == c("C/1=C/CCCCCC1")) // cis: chain vs digit marks
+    assert(c("C/1=C/CCCCCC1") == c("C\\1=C\\CCCCCC1")) // global sign flip
+    assert(c("C/1=C/CCCCCC1") == c("C/1=C/CCCCCC\\1")) // agreeing double mark
+    assert(c("C1CCCC/C=C/C1") != c("C1CCCC/C=C\\C1")) // trans != cis
+    // the emitted form carries its mark on the ring-closure digit and
+    // round-trips to itself (true canonical fixpoint)
+    val transOct = c("C1CCCC/C=C/C1")
+    assert(c(transOct) == transOct)
+    // ezCapable boundary: rings <8 force the geometry, marks are dropped
+    // (cyclohexene, cycloheptene) — marked and unmarked writings merge
+    assert(c("C1CC/C=C/C1") == c("C1CCC=CC1")) // 6-ring
+    assert(c("C1CC/C=C\\C1") == c("C1CCC=CC1"))
+    assert(c("C1CCC/C=C/C1") == c("C1CCCC=CC1")) // 7-ring
+    assert(c("C1CCC/C=C\\C1") == c("C1CCCC=CC1"))
+    assert(!c("C1CCC/C=C/C1").contains("/") && !c("C1CCC/C=C/C1").contains("\\"))
+    // macrocycle (12-ring): digit and chain writings of one geometry unify
+    assert(c("C/1=C/CCCCCCCCCC1") == c("C1CCCCCCCC/C=C\\C1"))
+    assert(c("C1CCCCCCCC/C=C/C1") != c("C1CCCCCCCC/C=C\\C1"))
   }
 
   test("tetrahedral stereo: equivalent writings unify, enantiomers distinct") {
