@@ -33,14 +33,18 @@ object Bench {
         .groupBy("k").agg(sum("v").as("s"), max("rn").as("m"))
         .orderBy(col("s").desc).limit(5).collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order: Map iteration is hash order, so adding a
+    // query would silently reshuffle execution order between rounds and
+    // shift JIT/GC warm-up attribution onto different queries — sorted
+    // order keeps per-query numbers comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -93,20 +93,22 @@ object TextOps {
   def normalizeWs(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Exact-duplicate groups under a normalizer: group docs by normalized
-    * text, return each doc with its canonical representative (lowest id in
-    * the group) and the group size. One hash aggregate + one key join —
-    * the exact-dedup scale shape (C13/q26), never pairwise. The aggregate
-    * and join key is the md5 digest of the normalized text, not the text
-    * itself (same digest-key convention as q26's exactDedup): the
-    * exchanges carry 32-byte digests, not documents. */
+  /** Exact-duplicate groups under a normalizer: return each doc with its
+    * canonical representative (lowest id in its normalized-text group) and
+    * the group size. One window over the md5 digest of the normalized text
+    * — a single exchange of (id, 32-byte digest) pairs, with the
+    * normalize+hash projection evaluated exactly once per doc. The
+    * agg+join alternative re-shuffles the keyed rows a second time for the
+    * join and re-evaluates the normalizer on the probe side; dup groups
+    * are small, so the per-key window sort is bounded. Never pairwise
+    * (same digest-key convention as q26's exactDedup). */
   def normalizedDupGroups(docs: org.apache.spark.sql.DataFrame, id: String,
       text: String): org.apache.spark.sql.DataFrame = {
     val keyed = docs.select(col(id), md5(normalizeWs(col(text))).as("__nk"))
-    val groups = keyed.groupBy("__nk")
-      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("__nk"))
-      .select(col(id), col("canonical_id"), col("group_size"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__nk")
+    keyed.select(col(id),
+      min(col(id)).over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("group_size"))
   }
 
   /** Non-distinct word n-grams (frequency semantics — unlike
