@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL — [[ImageCodec]] reads JPEG/PNG/GIF/BMP through the
   * JDK's `javax.imageio` (no new dependency), and dimension extraction is a
-  * header-only read (no raster materialized). Audio/video frame decode
-  * remains STUBBED behind the length-derived [[FakeCodec]] (those libs are
-  * not in this container). Everything Spark-side is designed for scale:
+  * header-only read (no raster materialized). Audio metadata is REAL too —
+  * [[AudioCodec]] walks the RIFF chunk list of a WAV payload (fmt + data
+  * chunks, zero dependencies) for sample rate / channels / duration without
+  * touching the sample data. Video frame decode remains STUBBED behind the
+  * length-derived [[FakeCodec]] (those libs are not in this container).
+  * Everything Spark-side is designed for scale:
   * binary columns stay opaque (never stringified), metadata is a narrow
   * struct computed in one pass, batch decode runs via `mapPartitions` (the
   * JVM analogue of `mapInPandas`: per-partition batch iteration amortizing
@@ -80,8 +83,91 @@ object Multimodal {
     * null for non-image payloads. */
   def imageDims(payload: Column): Column = imageDimsU(payload)
 
-  /** Deterministic length-derived metadata: the STUB half (audio/video
-    * frame counts) and the fallback for non-image payloads. */
+  /** Real WAV/RIFF codec: canonical PCM writer + header-only chunk-walking
+    * reader. The reader is a genuine RIFF parse (magic check, chunk
+    * iteration with even-byte padding, `fmt ` and `data` located wherever
+    * they sit), so WAVs with extra LIST/INFO chunks parse too — but it
+    * never touches the sample data, so a metadata scan over 100 TB of
+    * audio reads ~44 bytes per row. */
+  object AudioCodec {
+    final case class WavInfo(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, nSamples: Long)
+
+    /** Real 16-bit mono PCM WAV payload (canonical 44-byte header +
+      * xorshift noise samples): decodable by any WAV reader, deterministic
+      * in (sampleRate, numSamples, seed). */
+    def synthWav(sampleRate: Int, numSamples: Int, seed: Long): Array[Byte] = {
+      require(sampleRate > 0 && numSamples >= 0)
+      val dataSize = numSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataSize)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+      buf.putShort(1) // PCM
+      buf.putShort(1) // mono
+      buf.putInt(sampleRate)
+      buf.putInt(sampleRate * 2) // byte rate
+      buf.putShort(2) // block align
+      buf.putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSize)
+      var x = seed * 0x9E3779B97F4A7C15L | 1L
+      var i = 0
+      while (i < numSamples) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        buf.putShort((x & 0xffffL).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** Header-only parse: sample rate, channels, bits per sample and sample
+      * count from the fmt/data chunks. None for anything that is not a
+      * well-formed PCM WAV (wrong magic, truncated header, missing chunks,
+      * zero block align). */
+    def info(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes == null || bytes.length < 44) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bps
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = fourcc(off)
+        val size = buf.getInt(off + 4).toLong & 0xffffffffL
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+          fmt = Some((buf.getShort(off + 10).toInt, buf.getInt(off + 12),
+            buf.getShort(off + 20).toInt, buf.getShort(off + 22).toInt))
+        } else if (id == "data") {
+          dataSize = math.min(size, (bytes.length - off - 8).toLong)
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+        if (size > Int.MaxValue - 9) return None
+      }
+      for {
+        (channels, rate, blockAlign, bps) <- fmt
+        if dataSize >= 0 && blockAlign > 0 && rate > 0 && channels > 0
+      } yield WavInfo(rate, channels, bps, dataSize / blockAlign)
+    }
+  }
+
+  private val synthWavU =
+    udf((r: Int, n: Int, seed: Long) => AudioCodec.synthWav(r, n, seed))
+  /** Column wrapper over [[AudioCodec.synthWav]]. */
+  def synthWav(sampleRate: Column, numSamples: Column, seed: Column): Column =
+    synthWavU(sampleRate, numSamples, seed)
+
+  private val audioInfoU = udf((b: Array[Byte]) => AudioCodec.info(b))
+  /** Real header-only WAV parse as a Column:
+    * struct(sampleRate, channels, bitsPerSample, nSamples), null for
+    * non-WAV payloads. */
+  def audioInfo(payload: Column): Column = audioInfoU(payload)
+
+  /** Deterministic length-derived metadata: the STUB half (video frame
+    * counts) and the fallback for non-image payloads. */
   object FakeCodec {
     def width(payload: Column): Column = (length(payload) % 512 + 64).cast("int")
     def height(payload: Column): Column = (length(payload) % 384 + 48).cast("int")

@@ -107,11 +107,13 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("toks")).as("fp"))
     },
 
-    // Multimodal plumbing with a REAL decode in the loop: each row
+    // Multimodal plumbing with REAL decodes in the loop: each row
     // synthesizes an actual PNG whose dimensions come from the byte-length
-    // formula, then ImageIO header-decodes the payload — the oracle's
-    // formula only matches if the real decode recovers the real dimensions.
-    // (Frame counts remain length-derived: video decode is the stub half.)
+    // formula, then ImageIO header-decodes the payload; likewise a real PCM
+    // WAV whose rate/sample-count come from the formula, then the RIFF
+    // chunk walk re-reads them from the header — the oracle's formulas only
+    // match if the real decodes recover the real values. (Video frame
+    // counts remain length-derived: video decode is the stub half.)
     QueryDef(
       "q39_multimodal_meta",
       """SELECT doc_id,
@@ -119,7 +121,11 @@ object TextQueries {
         |  cast(octet_length(encode(text)) % 384 + 48 as int) AS height,
         |  cast(greatest(octet_length(encode(text)) // 100, 1) as int) AS n_frames,
         |  cast((greatest(octet_length(encode(text)) // 100, 1) - 1) // 3 + 1 as int)
-        |    AS n_sampled
+        |    AS n_sampled,
+        |  cast(8000 + octet_length(encode(text)) % 8 * 1000 as int) AS sample_rate,
+        |  cast(octet_length(encode(text)) % 4000 + 16 as bigint) AS n_samples,
+        |  cast((octet_length(encode(text)) % 4000 + 16) * 1000
+        |    // (8000 + octet_length(encode(text)) % 8 * 1000) as bigint) AS duration_ms
         |FROM documents""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
         .withColumn("blen", length(col("text").cast("binary")).cast("int"))
@@ -128,11 +134,19 @@ object TextQueries {
         .withColumn("dims", Multimodal.imageDims(col("payload")))
         .withColumn("n_frames",
           greatest(floor(col("blen") / 100), lit(1)).cast("int"))
+        .withColumn("wav", Multimodal.synthWav(
+          lit(8000) + col("blen") % 8 * 1000, col("blen") % 4000 + 16,
+          col("doc_id")))
+        .withColumn("audio", Multimodal.audioInfo(col("wav")))
       d.select(col("doc_id"),
         col("dims._1").as("width"),
         col("dims._2").as("height"),
         col("n_frames"),
-        size(Multimodal.sampleFrameIdx(col("n_frames"), 3)).as("n_sampled"))
+        size(Multimodal.sampleFrameIdx(col("n_frames"), 3)).as("n_sampled"),
+        col("audio.sampleRate").as("sample_rate"),
+        col("audio.nSamples").as("n_samples"),
+        floor(col("audio.nSamples") * 1000L / col("audio.sampleRate"))
+          .cast("long").as("duration_ms"))
     },
 
     // Sequence packing (concat-and-chunk): seeded-hash document order, global

@@ -168,6 +168,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(dims(1L) == ((123, 45)) && dims(2L) == ((64, 480)))
   }
 
+  test("real WAV header parse recovers synthesized audio metadata") {
+    import Multimodal.AudioCodec
+    // codec level: synth -> header-only parse round-trips exactly
+    val wav = AudioCodec.synthWav(44100, 4410, 7L)
+    assert(wav.length == 44 + 4410 * 2)
+    assert(AudioCodec.info(wav).contains(
+      AudioCodec.WavInfo(44100, 1, 16, 4410L)))
+    // javax.sound agrees the payload is a real, well-formed WAV
+    val af = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(af.getFormat.getSampleRate == 44100f && af.getFrameLength == 4410)
+    // the chunk walk survives a LIST chunk inserted before fmt/data
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    assert(AudioCodec.info(withList).contains(
+      AudioCodec.WavInfo(44100, 1, 16, 4410L)))
+    // non-WAV payloads parse to None, never throw
+    assert(AudioCodec.info("definitely not RIFF data, padded to 44+ bytes"
+      .getBytes).isEmpty)
+    assert(AudioCodec.info(wav.take(20)).isEmpty) // truncated header
+    assert(AudioCodec.info(Multimodal.ImageCodec.synthPng(8, 8, 1L)).isEmpty)
+    assert(AudioCodec.info(null).isEmpty)
+    // pipeline level: synthesize in a column, parse via the Column wrapper
+    val df = Seq((1L, 8000, 800), (2L, 16000, 24000)).toDF("id", "rate", "n")
+      .withColumn("wav", Multimodal.synthWav(col("rate"), col("n"), col("id")))
+    val out = df.select(col("id"), Multimodal.audioInfo(col("wav")).as("a"))
+      .select(col("id"), col("a.sampleRate"), col("a.nSamples"))
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((8000, 800L)) && out(2L) == ((16000, 24000L)))
+  }
+
   test("resize meta preserves aspect bucket") {
     val df = Seq((640, 480), (100, 50)).toDF("w", "h")
     val out = df.select(Multimodal.resizeMeta(col("w"), col("h"), 256).as("r"))
