@@ -54,11 +54,6 @@ object XHash {
   def bucketHash(seed: String, keys: Column*): Column =
     graft.plans.Md5Bucket60((lit(seed) +: keys): _*)
 
-  /** The composed-built-ins reference formulation (oracle semantics). */
-  def bucketHashReference(seed: String, keys: Column*): Column =
-    conv(substring(md5(concat_ws("\u0001", (lit(seed) +: keys): _*)), 1, 15), 16, 10)
-      .cast("long")
-
   /** Uniform bucket in [0, n) — the split/shuffle primitive (C12/C19). */
   def bucket(seed: String, n: Int, keys: Column*): Column =
     pmod(bucketHash(seed, keys: _*), lit(n.toLong))

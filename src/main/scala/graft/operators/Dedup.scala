@@ -39,18 +39,11 @@ object Dedup {
 
   /** Distinct word n-gram shingles; short docs fall back to the whole token
     * list as a single shingle so every doc has ≥1 shingle. Evaluated by the
-    * native [[graft.plans.ShinglesExpr]] kernel (bit-identical to
-    * [[wordShinglesReference]], spec-locked). */
+    * native [[graft.plans.ShinglesExpr]] kernel — bit-identical to the
+    * composed-built-ins formulation, spec-locked by VecKernelsSpec against
+    * the test-side ReferenceKernels. */
   def wordShingles(toks: Column, n: Int): Column =
     graft.plans.ShinglesExpr(toks, n)
-
-  /** The composed-built-ins formulation (oracle semantics). */
-  def wordShinglesReference(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array(array_join(toks, " ")))
 
   /** Per-function xor masks, derived once on the driver from the same md5
     * family ([[XHash.bucketHashJvm]]) so the oracle can reproduce them. */
@@ -62,22 +55,11 @@ object Dedup {
     * bijection per j). signature[j] = min over shingles. This keeps the
     * per-row cost at |shingles| md5 + k·|shingles| xors instead of
     * k·|shingles| md5 — the difference between 48 s and 5 s at sf0.1.
-    * Evaluated by the native [[graft.plans.MinHashSigExpr]] kernel
-    * (bit-identical to [[minhashSigReference]], spec-locked). */
+    * Evaluated by the native [[graft.plans.MinHashSigExpr]] kernel —
+    * bit-identical to the composed-built-ins formulation, spec-locked by
+    * VecKernelsSpec against the test-side ReferenceKernels. */
   def minhashSig(shingles: Column, k: Int): Column =
     graft.plans.MinHashSigExpr(shingles, "mh0", minhashMasks(k))
-
-  /** The composed-built-ins formulation (oracle semantics). */
-  def minhashSigReference(shingles: Column, k: Int): Column = {
-    val masks = typedLit(minhashMasks(k))
-    val hs = transform(shingles, s => XHash.bucketHash("mh0", s))
-    // single fold over the hashes: evaluates each shingle md5 exactly once
-    // (a transform-per-j formulation re-inlines `hs` k times under
-    // Catalyst's CollapseProject — k× the hashing cost)
-    aggregate(hs,
-      typedLit(Seq.fill(k)(Long.MaxValue)),
-      (acc, h) => zip_with(acc, masks, (a, m) => least(a, h.bitwiseXOR(m))))
-  }
 
   /** LSH band keys: hash of each signature slice of `rowsPerBand` values.
     * Docs sharing ANY band key are near-dup candidates. */

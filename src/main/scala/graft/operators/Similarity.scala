@@ -29,12 +29,6 @@ object Similarity {
     * runs (equivalence locked by VecKernelsSpec). */
   def dot(a: Column, b: Column): Column = graft.plans.VecKernels.dot(a, b)
 
-  /** The composed-built-ins reference formulation (oracle semantics). */
-  def dotReference(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
-
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -159,12 +153,6 @@ object Similarity {
   /** Squared L2 distance, sequential fold (oracle-reproducible); native
     * kernel, see [[dot]]. */
   def l2sq(a: Column, b: Column): Column = graft.plans.VecKernels.l2sq(a, b)
-
-  /** The composed-built-ins reference formulation (oracle semantics). */
-  def l2sqReference(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (s, v) => s + v)
 
   /** IVF-style cell assignment: nearest of a fixed, deterministic centroid
     * set (here: the first `k` vectors by id — a deterministic "sample"; a

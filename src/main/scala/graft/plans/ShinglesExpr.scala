@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native distinct word-shingle kernel.
   *
   * Bit-identical to the composed form in
-  * [[graft.operators.Dedup.wordShinglesReference]] — n-token windows joined
+  * the test-side ReferenceKernels.wordShinglesReference — n-token windows joined
   * with single spaces, `array_distinct` first-occurrence order, whole-list
   * fallback for short docs — which the DuckDB oracle mirrors
   * (list_distinct/list_transform). The composed form allocates a slice

@@ -16,7 +16,7 @@ class Md5Bucket60Spec extends SparkSpec {
     val d = Tables.documents(spark, sf0001)
     val diff = d.select(
       XHash.bucketHash("s1", col("text"), col("lang")).as("a"),
-      XHash.bucketHashReference("s1", col("text"), col("lang")).as("b"))
+      ReferenceKernels.bucketHashReference("s1", col("text"), col("lang")).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
   }
@@ -25,7 +25,7 @@ class Md5Bucket60Spec extends SparkSpec {
     val df = Seq(Tuple1(Seq("x", "yy", "zzz"))).toDF("l")
     val a = df.select(transform(col("l"), x => XHash.bucketHash("s", x)).as("h"))
       .as[Seq[Long]].collect()(0)
-    val b = df.select(transform(col("l"), x => XHash.bucketHashReference("s", x)).as("h"))
+    val b = df.select(transform(col("l"), x => ReferenceKernels.bucketHashReference("s", x)).as("h"))
       .as[Seq[Long]].collect()(0)
     assert(a == b)
   }
@@ -34,7 +34,7 @@ class Md5Bucket60Spec extends SparkSpec {
     val df = Seq(("a", Option.empty[String], "c")).toDF("x", "y", "z")
     val a = df.select(XHash.bucketHash("s", col("x"), col("y"), col("z")))
       .as[Long].collect()(0)
-    val b = df.select(XHash.bucketHashReference("s", col("x"), col("y"), col("z")))
+    val b = df.select(ReferenceKernels.bucketHashReference("s", col("x"), col("y"), col("z")))
       .as[Long].collect()(0)
     assert(a == b)
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.XHash
+import graft.operators.Dedup
+
+/** Composed-built-ins formulations of the native dedup kernels — the
+  * oracle semantics the spec-locked `Expression`s must match bit for bit.
+  * Test-only: production code runs [[graft.plans.ShinglesExpr]] /
+  * [[graft.plans.MinHashSigExpr]] via [[Dedup.wordShingles]] /
+  * [[Dedup.minhashSig]].
+  */
+object ReferenceKernels {
+
+  /** Composed form of [[Dedup.wordShingles]]: distinct word n-gram
+    * shingles; short docs fall back to the whole token list as one
+    * shingle. */
+  def wordShinglesReference(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Composed form of [[Dedup.minhashSig]]: each shingle md5-hashed once,
+    * k xor-masked views folded to their minima in a single `aggregate`
+    * (a transform-per-j formulation re-inlines the hash array k times
+    * under Catalyst's CollapseProject — k× the hashing cost). */
+  def minhashSigReference(shingles: Column, k: Int): Column = {
+    val masks = typedLit(Dedup.minhashMasks(k))
+    val hs = transform(shingles, s => XHash.bucketHash("mh0", s))
+    aggregate(hs,
+      typedLit(Seq.fill(k)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, masks, (a, m) => least(a, h.bitwiseXOR(m))))
+  }
+
+  /** Composed form of [[graft.operators.Similarity.dot]]. */
+  def dotReference(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Composed form of [[graft.operators.Similarity.l2sq]]. */
+  def l2sqReference(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (s, v) => s + v)
+
+  /** Composed form of [[XHash.bucketHash]]. */
+  def bucketHashReference(seed: String, keys: Column*): Column =
+    conv(substring(md5(concat_ws("\u0001", (lit(seed) +: keys): _*)), 1, 15), 16, 10)
+      .cast("long")
+}

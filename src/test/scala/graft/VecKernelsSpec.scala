@@ -20,7 +20,7 @@ class VecKernelsSpec extends SparkSpec {
     val joined = a.join(b, "vec_id")
     val diff = joined.select(
       Similarity.dot(col("va"), col("vb")).as("native"),
-      Similarity.dotReference(col("va"), col("vb")).as("composed"))
+      ReferenceKernels.dotReference(col("va"), col("vb")).as("composed"))
       .filter(col("native") =!= col("composed") ||
         col("native").isNull =!= col("composed").isNull)
     assert(diff.count() == 0)
@@ -32,7 +32,7 @@ class VecKernelsSpec extends SparkSpec {
     val joined = a.join(b, "vec_id")
     val diff = joined.select(
       Similarity.l2sq(col("va"), col("vb")).as("native"),
-      Similarity.l2sqReference(col("va"), col("vb")).as("composed"))
+      ReferenceKernels.l2sqReference(col("va"), col("vb")).as("composed"))
       .filter(col("native") =!= col("composed") ||
         col("native").isNull =!= col("composed").isNull)
     assert(diff.count() == 0)
@@ -48,7 +48,7 @@ class VecKernelsSpec extends SparkSpec {
         .withColumn("b", array(lit(1.0f), lit(null).cast("float")))) // null element
     val out = df.select(col("id"),
       Similarity.dot(col("a"), col("b")).as("native"),
-      Similarity.dotReference(col("a"), col("b")).as("composed"))
+      ReferenceKernels.dotReference(col("a"), col("b")).as("composed"))
       .collect().map(r => (r.getInt(0),
         if (r.isNullAt(1)) null else r.getDouble(1),
         if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
@@ -66,7 +66,7 @@ class VecKernelsSpec extends SparkSpec {
         Dedup.wordShingles(ArrayOps.tokens(col("text")), 3).as("sh"))
     val diff = sh.select(
       Dedup.minhashSig(col("sh"), 16).as("native"),
-      Dedup.minhashSigReference(col("sh"), 16).as("composed"))
+      ReferenceKernels.minhashSigReference(col("sh"), 16).as("composed"))
       .filter(col("native") =!= col("composed"))
     assert(diff.count() == 0)
     // empty + null-element edges
@@ -74,7 +74,7 @@ class VecKernelsSpec extends SparkSpec {
       .toDF("sh")
     val out = edge.select(
       Dedup.minhashSig(col("sh"), 4).as("n"),
-      Dedup.minhashSigReference(col("sh"), 4).as("c"))
+      ReferenceKernels.minhashSigReference(col("sh"), 4).as("c"))
       .as[(Seq[Long], Seq[Long])].collect()
     out.foreach { case (n, c) => assert(n == c) }
   }
@@ -87,7 +87,7 @@ class VecKernelsSpec extends SparkSpec {
     for (n <- Seq(3, 8)) {
       val diff = toks.select(
         Dedup.wordShingles(col("toks"), n).as("native"),
-        Dedup.wordShinglesReference(col("toks"), n).as("composed"))
+        ReferenceKernels.wordShinglesReference(col("toks"), n).as("composed"))
         .filter(col("native") =!= col("composed"))
       assert(diff.count() == 0, s"n=$n")
     }
@@ -100,7 +100,7 @@ class VecKernelsSpec extends SparkSpec {
       Tuple1(Seq("a", null, "c", "d"))).toDF("toks")
     val out = edge.select(
       Dedup.wordShingles(col("toks"), 3).as("n"),
-      Dedup.wordShinglesReference(col("toks"), 3).as("c"))
+      ReferenceKernels.wordShinglesReference(col("toks"), 3).as("c"))
       .as[(Seq[String], Seq[String])].collect()
     out.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
   }
