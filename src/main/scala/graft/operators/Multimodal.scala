@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * header-only read (no raster materialized). Audio metadata is REAL too —
   * [[AudioCodec]] walks the RIFF chunk list of a WAV payload (fmt + data
   * chunks, zero dependencies) for sample rate / channels / duration without
-  * touching the sample data. Video frame decode remains STUBBED behind the
-  * length-derived [[FakeCodec]] (those libs are not in this container).
-  * Everything Spark-side is designed for scale:
+  * touching the sample data — and so is video container metadata:
+  * [[VideoCodec]] walks the ISO-BMFF box tree of an MP4 payload
+  * (`moov`/`mvhd` + `trak` counting) for timescale / duration / tracks.
+  * Only frame-level decode (rasters, sample tables) remains STUBBED behind
+  * the length-derived [[FakeCodec]] (decoder libs are not in this
+  * container). Everything Spark-side is designed for scale:
   * binary columns stay opaque (never stringified), metadata is a narrow
   * struct computed in one pass, batch decode runs via `mapPartitions` (the
   * JVM analogue of `mapInPandas`: per-partition batch iteration amortizing
@@ -153,6 +156,121 @@ object Multimodal {
       } yield WavInfo(rate, channels, bps, dataSize / blockAlign)
     }
   }
+
+  /** Real MP4/ISO-BMFF metadata codec: minimal-but-valid writer + a
+    * header-only box walk. The reader iterates top-level boxes (32-bit and
+    * 64-bit `largesize` forms), descends into `moov`, reads `mvhd`
+    * (version 0 and 1) for timescale/duration and counts `trak` children —
+    * it never touches sample data (`mdat`), so a metadata scan over 100 TB
+    * of video reads a few hundred bytes per row. */
+  object VideoCodec {
+    final case class Mp4Info(timescale: Int, duration: Long, nTracks: Int)
+
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+    /** Minimal valid MP4: `ftyp` + `moov`(`mvhd` v0 + `nTracks`×`trak`
+      * stubs) + a small seeded `mdat`. Deterministic in its arguments. */
+    def synthMp4(timescale: Int, duration: Long, nTracks: Int,
+        seed: Long): Array[Byte] = {
+      require(timescale > 0 && duration >= 0 && duration <= Int.MaxValue
+        && nTracks >= 0)
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+        "isomiso2mp41".getBytes("US-ASCII"))
+      val mvhd = box("mvhd", be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(timescale) ++ be32(duration.toInt) ++
+        be32(0x00010000) ++ Array[Byte](0x01, 0x00) ++ // rate, volume
+        new Array[Byte](10) ++ // reserved
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000)
+          ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)) ++ // matrix
+        new Array[Byte](24) ++ be32(nTracks + 1)) // predefined, next track id
+      val traks = (1 to nTracks).toArray.flatMap { t =>
+        box("trak", box("tkhd", be32(7) ++ // version 0 + enabled flags
+          be32(0) ++ be32(0) ++ be32(t) ++ be32(0) ++ be32(duration.toInt) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++ // reserved, layer/group/volume
+          (be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000)
+            ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+          be32(0) ++ be32(0))) // width, height
+      }
+      val moov = box("moov", mvhd ++ traks)
+      var x = seed * 0x9E3779B97F4A7C15L | 1L
+      val data = new Array[Byte](64)
+      var i = 0
+      while (i < data.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        data(i) = (x & 0xff).toByte; i += 1
+      }
+      ftyp ++ moov ++ box("mdat", data)
+    }
+
+    /** Header-only parse: timescale, duration and track count from
+      * `moov`/`mvhd`. None for anything that is not ISO-BMFF with a
+      * well-formed movie header. */
+    def info(bytes: Array[Byte]): Option[Mp4Info] = {
+      if (bytes == null || bytes.length < 16) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      // ISO-BMFF sniff: first box must be a known top-level type
+      if (fourcc(4) != "ftyp" && fourcc(4) != "moov" && fourcc(4) != "mdat")
+        return None
+      // (start, end) of each box's payload, walked with 64-bit size support
+      def walk(from: Long, until: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+        var off = from
+        while (off + 8 <= until) {
+          val size0 = buf.getInt(off.toInt).toLong & 0xffffffffL
+          val tpe = fourcc(off.toInt + 4)
+          val (size, hdr) =
+            if (size0 == 1 && off + 16 <= until) (buf.getLong(off.toInt + 8), 16L)
+            else if (size0 == 0) (until - off, 8L) // box extends to end
+            else (size0, 8L)
+          if (size < hdr || off + size > until) return false
+          if (!f(tpe, off + hdr, off + size)) return false
+          off += size
+        }
+        true
+      }
+      var result: Option[Mp4Info] = None
+      walk(0L, bytes.length.toLong) { (tpe, start, end) =>
+        if (tpe == "moov") {
+          var ts = -1
+          var dur = -1L
+          var tracks = 0
+          val ok = walk(start, end) { (child, cs, ce) =>
+            if (child == "mvhd" && ce - cs >= 24) {
+              val version = bytes(cs.toInt) & 0xff
+              if (version == 1 && ce - cs >= 32) {
+                ts = buf.getInt(cs.toInt + 20)
+                dur = buf.getLong(cs.toInt + 24)
+              } else if (version == 0) {
+                ts = buf.getInt(cs.toInt + 12)
+                dur = buf.getInt(cs.toInt + 16).toLong & 0xffffffffL
+              }
+            } else if (child == "trak") tracks += 1
+            true
+          }
+          if (ok && ts > 0 && dur >= 0)
+            result = Some(Mp4Info(ts, dur, tracks))
+          false // stop the top-level walk either way
+        } else true
+      }
+      result
+    }
+  }
+
+  private val synthMp4U = udf((ts: Int, dur: Long, n: Int, seed: Long) =>
+    VideoCodec.synthMp4(ts, dur, n, seed))
+  /** Column wrapper over [[VideoCodec.synthMp4]]. */
+  def synthMp4(timescale: Column, duration: Column, nTracks: Column,
+      seed: Column): Column = synthMp4U(timescale, duration, nTracks, seed)
+
+  private val videoInfoU = udf((b: Array[Byte]) => VideoCodec.info(b))
+  /** Real header-only MP4 parse as a Column:
+    * struct(timescale, duration, nTracks), null for non-MP4 payloads. */
+  def videoInfo(payload: Column): Column = videoInfoU(payload)
 
   private val synthWavU =
     udf((r: Int, n: Int, seed: Long) => AudioCodec.synthWav(r, n, seed))

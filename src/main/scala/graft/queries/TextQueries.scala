@@ -149,6 +149,34 @@ object TextQueries {
           .cast("long").as("duration_ms"))
     },
 
+    // Same pattern for video: each row synthesizes a real minimal MP4
+    // (ftyp + moov/mvhd + trak stubs + mdat) whose timescale/duration/
+    // track count come from the byte-length formula, then the ISO-BMFF box
+    // walk re-reads them from moov — the oracle only matches if the parse
+    // recovers the real header values. mdat is never touched.
+    QueryDef(
+      "q78_video_meta",
+      """SELECT doc_id,
+        |  cast(600 + octet_length(encode(text)) % 5 * 100 as int) AS timescale,
+        |  cast(octet_length(encode(text)) * 3 as bigint) AS duration,
+        |  cast(1 + octet_length(encode(text)) % 3 as int) AS n_tracks,
+        |  cast(octet_length(encode(text)) * 3 * 1000
+        |    // (600 + octet_length(encode(text)) % 5 * 100) as bigint) AS duration_ms
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("blen", length(col("text").cast("binary")).cast("int"))
+        .withColumn("mp4", Multimodal.synthMp4(
+          lit(600) + col("blen") % 5 * 100, (col("blen") * 3L).cast("long"),
+          lit(1) + col("blen") % 3, col("doc_id")))
+        .withColumn("video", Multimodal.videoInfo(col("mp4")))
+      d.select(col("doc_id"),
+        col("video.timescale").as("timescale"),
+        col("video.duration").as("duration"),
+        col("video.nTracks").as("n_tracks"),
+        floor(col("video.duration") * 1000L / col("video.timescale"))
+          .cast("long").as("duration_ms"))
+    },
+
     // Sequence packing (concat-and-chunk): seeded-hash document order, global
     // token-tape offsets, fixed-size context chunks. The oracle is the
     // single-global-window formulation; the engine computes identical

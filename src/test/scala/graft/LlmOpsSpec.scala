@@ -200,6 +200,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) == ((8000, 800L)) && out(2L) == ((16000, 24000L)))
   }
 
+  test("real MP4 box walk recovers synthesized container metadata") {
+    import Multimodal.VideoCodec
+    // codec level: synth -> header-only parse round-trips exactly
+    val mp4 = VideoCodec.synthMp4(1000, 90000L, 2, 11L)
+    assert(VideoCodec.info(mp4).contains(VideoCodec.Mp4Info(1000, 90000L, 2)))
+    assert(VideoCodec.info(VideoCodec.synthMp4(600, 0L, 0, 1L))
+      .contains(VideoCodec.Mp4Info(600, 0L, 0)))
+    // version-1 mvhd (64-bit times) parses too: handcraft one
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    val mvhd1 = be32(40) ++ "mvhd".getBytes("US-ASCII") ++ // 8 hdr + 32 payload
+      Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++ // v1, creation, modification
+      be32(48000) ++ be64(1234567890123L) // timescale, 64-bit duration
+    val moov1 = be32(8 + mvhd1.length) ++ "moov".getBytes("US-ASCII") ++ mvhd1
+    val ftyp = VideoCodec.synthMp4(1, 0L, 0, 0L).take(28)
+    assert(VideoCodec.info(ftyp ++ moov1)
+      .contains(VideoCodec.Mp4Info(48000, 1234567890123L, 0)))
+    // non-MP4 payloads parse to None, never throw
+    assert(VideoCodec.info("this is certainly not an iso-bmff file".getBytes).isEmpty)
+    assert(VideoCodec.info(mp4.take(30)).isEmpty) // truncated before moov
+    assert(VideoCodec.info(Multimodal.AudioCodec.synthWav(8000, 80, 1L)).isEmpty)
+    assert(VideoCodec.info(Multimodal.ImageCodec.synthPng(8, 8, 1L)).isEmpty)
+    assert(VideoCodec.info(null).isEmpty)
+    // pipeline level: synthesize in a column, parse via the Column wrapper
+    val df = Seq((1L, 600, 1800L, 1), (2L, 1000, 50000L, 3))
+      .toDF("id", "ts", "dur", "n")
+      .withColumn("mp4",
+        Multimodal.synthMp4(col("ts"), col("dur"), col("n"), col("id")))
+    val out = df.select(col("id"), Multimodal.videoInfo(col("mp4")).as("v"))
+      .select(col("id"), col("v.timescale"), col("v.duration"), col("v.nTracks"))
+      .as[(Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((600, 1800L, 1)) && out(2L) == ((1000, 50000L, 3)))
+  }
+
   test("resize meta preserves aspect bucket") {
     val df = Seq((640, 480), (100, 50)).toDF("w", "h")
     val out = df.select(Multimodal.resizeMeta(col("w"), col("h"), 256).as("r"))
