@@ -227,6 +227,36 @@ object Similarity {
       .select("a_id", "b_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the corpus in embedding space — here
+    * [[ivfAssign]] against a fixed offline-trained centroid set (the
+    * paper's k-means step ≈ [[kmeansCentroids]]) — then, WITHIN each cell
+    * only, drop every vector that has a strictly-lower-id neighbor at
+    * cosine ≥ `minCosine`. One representative per epsilon-ball survives;
+    * lowest id is the deterministic stand-in for the paper's
+    * keep-low-centroid-similarity policy.
+    *
+    * Scale shape: pairwise similarity is confined to a cell — the paper's
+    * own device for making all-pairs tractable (cost Σ|cell|², set by the
+    * clustering granularity k, never corpus²). The self-join
+    * hash-partitions on cell id and the corpus+cells frame is persisted so
+    * assignment runs once, not three times. Returns kept rows (id, cell).
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame, minCosine: Double): DataFrame = {
+    val cells = df.select(col(id), col(vec))
+      .join(ivfAssign(df, id, vec, centroids), Seq(id))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = cells.select(col("cell"), col(id).as("a_id"), col(vec).as("a_v"))
+      .join(cells.select(col("cell"), col(id).as("b_id"), col(vec).as("b_v")),
+        Seq("cell"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
+      .select(col("a_id").as(id)).distinct()
+    cells.join(dups, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** Product-quantization encode: split each vector into `m` equal
     * subspaces and store, per subspace, the id of the nearest codebook
     * centroid (L2, ties → lowest id). With the codebook trained offline

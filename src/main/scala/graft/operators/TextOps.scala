@@ -278,6 +278,71 @@ object TextOps {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD —
+    * the MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, record each window's minimum hash; the
+    * distinct recorded hashes are the document's fingerprint set. The
+    * local-selection guarantee: any shared token run of length ≥ w+k−1
+    * between two documents shares at least one fingerprint, at ~2/(w+1)
+    * the storage of the full gram set — the classic recall/size dial
+    * between exact shingling (q49) and MinHash (q27).
+    *
+    * Pure Column expression — narrow, codegen'd: fingerprinting 100 TB is
+    * a map-only scan whose output partitioning follows the input. Fewer
+    * than `w` gram hashes ⇒ a single window over them all; no grams ⇒
+    * empty set.
+    */
+  def winnow(toks: Column, k: Int, w: Int): Column = {
+    val hs = transform(ngrams(toks, k), g => XHash.bucketHash("winnow", g))
+    when(size(hs) === 0, array().cast("array<bigint>"))
+      .when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
+  }
+
+  /** Exact duplicated-substring spans — the distributable n-gram
+    * formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), whose suffix-array pass
+    * finds byte runs repeated in the corpus. Here a repeated run is a
+    * maximal chain of `n`-token grams each occurring ≥ 2 times corpus-wide
+    * (intra- or cross-document); grams whose start positions lie within
+    * `n` tokens merge into one span (their token ranges overlap or touch).
+    * Returns one row per maximal span: (id, span_start, span_end, n_grams),
+    * token positions 1-based inclusive.
+    *
+    * Scale shape: explode to (id, pos, gram-hash) → one hash aggregate
+    * over the gram dictionary (map-side combined) → hash join back → two
+    * per-document windows (lag + running sum; per-doc partitions, never a
+    * global sort). Shuffles are bounded by token and dictionary counts —
+    * nothing is pairwise. A suffix array finds arbitrary-length repeats;
+    * the fixed-n gram chain is the standard approximation that
+    * distributes, and misses only repeats shorter than n tokens.
+    */
+  def duplicateSpans(docs: org.apache.spark.sql.DataFrame, id: String,
+      toks: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(id),
+        posexplode(ngrams(toks, n)).as(Seq("__p", "__g")))
+      .select(col(id), (col("__p") + 1).cast("long").as("pos"),
+        XHash.bucketHash("sdup", col("__g")).as("__h"))
+    val dupHash = grams.groupBy("__h").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select("__h")
+    val hits = grams.join(dupHash, Seq("__h")).select(col(id), col("pos"))
+    val wl = Window.partitionBy(id).orderBy("pos")
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wl) <= n, 0).otherwise(1))
+      .withColumn("__grp",
+        sum(col("__brk")).over(wl.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(id), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Benchmark decontamination: flag evaluation documents sharing any word
     * n-gram with the training corpus (the standard containment check run
     * before training on scraped data; the reference's C20 leakage move is

@@ -224,6 +224,53 @@ object ClusterQueries {
           e.filter(col("vec_id") < 8), nprobe = 2, k = 3,
           queryPred = col("vec_id") % 100 === 0)
         .select(col("q_id"), col("n_id"), col("rank").cast("int"))
+    },
+
+    // SemDeDup: corpus ∪ perturbed copies (q46's planted near-dups),
+    // IVF-cell clustering on the 8 fixed centroids, then within-cell
+    // cosine ≥ 0.99 pruning keeping the lowest id — the kept set is the
+    // originals plus any copy whose cell split it from its source.
+    QueryDef(
+      "q79_semantic_dedup", {
+        def l2d(a: String, b: String): String =
+          s"""list_reduce(list_transform(range(1, 65),
+             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+        def dotd(a: String, b: String): String =
+          s"""list_reduce(list_transform(range(1, 65),
+             |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
+        val cosd = s"(${dotd("a.v", "b.v")} / (sqrt(${dotd("a.v", "a.v")}) * sqrt(${dotd("b.v", "b.v")})))"
+        s"""WITH o AS (SELECT vec_id,
+           |             list_transform(range(1, 65),
+           |               i -> cast(embedding[i] as double)) AS v
+           |           FROM embeddings),
+           |m AS (SELECT vec_id + 1000000 AS vec_id,
+           |        list_transform(range(1, 65),
+           |          i -> CASE WHEN i = 1 THEN cast(embedding[1] as double) + 0.05
+           |               ELSE cast(embedding[i] as double) END) AS v
+           |      FROM embeddings),
+           |c AS (SELECT * FROM o UNION ALL SELECT * FROM m),
+           |ct AS (SELECT vec_id AS cid, v AS cv FROM o WHERE vec_id < 8),
+           |cells AS (SELECT vec_id, v, cell FROM (
+           |  SELECT c.vec_id, c.v, ct.cid AS cell,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY ${l2d("c.v", "ct.cv")}, ct.cid) AS rn
+           |  FROM c CROSS JOIN ct) WHERE rn = 1),
+           |dup AS (SELECT DISTINCT a.vec_id
+           |        FROM cells a JOIN cells b
+           |          ON a.cell = b.cell AND b.vec_id < a.vec_id
+           |        WHERE $cosd >= 0.99)
+           |SELECT vec_id, cast(cell as int) AS cell FROM cells
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val o = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val m = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
+      Similarity.semanticDedup(o.unionByName(m), "vec_id", "v",
+          o.filter(col("vec_id") < 8), minCosine = 0.99)
+        .select(col("vec_id"), col("cell").cast("int"))
     }
   )
 }

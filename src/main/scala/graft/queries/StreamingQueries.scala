@@ -27,6 +27,23 @@ object StreamingQueries {
         "q40_win_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     },
 
+    // Stream-stream interval join (click→purchase attribution within 1h,
+    // per user). Watermarks on both sides + the time-range conjunct bound
+    // the join state; bounded input ⇒ equals the batch interval self-join.
+    QueryDef(
+      "q82_stream_interval_join",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  cast(ts as timestamp) AS ts
+        |           FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM e c JOIN e p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+      Streams.runIntervalJoin(s, dir,
+        "q82_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
     // F3 — fit-on-train label index, encode the test split.
     QueryDef(
       "q41_onehot_index",

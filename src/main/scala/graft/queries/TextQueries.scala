@@ -372,6 +372,69 @@ object TextQueries {
         .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("  "), upper(col("text"))).as("text")))
       TextOps.normalizedDupGroups(corpus, "doc_id", "text")
+    },
+
+    // Winnowing fingerprints (MOSS): 3-gram hashes, window 4, per-window
+    // min — exploded to (doc_id, fp) rows. Map-only in Spark; the oracle
+    // replays the identical windows over the identical md5-derived hashes.
+    QueryDef(
+      "q80_winnow_fingerprint",
+      s"""$toksCte,
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3
+         |             THEN list_transform(range(1, len(toks) - 1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |             ELSE cast([] as varchar[]) END AS grams
+         |      FROM t),
+         |h AS (SELECT doc_id,
+         |        list_transform(grams, g -> ${XHash.bucketHashSql("winnow", "g")}) AS hs
+         |      FROM g),
+         |f AS (SELECT doc_id,
+         |        CASE WHEN len(hs) = 0 THEN cast([] as bigint[])
+         |             WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |             ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+         |                    i -> list_min(hs[i:i+3]))) END AS fps
+         |      FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.winnow(ArrayOps.tokens(col("text")), 3, 4)).as("fp"))
+    },
+
+    // Exact duplicated-substring spans: corpus ∪ full copies of every
+    // 10th doc (planted whole-document repeats), 8-gram chains with ≥2
+    // corpus-wide occurrences merged into maximal spans.
+    QueryDef(
+      "q81_substring_spans",
+      s"""$toksCte,
+         |c AS (SELECT doc_id, toks FROM t
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, toks FROM t WHERE doc_id % 10 = 0),
+         |g AS (SELECT doc_id,
+         |        unnest(range(1, len(toks) - 6)) AS pos,
+         |        unnest(list_transform(range(1, len(toks) - 6),
+         |          i -> ${XHash.bucketHashSql("sdup",
+                       "array_to_string(toks[i:i+7], ' ')")})) AS h
+         |      FROM c WHERE len(toks) >= 8),
+         |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+         |b AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM hits),
+         |w AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS grp
+         |      FROM b)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       count(*) AS n_grams
+         |FROM w GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      val corpus = t.unionByName(
+        t.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("toks")))
+      TextOps.duplicateSpans(corpus, "doc_id", col("toks"), 8)
     }
   )
 }

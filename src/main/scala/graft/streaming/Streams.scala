@@ -125,6 +125,47 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Watermarked stream-stream interval join: each click pairs with the
+    * same user's purchases landing in [click, click + `withinHours`h] —
+    * the attribution join every event pipeline runs. Both sides carry
+    * watermarks and the join predicate bounds event-time distance, so the
+    * state store holds only the `withinHours + delay` horizon per side
+    * (Spark derives the eviction bound from the time-range conjuncts);
+    * without them an inner stream-stream join would buffer both streams
+    * forever. On bounded input with AvailableNow the result equals the
+    * batch interval self-join, which is the oracle.
+    */
+  def runIntervalJoin(spark: SparkSession, dir: String, queryName: String,
+      withinHours: Int = 1): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val clicks = readEventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = readEventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $withinHours HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom session state via (flat)MapGroupsWithState: split each user's
     * event stream into sessions at >`gapMinutes` inactivity, emit one row
     * per closed session. The streaming analogue of sessionization windows.

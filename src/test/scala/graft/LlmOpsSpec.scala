@@ -532,4 +532,84 @@ class LlmOpsSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(out == Seq(1, 3, 4))
   }
+
+  test("semanticDedup: within-cell near-dups collapse to the lowest id") {
+    // cluster A near (1,0,0,0): 1≈2 (dup), 3 distinct direction;
+    // cluster B near (0,1,0,0): 10=11 exactly (dup)
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),   // cos(1,2) > 0.99 -> dropped
+      (3L, Seq(0.7, 0.0, 0.7, 0.1)),      // same cell, cos < 0.99 -> kept
+      (10L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (11L, Seq(0.0, 1.0, 0.0, 0.0))      // identical -> dropped
+    ).toDF("id", "v")
+    val centroids = vs.filter(col("id").isin(1L, 10L))
+    val kept = Similarity.semanticDedup(vs, "id", "v", centroids, 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 10L))
+  }
+
+  test("semanticDedup: cross-cell near-dups are NOT compared (cell-local by design)") {
+    // two near-identical vectors pulled into different cells by the
+    // centroid choice (centroids are an offline artifact, not corpus
+    // rows): SemDeDup's approximation keeps both
+    val vs = Seq(
+      (1L, Seq(1.0, 0.05, 0.0, 0.0)),
+      (2L, Seq(1.0, -0.05, 0.0, 0.0))
+    ).toDF("id", "v")
+    val centroids = Seq(
+      (100L, Seq(1.0, 0.06, 0.0, 0.0)),
+      (101L, Seq(1.0, -0.06, 0.0, 0.0))
+    ).toDF("id", "v")
+    assert(vs.select(Similarity.cosine(lit(null).cast("array<double>"), col("v")))
+      .as[Option[Double]].collect().forall(_.isEmpty)) // kernel null-safety
+    val kept = Similarity.semanticDedup(vs, "id", "v", centroids, 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("winnow: guarantee, degenerate sizes, and subset-of-gram-hashes") {
+    val shared = Seq("s1", "s2", "s3", "s4", "s5", "s6") // w+k-1 = 6 tokens
+    val d1 = Seq("a1", "a2") ++ shared ++ Seq("a3")
+    val d2 = Seq("b1", "b2", "b3", "b4") ++ shared
+    val df = Seq((1L, d1), (2L, d2), (3L, Seq("x", "y")), (4L, Seq("p", "q", "r")))
+      .toDF("id", "toks")
+    val fps = df.select(col("id"), TextOps.winnow(col("toks"), 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // any shared w+k-1 token run shares at least one fingerprint
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // fewer than k tokens -> no grams -> empty set
+    assert(fps(3L).isEmpty)
+    // exactly one gram (<= w hashes) -> exactly its hash
+    val oneGramHash = df.filter(col("id") === 4L)
+      .select(graft.functions.XHash.bucketHash("winnow", lit("p q r")))
+      .as[Long].head()
+    assert(fps(4L) == Seq(oneGramHash))
+    // fingerprints are a subset of the doc's gram hashes, smaller than all
+    val gramHashes = df.filter(col("id") === 1L)
+      .select(transform(TextOps.ngrams(col("toks"), 3),
+        g => graft.functions.XHash.bucketHash("winnow", g)))
+      .as[Seq[Long]].head().toSet
+    assert(fps(1L).toSet.subsetOf(gramHashes) && fps(1L).size < gramHashes.size)
+  }
+
+  test("duplicateSpans: cross-doc run, intra-doc repeat, gap splitting") {
+    val run = (0 until 12).map(i => s"r$i")   // 12-token shared run
+    val d1 = (0 until 4).map(i => s"a$i") ++ run ++ (0 until 4).map(i => s"z$i")
+    val d2 = (0 until 2).map(i => s"b$i") ++ run
+    // intra-doc: the same 8-gram twice, separated by > n filler tokens
+    val rep = (0 until 8).map(i => s"q$i")
+    val d3 = rep ++ (0 until 10).map(i => s"f$i") ++ rep
+    val d4 = (0 until 30).map(i => s"u$i")    // no repeats anywhere
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("id", "toks")
+    val spans = TextOps.duplicateSpans(df, "id", col("toks"), 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toSet).toMap
+    // d1: grams starting at 5..9 (1-based) cover tokens 5..16
+    assert(spans(1L) == Set((1L, 5L, 16L, 5L)))
+    assert(spans(2L) == Set((2L, 3L, 14L, 5L)))
+    // d3: two separate 1-gram spans (starts 1 and 19, gap 18 > n)
+    assert(spans(3L) == Set((3L, 1L, 8L, 1L), (3L, 19L, 26L, 1L)))
+    assert(!spans.contains(4L))
+  }
 }

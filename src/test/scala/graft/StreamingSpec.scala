@@ -48,6 +48,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval self-join") {
+    val streamed = Streams.runIntervalJoin(spark, sf0001, "spec_ssj")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("bu"), col("ts").as("buy_ts"))
+    val batch = c.join(p,
+        col("user_id") === col("bu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionize splits at the inactivity gap") {
     val evs = Seq(
       Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
