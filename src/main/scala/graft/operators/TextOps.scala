@@ -278,6 +278,47 @@ object TextOps {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Composite Gopher-style document quality rules (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446 §A1.1 — the same heuristic family as C4,
+    * Raffel et al. 2020): token-count bounds, mean-token-length bounds,
+    * minimum distinct-stopword evidence, minimum alphabetic-token ratio,
+    * and maximum single-token dominance. Thresholds are parameters — the
+    * published constants assume web prose; callers tune them per corpus.
+    *
+    * Emits each signal alongside the composite `keep`, because a corpus
+    * pipeline audits WHY documents die, not just how many. Every ratio is
+    * one integer division in double (cross-engine exact). Pure Column
+    * expressions over the token array — a map-only scan at any corpus
+    * size; the single-token-dominance fold is O(distinct·n) per row,
+    * bounded by document length, never a shuffle.
+    *
+    * Returns (signals in order): n_toks, mean_len, stop_hits, alpha_frac,
+    * top_frac, keep.
+    */
+  def gopherQuality(toks: Column, stop: Seq[String],
+      minToks: Int, maxToks: Int,
+      minMeanLen: Double, maxMeanLen: Double,
+      minStopHits: Int, minAlphaFrac: Double,
+      maxTopFrac: Double): Seq[(String, Column)] = {
+    val n = size(toks)
+    val nSafe = greatest(n, lit(1))
+    val meanLen = meanTokenLen(toks)
+    val stopHits = size(array_intersect(toks, typedLit(stop)))
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nSafe
+    val topCnt = aggregate(array_distinct(toks), lit(0),
+      (m, d) => greatest(m, size(filter(toks, t => t === d))))
+    val topFrac = topCnt.cast("double") / nSafe
+    val keep = n.between(minToks, maxToks) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      stopHits >= minStopHits && alphaFrac >= minAlphaFrac &&
+      topFrac <= maxTopFrac
+    Seq("n_toks" -> n.cast("long"), "mean_len" -> meanLen,
+      "stop_hits" -> stopHits.cast("long"), "alpha_frac" -> alphaFrac,
+      "top_frac" -> topFrac, "keep" -> keep)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD —
     * the MOSS algorithm): hash every `k`-token gram, slide a window of `w`

@@ -18,6 +18,11 @@ object TextQueries {
   private val stop = Seq("the", "a", "of", "and", "is")
   private val stopSql = stop.map(s => s"'$s'").mkString(", ")
 
+  /** q83's stoplist: frequent corpus words standing in for prose
+    * stopwords (the synthetic documents are tech-word soup). Defined
+    * before `defs`, which captures it during object initialization. */
+  val gopherStop: Seq[String] = Seq("join", "hash", "row", "scan", "data")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: marker-set intersection scoring, fixed-order argmax.
@@ -435,6 +440,43 @@ object TextQueries {
         t.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("toks")))
       TextOps.duplicateSpans(corpus, "doc_id", col("toks"), 8)
+    },
+
+    // Gopher-rules composite quality filter, thresholds tuned to the
+    // synthetic corpus (token bounds 30..80, stoplist = frequent corpus
+    // words) so both keep outcomes occur. Signals + verdict per doc.
+    QueryDef(
+      "q83_gopher_quality", {
+        val stopSqlList = TextQueries.gopherStop.map(s => s"'$s'").mkString(", ")
+        s"""$toksCte
+           |SELECT doc_id,
+           |  cast(len(toks) as bigint) AS n_toks,
+           |  cast(list_sum([0] || list_transform(toks, t -> length(t))) as double)
+           |    / greatest(len(toks), 1) AS mean_len,
+           |  cast(len(list_intersect(list_distinct(toks), [$stopSqlList])) as bigint)
+           |    AS stop_hits,
+           |  cast(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) as double)
+           |    / greatest(len(toks), 1) AS alpha_frac,
+           |  cast(list_max([0] || list_transform(list_distinct(toks),
+           |         d -> len(list_filter(toks, t -> t = d)))) as double)
+           |    / greatest(len(toks), 1) AS top_frac,
+           |  (len(toks) BETWEEN 30 AND 80
+           |   AND (cast(list_sum([0] || list_transform(toks, t -> length(t))) as double)
+           |        / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0
+           |   AND len(list_intersect(list_distinct(toks), [$stopSqlList])) >= 2
+           |   AND (cast(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) as double)
+           |        / greatest(len(toks), 1)) >= 0.8
+           |   AND (cast(list_max([0] || list_transform(list_distinct(toks),
+           |          d -> len(list_filter(toks, t -> t = d)))) as double)
+           |        / greatest(len(toks), 1)) <= 0.12) AS keep
+           |FROM t""".stripMargin
+      }) { (s, dir) =>
+      val sigs = TextOps.gopherQuality(col("toks"), TextQueries.gopherStop,
+        minToks = 30, maxToks = 80, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minStopHits = 2, minAlphaFrac = 0.8, maxTopFrac = 0.12)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
     }
   )
 }

@@ -593,6 +593,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L).toSet.subsetOf(gramHashes) && fps(1L).size < gramHashes.size)
   }
 
+  test("gopherQuality: each rule fails independently, clean doc passes") {
+    val stop = Seq("the", "and")
+    val good = Seq("the", "and") ++ (0 until 33).map(i => f"word$i%02d")
+    val docs = Seq(
+      (1L, good),                                        // passes all
+      (2L, good.take(10)),                               // too short
+      (3L, (0 until 35).map(i => f"word$i%02d")),        // no stopwords
+      (4L, Seq("the", "and") ++ (0 until 33).map(_.toString)), // digits
+      (5L, Seq("the", "and") ++ Seq.fill(10)("dup") ++
+        (0 until 23).map(i => f"word$i%02d")),           // dominance
+      (6L, Seq("the", "and") ++ (0 until 33).map(_ => "a")) // mean_len + dominance
+    ).toDF("id", "toks")
+    val sigs = TextOps.gopherQuality(col("toks"), stop,
+      minToks = 30, maxToks = 80, minMeanLen = 3.0, maxMeanLen = 10.0,
+      minStopHits = 2, minAlphaFrac = 0.8, maxTopFrac = 0.12)
+    val out = docs.select(col("id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    // signal values, not just the verdict
+    val row = docs.filter(col("id") === 5L)
+      .select(sigs.toMap.apply("top_frac"), sigs.toMap.apply("stop_hits"))
+      .as[(Double, Long)].head()
+    assert(row._1 == 10.0 / 35 && row._2 == 2L)
+  }
+
   test("duplicateSpans: cross-doc run, intra-doc repeat, gap splitting") {
     val run = (0 until 12).map(i => s"r$i")   // 12-token shared run
     val d1 = (0 until 4).map(i => s"a$i") ++ run ++ (0 until 4).map(i => s"z$i")
