@@ -140,6 +140,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p) // histogram aggregates map-side
   }
 
+  test("q79: centroid assignment broadcasts; dedup join is cell-keyed, not pairwise") {
+    val p = plan("q79_semantic_dedup")
+    // ivfAssign's centroid side rides a broadcast, never a corpus shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the within-cell self-join must key on cell (a hash join), not
+    // degrade to a cartesian of the corpus with itself
+    assert(!p.contains("CartesianProduct"), "pairwise regression:\n" + p)
+    // and the kept-set subtraction stays a real anti join
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q80: winnowing is map-only — no exchange anywhere") {
+    val p = plan("q80_winnow_fingerprint")
+    assert(!p.contains("Exchange"), "fingerprinting should not shuffle:\n" + p)
+    assert(p.contains("Generate"), p) // the explode, still narrow
+  }
+
+  test("q81: gram dictionary aggregates map-side; span windows are per-doc") {
+    val p = plan("q81_substring_spans")
+    // the ≥2-occurrence dictionary must partial-aggregate before its
+    // exchange (at 100 TB the exploded grams are the corpus ×~n)
+    assert(p.contains("partial_count"), p)
+    // island windows partition by doc — a global-order window would
+    // funnel every duplicated gram through one reducer
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty, "expected island windows in:\n" + p)
+    w.foreach(l => assert(l.contains("doc_id"), "global window:\n" + l))
+  }
+
+  test("q83: quality rules are one narrow projection over the scan") {
+    val p = plan("q83_gopher_quality")
+    assert(!p.contains("Exchange"), "quality scoring should not shuffle:\n" + p)
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
