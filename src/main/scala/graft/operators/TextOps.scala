@@ -278,6 +278,53 @@ object TextOps {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /** Greedy maximal-munch subword segmentation — the WordPiece/BPE
+    * vocabulary-application step (Wu et al. 2016, arXiv:1609.08144 §4.1;
+    * Sennrich et al. 2016, arXiv:1508.07909 learn the vocab, this applies
+    * it): from the current position, emit the LONGEST vocabulary entry
+    * matching there and advance past it; a position no entry matches
+    * collapses the whole token to `<unk>` (WordPiece semantics). The vocab
+    * is an offline-trained artifact embedded as a plan literal (same
+    * guarded driver boundary as the PQ codebook) — encoding is a narrow
+    * codegen'd projection, scan-speed at any corpus size, no shuffle.
+    *
+    * Expressed as a fold over the token's character positions with a
+    * (pos, pieces) struct accumulator: steps before the cursor pass
+    * through, the step AT the cursor matches-and-advances. Longest-match
+    * selection is `element_at(filter(vocabByLenDesc, prefix-match), 1)`
+    * with the literal pre-sorted (length desc, value asc) — so ties and
+    * order are deterministic and the DuckDB oracle replays the identical
+    * fold with list_reduce.
+    */
+  def subwordEncode(tok: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+      "subwordEncode: vocab entries must be non-empty")
+    val sorted = typedLit(sortVocab(vocab))
+    val init = struct(lit(1).as("pos"), array().cast("array<string>").as("pieces"))
+    val folded = aggregate(
+      sequence(lit(1), length(tok)), init,
+      (st, i) => when(i =!= st.getField("pos"), st).otherwise {
+        // try_element_at: under ANSI semantics a plain element_at throws
+        // on the no-match empty array instead of yielding the unk branch
+        val m = try_element_at(
+          filter(sorted, v => substring(tok, st.getField("pos"), length(v)) === v), lit(1))
+        when(m.isNull,
+          struct((length(tok) + 1).as("pos"),
+            array(lit("<unk>")).as("pieces")))
+          .otherwise(struct((st.getField("pos") + length(m)).as("pos"),
+            concat(st.getField("pieces"), array(m)).as("pieces")))
+      })
+    // empty input guard: sequence(1, 0) would DESCEND in Spark
+    when(length(tok) === 0, array().cast("array<string>"))
+      .otherwise(folded.getField("pieces"))
+  }
+
+  /** [[subwordEncode]]'s deterministic match order: length desc, value
+    * asc. Shared with oracle-SQL generation so both engines scan the
+    * vocabulary identically. */
+  def sortVocab(vocab: Seq[String]): Seq[String] =
+    vocab.distinct.sortBy(v => (-v.length, v))
+
   /** Composite Gopher-style document quality rules (Rae et al. 2021,
     * "Scaling Language Models: Methods, Analysis & Insights from Training
     * Gopher", arXiv:2112.11446 §A1.1 — the same heuristic family as C4,

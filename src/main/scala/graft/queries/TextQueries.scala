@@ -23,6 +23,15 @@ object TextQueries {
     * before `defs`, which captures it during object initialization. */
   val gopherStop: Seq[String] = Seq("join", "hash", "row", "scan", "data")
 
+  /** q84's subword vocabulary: every lowercase letter (full coverage — no
+    * `<unk>` on the alpha corpus) plus frequent multi-character merges,
+    * the shape a BPE fit on this corpus would produce. Order-insensitive
+    * (TextOps.sortVocab fixes the match order). */
+  val subwordVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "data", "join", "hash", "scan", "row", "col", "umn", "ort",
+      "er", "an", "in", "st", "ch", "ta", "ba", "me", "cust", "om")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: marker-set intersection scoring, fixed-order argmax.
@@ -477,6 +486,66 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
         .select(col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // Subword tokenization: greedy maximal-munch against an offline vocab
+    // (all single letters guarantee coverage; multi-char merges compress
+    // frequent substrings) applied to each doc's first 10 tokens. The
+    // oracle replays the identical (pos, pieces) fold with list_reduce.
+    QueryDef(
+      "q84_subword_encode", {
+        val sortedVocab = TextOps.sortVocab(TextQueries.subwordVocab)
+        val vocabSql = sortedVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+        // Two DuckDB 1.0 list_reduce quirks shape this oracle. (1) List
+        // growth inside a struct accumulator is dropped (probed: {pos,
+        // pieces||[x]} keeps only the last append) — so the fold state is
+        // ONE string 'pos#p1|p2|…'; scalar accumulators fold correctly
+        // ('#'/'|' never occur in the alpha corpus tokens). (2) An outer
+        // column captured in a nested lambda misaligns rows when the fold
+        // list length varies per row (probed: 'customer' came back with
+        // the neighboring 'order' row's encoding) — so every row folds a
+        // UNIFORM 64-step range, steps past the token's end passing
+        // through untouched. Tokens over 64 chars would need a bigger
+        // constant; the corpus tops out near 10.
+        val cursorSql = "cast(split_part(st, '#', 1) as bigint)"
+        val piecesSql = "split_part(st, '#', 2)"
+        val matchesSql =
+          s"list_filter($vocabSql, v -> substr(tok, $cursorSql, length(v)) = v)"
+        s"""$toksCte,
+           |u AS (SELECT doc_id,
+           |        unnest(range(1, least(len(toks), 10) + 1)) AS pos,
+           |        unnest(toks[1:least(len(toks), 10)]) AS tok
+           |      FROM t),
+           |enc AS (SELECT doc_id, pos, tok,
+           |  CASE WHEN length(tok) = 0 THEN ''
+           |  ELSE split_part(list_reduce(
+           |    ['1#'] || list_transform(range(1, 65),
+           |                i -> cast(i as varchar)),
+           |    (st, x) -> CASE WHEN cast(x as bigint) > length(tok)
+           |                      OR x <> split_part(st, '#', 1) THEN st
+           |      ELSE CASE WHEN len($matchesSql) = 0
+           |        THEN cast(length(tok) + 1 as varchar) || '#<unk>'
+           |        ELSE cast($cursorSql + length(($matchesSql)[1]) as varchar)
+           |             || '#'
+           |             || CASE WHEN $piecesSql = '' THEN ($matchesSql)[1]
+           |                ELSE $piecesSql || '|' || ($matchesSql)[1] END
+           |      END END), '#', 2)
+           |  END AS piece_str FROM u)
+           |SELECT doc_id, pos, tok, piece_str,
+           |  cast(CASE WHEN piece_str = '' THEN 0
+           |       ELSE len(string_split(piece_str, '|')) END as bigint) AS n_pieces
+           |FROM enc""".stripMargin
+      }) { (s, dir) =>
+      val pieces = TextOps.subwordEncode(col("tok"), TextQueries.subwordVocab)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(slice(ArrayOps.tokens(col("text")), 1, 10))
+            .as(Seq("__p", "tok")))
+        .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+          col("tok"), pieces.as("__pieces"))
+        .select(col("doc_id"), col("pos"), col("tok"),
+          array_join(col("__pieces"), "|").as("piece_str"),
+          size(col("__pieces")).cast("long").as("n_pieces"))
     }
   )
 }

@@ -593,6 +593,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L).toSet.subsetOf(gramHashes) && fps(1L).size < gramHashes.size)
   }
 
+  test("subwordEncode: maximal munch, unk collapse, tie-break, empty guard") {
+    val vocab = Seq("a", "b", "c", "ab", "abc", "bc")
+    val df = Seq("abcabc", "abca", "abd", "", "cab").toDF("tok")
+    val out = df.select(col("tok"),
+        TextOps.subwordEncode(col("tok"), vocab).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abcabc") == Seq("abc", "abc"))  // longest wins at each step
+    assert(out("abca") == Seq("abc", "a"))
+    assert(out("abd") == Seq("<unk>"))          // 'd' unmatched -> whole-token unk
+    assert(out("") == Seq())
+    assert(out("cab") == Seq("c", "ab"))
+    // ties on length break by value: vocab order never matters
+    val tie = Seq("xy", "xz", "x", "y", "z")
+    val t1 = df.limit(1).select(TextOps.subwordEncode(lit("xyz"), tie))
+      .as[Seq[String]].head()
+    val t2 = df.limit(1).select(TextOps.subwordEncode(lit("xyz"), tie.reverse))
+      .as[Seq[String]].head()
+    assert(t1 == Seq("xy", "z") && t1 == t2)
+  }
+
   test("gopherQuality: each rule fails independently, clean doc passes") {
     val stop = Seq("the", "and")
     val good = Seq("the", "and") ++ (0 until 33).map(i => f"word$i%02d")

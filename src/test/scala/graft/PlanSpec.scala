@@ -174,6 +174,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "quality scoring should not shuffle:\n" + p)
   }
 
+  test("q84: subword encode is a narrow projection — vocab rides as a literal") {
+    val p = plan("q84_subword_encode")
+    assert(!p.contains("Exchange"), "tokenization should not shuffle:\n" + p)
+    assert(!p.contains("Join"), "vocab must be a literal, not a joined table:\n" + p)
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
