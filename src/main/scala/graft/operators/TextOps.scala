@@ -118,11 +118,16 @@ object TextOps {
     * instead of a per-position slice+join allocation — ~2× on the bigram
     * scan, same output. */
   def ngrams(toks: Column, n: Int): Column = {
+    // the general path let-binds toks (singleton transform) so a CALLER'S
+    // computed expression — e.g. tokens(text), a regexp split — evaluates
+    // once per row, not once per gram position inside the window lambda
+    // (the same quadratic capture the winnowing fix removed)
     val general =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+      try_element_at(transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => array_join(slice(t, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))), lit(1))
     if (n == 2)
       when(size(toks) >= 2,
         zip_with(
@@ -354,8 +359,11 @@ object TextOps {
     val stopHits = size(array_intersect(toks, typedLit(stop)))
     val alphaFrac =
       size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nSafe
-    val topCnt = aggregate(array_distinct(toks), lit(0),
-      (m, d) => greatest(m, size(filter(toks, t => t === d))))
+    // let-bound (see ngrams): the distinct-token outer loop must not
+    // re-evaluate a computed toks expression once per distinct element
+    val topCnt = try_element_at(transform(array(toks), bound =>
+      aggregate(array_distinct(bound), lit(0),
+        (m, d) => greatest(m, size(filter(bound, t => t === d))))), lit(1))
     val topFrac = topCnt.cast("double") / nSafe
     val keep = n.between(minToks, maxToks) &&
       meanLen.between(minMeanLen, maxMeanLen) &&
