@@ -445,6 +445,34 @@ object TextOps {
       .select(col(id), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** n-gram LM coverage scoring — the exact-arithmetic stand-in for
+    * perplexity-based corpus filtering (CCNet, Wenzek et al. 2020,
+    * arXiv:1911.00359 score documents with a KenLM model; a transcendental
+    * log's last-ulp behavior differs across engines, so this scores by the
+    * fraction of a document's distinct n-grams attested in a reference
+    * corpus — one integer division, cross-engine exact). Low coverage ⇒
+    * out-of-domain or noisy text, same decision boundary shape.
+    *
+    * Scale shape: identical to [[contaminationCheck]] — the reference side
+    * collapses to distinct grams, the scored side semi-joins against it;
+    * shuffles bounded by distinct-gram counts, nothing pairwise. Returns
+    * (id, n_grams, n_hit, coverage).
+    */
+  def lmCoverage(scored: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      id: String, grams: String): org.apache.spark.sql.DataFrame = {
+    val refSet = reference.select(explode(col(grams)).as("g")).distinct()
+    val sizes = scored.select(col(id), size(col(grams)).cast("long").as("n_grams"))
+    val hits = scored.select(col(id), explode(col(grams)).as("g"))
+      .join(refSet, Seq("g"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L))).as("coverage"))
+  }
+
   /** Benchmark decontamination: flag evaluation documents sharing any word
     * n-gram with the training corpus (the standard containment check run
     * before training on scraped data; the reference's C20 leakage move is

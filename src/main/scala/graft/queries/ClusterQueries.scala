@@ -271,6 +271,42 @@ object ClusterQueries {
       Similarity.semanticDedup(o.unionByName(m), "vec_id", "v",
           o.filter(col("vec_id") < 8), minCosine = 0.99)
         .select(col("vec_id"), col("cell").cast("int"))
+    },
+
+    // Bigram LM coverage: score the held-out 10% of documents by the
+    // fraction of their distinct bigrams attested in the 90% reference
+    // split — exact-arithmetic perplexity-filter stand-in (q49's split and
+    // join shape, scoring instead of flagging).
+    QueryDef(
+      "q85_lm_coverage",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         |         ${XHash.bucketSql("lm", 100, "cast(doc_id as varchar)")} AS bk
+         |  FROM documents),
+         |b AS (SELECT doc_id, bk,
+         |        list_distinct(CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || ' ' || toks[i+1])
+         |          ELSE cast([] as varchar[]) END) AS bi
+         |      FROM t),
+         |tr AS (SELECT DISTINCT unnest(bi) AS g FROM b WHERE bk < 90),
+         |te AS (SELECT doc_id, bi FROM b WHERE bk >= 90),
+         |h AS (SELECT doc_id, count(*) AS n_hit
+         |      FROM (SELECT doc_id, unnest(bi) AS g FROM te) u
+         |      WHERE g IN (SELECT g FROM tr) GROUP BY doc_id)
+         |SELECT te.doc_id,
+         |  cast(len(bi) as bigint) AS n_grams,
+         |  cast(coalesce(h.n_hit, 0) as bigint) AS n_hit,
+         |  cast(coalesce(h.n_hit, 0) as double) / greatest(len(bi), 1) AS coverage
+         |FROM te LEFT JOIN h USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .withColumn("bk", XHash.bucket("lm", 100, col("doc_id").cast("string")))
+        .withColumn("bi", array_distinct(graft.operators.TextOps.ngrams(col("toks"), 2)))
+      graft.operators.TextOps.lmCoverage(
+        docs.filter(col("bk") >= 90), docs.filter(col("bk") < 90),
+        "doc_id", "bi")
     }
   )
 }

@@ -400,6 +400,44 @@ object ExtendedQueries {
         Extract.iceTemperature(
           when(col("value") < 150, col("value")),
           col("event_type") === "click").as("temp_c"))
+    },
+
+    // Mergeable quantile sketch: a deterministic 5% hash sample's exact
+    // quantiles next to the full-data truth, per percentile. Samples merge
+    // by union (the sketch property); both paths run the q75 two-pass
+    // histogram — no global sort on either. Money quantiles run on exact
+    // integer cents (a double→long cast truncates in Spark but rounds in
+    // DuckDB; decimal cents sidestep the difference).
+    QueryDef(
+      "q86_sampled_quantiles",
+      s"""WITH v AS (SELECT
+         |    cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint) AS cents,
+         |    ${XHash.bucketSql("qsk", 20, "cast(o_orderkey as varchar)")} = 0 AS samp
+         |  FROM orders),
+         |rs AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         |              count(*) OVER () AS n
+         |       FROM v WHERE samp),
+         |rf AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         |              count(*) OVER () AS n
+         |       FROM v),
+         |p AS (SELECT unnest([1, 25, 50, 75, 90, 99]) AS pct)
+         |SELECT cast(p.pct as int) AS pct,
+         |       s.cents AS est_cents, f.cents AS exact_cents
+         |FROM p
+         |JOIN rs s ON s.rn = (s.n * p.pct + 99) // 100
+         |JOIN rf f ON f.rn = (f.n * p.pct + 99) // 100""".stripMargin) { (s, dir) =>
+      val pcts = Seq(1, 25, 50, 75, 90, 99)
+      val o = Tables.orders(s, dir).select(
+        (Exact.dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val est = Sketches.histogramQuantiles(
+          o.filter(XHash.bucket("qsk", 20, col("o_orderkey").cast("string")) === 0),
+          col("cents"), pcts)
+        .select(col("pct"), col("qvalue").as("est_cents"))
+      val exact = Sketches.histogramQuantiles(o, col("cents"), pcts)
+        .select(col("pct"), col("qvalue").as("exact_cents"))
+      est.join(exact, Seq("pct"))
+        .select(col("pct"), col("est_cents"), col("exact_cents"))
     }
   )
 }

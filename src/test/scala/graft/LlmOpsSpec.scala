@@ -593,6 +593,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L).toSet.subsetOf(gramHashes) && fps(1L).size < gramHashes.size)
   }
 
+  test("lmCoverage: attested-gram fraction, zero-gram and zero-hit docs") {
+    val ref = Seq((1L, Seq("a b", "b c", "c d"))).toDF("id", "bi")
+    val scored = Seq(
+      (10L, Seq("a b", "b c", "x y")),  // 2 of 3 attested
+      (11L, Seq("p q")),                // 0 of 1
+      (12L, Seq.empty[String])          // no grams at all
+    ).toDF("id", "bi")
+    val out = TextOps.lmCoverage(scored, ref, "id", "bi")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, h, c) => id -> ((n, h, c)) }.toMap
+    assert(out(10L) == ((3L, 2L, 2.0 / 3)))
+    assert(out(11L) == ((1L, 0L, 0.0)))
+    assert(out(12L) == ((0L, 0L, 0.0)))
+  }
+
   test("subwordEncode: maximal munch, unk collapse, tie-break, empty guard") {
     val vocab = Seq("a", "b", "c", "ab", "abc", "bc")
     val df = Seq("abcabc", "abca", "abd", "", "cab").toDF("tok")
