@@ -389,20 +389,8 @@ object TextOps {
     * than `w` gram hashes ⇒ a single window over them all; no grams ⇒
     * empty set.
     */
-  def winnow(toks: Column, k: Int, w: Int): Column = {
-    val hsExpr = transform(ngrams(toks, k), g => XHash.bucketHash("winnow", g))
-    // Let-binding via a singleton transform: every use of `hs` below is a
-    // lambda-variable lookup, NOT a re-evaluation of the hash array. The
-    // naive `slice(hsExpr, i, w)` inside the window lambda re-hashed all n
-    // grams per window position — O(n²) md5 calls per document (228 s at
-    // sf0.1; this shape runs in under a second).
-    try_element_at(transform(array(hsExpr), hs =>
-      when(size(hs) === 0, array().cast("array<bigint>"))
-        .when(size(hs) <= w, array(array_min(hs)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(hs) - (w - 1)),
-          i => array_min(slice(hs, i, lit(w))))))), lit(1))
-  }
+  def winnow(toks: Column, k: Int, w: Int): Column =
+    graft.plans.WinnowExpr(toks, "winnow", k, w)
 
   /** Exact duplicated-substring spans — the distributable n-gram
     * formulation of Lee et al. 2022 ("Deduplicating Training Data Makes

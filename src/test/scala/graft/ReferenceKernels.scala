@@ -14,6 +14,23 @@ import graft.operators.Dedup
   */
 object ReferenceKernels {
 
+  /** Composed form of [[graft.operators.TextOps.winnow]]: frequency
+    * n-grams hashed under the "winnow" seed, per-window minima over `w`
+    * consecutive hashes, first-occurrence distinct; ≤ w grams → the single
+    * global min, < k tokens → empty. The hash array is let-bound through a
+    * singleton transform so the interpreted path evaluates it once per row
+    * (the naive capture re-hashed all grams per window — O(n²) md5). */
+  def winnowReference(toks: Column, k: Int, w: Int): Column = {
+    val hsExpr = transform(graft.operators.TextOps.ngrams(toks, k),
+      g => XHash.bucketHash("winnow", g))
+    try_element_at(transform(array(hsExpr), hs =>
+      when(size(hs) === 0, array().cast("array<bigint>"))
+        .when(size(hs) <= w, array(array_min(hs)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - (w - 1)),
+          i => array_min(slice(hs, i, lit(w))))))), lit(1))
+  }
+
   /** Composed form of [[Dedup.wordShingles]]: distinct word n-gram
     * shingles; short docs fall back to the whole token list as one
     * shingle. */

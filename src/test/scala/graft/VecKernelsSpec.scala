@@ -105,6 +105,33 @@ class VecKernelsSpec extends SparkSpec {
     out.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
   }
 
+  test("winnow kernel is bit-identical to the composed form") {
+    import graft.functions.ArrayOps
+    import graft.operators.TextOps
+    val toks = Tables.documents(spark, sf001)
+      .select(ArrayOps.tokens(col("text")).as("toks"))
+    for ((k, w) <- Seq((3, 4), (2, 8), (5, 2))) {
+      val diff = toks.select(
+        TextOps.winnow(col("toks"), k, w).as("native"),
+        ReferenceKernels.winnowReference(col("toks"), k, w).as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(diff.count() == 0, s"k=$k w=$w")
+    }
+    // short docs (≤ w grams → global min; < k tokens → empty), null array,
+    // null-token skip in the gram join
+    val edge = Seq(
+      Tuple1(Seq("a", "b")),
+      Tuple1(Seq("a", "b", "c", "d")),
+      Tuple1(Seq.empty[String]),
+      Tuple1(null.asInstanceOf[Seq[String]]),
+      Tuple1(Seq("a", null, "c", "d", "e", "f", "g", "h", "i"))).toDF("toks")
+    val out = edge.select(
+      TextOps.winnow(col("toks"), 3, 4).as("n"),
+      ReferenceKernels.winnowReference(col("toks"), 3, 4).as("c"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    out.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
+  }
+
   test("connected components: empty pair set and chain graph") {
     import graft.operators.Dedup
     val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
