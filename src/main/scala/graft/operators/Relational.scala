@@ -306,4 +306,29 @@ object Relational {
       broadcast(small.sparkSession.range(saltFactor).toDF("__salt")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** CDC-style snapshot diff: compare two versions of a table by a content
+    * digest column, emitting one row per differing key with status
+    * `added` (key only in the new version), `removed` (only in the old),
+    * or `changed` (present in both, digests differ). The incremental-
+    * refresh primitive for a periodically re-crawled corpus: downstream
+    * stages reprocess the diff, never the snapshot.
+    *
+    * Scale shape: digests are computed map-side by the caller (this method
+    * sees (id, digest) pairs only — full content never shuffles), and the
+    * comparison is ONE full outer hash join on the key. Unchanged keys are
+    * filtered before the result materializes.
+    */
+  def snapshotDiff(old: DataFrame, newer: DataFrame, id: String,
+      digest: String): DataFrame = {
+    val o = old.select(col(id).as("__oid"), col(digest).as("__od"))
+    val n = newer.select(col(id).as("__nid"), col(digest).as("__nd"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .filter(col("__oid").isNull || col("__nid").isNull ||
+        col("__od") =!= col("__nd"))
+      .select(coalesce(col("__oid"), col("__nid")).as(id),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .otherwise("changed").as("status"))
+  }
 }

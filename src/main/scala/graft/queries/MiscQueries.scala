@@ -13,6 +13,90 @@ object MiscQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Corpus snapshot diff (CDC-style): digest-keyed comparison of a table
+    // against its next version (planted: every 7th doc edited, every 13th
+    // dropped, 50 appended). Emits one row per changed key with a status —
+    // the incremental-refresh primitive of a pipeline that re-crawls.
+    // Shape: md5 digests computed map-side, one full outer hash join on
+    // the id; no content ever shuffles at full width.
+    QueryDef(
+      "q87_snapshot_diff",
+      """WITH old AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('appended doc') FROM documents
+        |  WHERE doc_id < 50),
+        |j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |             old.d AS od, new.d AS nd
+        |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN od IS NULL THEN 'added'
+        |       WHEN nd IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.select(col("doc_id"), md5(col("text")).as("d"))
+      val newer = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("d"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(lit("appended doc")).as("d")))
+      graft.operators.Relational.snapshotDiff(old, newer, "doc_id", "d")
+    },
+
+    // Rollup (grouping sets): revenue totals at (flag, status), per-flag,
+    // and grand-total levels in ONE pass — partial aggregates expand the
+    // grouping sets map-side, so the fact table is read and shuffled once
+    // instead of once per level. grouping() flags disambiguate NULLs.
+    QueryDef(
+      "q88_rollup_revenue",
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(grouping(l_returnflag) as int) AS g_flag,
+        |  cast(grouping(l_linestatus) as int) AS g_status,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n"),
+          graft.functions.Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag").cast("int"), col("g_status").cast("int"),
+          col("n"), col("revenue"))
+    },
+
+    // Pivot: per-user event counts spread across the five fixed event
+    // types — the wide-report sink shape. Explicit pivot values keep the
+    // plan a single pass (no distinct-values pre-query); the oracle is the
+    // equivalent FILTER aggregation.
+    QueryDef(
+      "q89_pivot_events",
+      """SELECT user_id,
+        |  cast(count(*) FILTER (WHERE event_type = 'click') as bigint) AS evt_click,
+        |  cast(count(*) FILTER (WHERE event_type = 'error') as bigint) AS evt_error,
+        |  cast(count(*) FILTER (WHERE event_type = 'purchase') as bigint) AS evt_purchase,
+        |  cast(count(*) FILTER (WHERE event_type = 'signup') as bigint) AS evt_signup,
+        |  cast(count(*) FILTER (WHERE event_type = 'view') as bigint) AS evt_view
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // absent (user, type) cells come back null from pivot; the oracle's
+      // FILTER counts say 0. evt_ prefix keeps 'view' off the column list.
+      pivoted.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"evt_$t")): _*)
+    },
+
     // Semi-structured access: JSON props column → typed field → aggregate.
     QueryDef(
       "q50_json_props",

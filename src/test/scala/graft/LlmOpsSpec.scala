@@ -593,6 +593,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L).toSet.subsetOf(gramHashes) && fps(1L).size < gramHashes.size)
   }
 
+  test("snapshotDiff: added/removed/changed statuses; unchanged keys silent") {
+    val old = Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "d")
+    val newer = Seq((1L, "d1"), (2L, "DX"), (4L, "d4")).toDF("id", "d")
+    val out = graft.operators.Relational.snapshotDiff(old, newer, "id", "d")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("lmCoverage: attested-gram fraction, zero-gram and zero-hit docs") {
     val ref = Seq((1L, Seq("a b", "b c", "c d"))).toDF("id", "bi")
     val scored = Seq(
