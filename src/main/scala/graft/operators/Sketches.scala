@@ -144,4 +144,53 @@ object Sketches {
       .filter(col("__below") + col("__rn") === col("__rank"))
       .select(col("pct"), col("__rank").as("qrank"), col("__v").as("qvalue"))
   }
+
+  /** Per-group exact quantiles WITHOUT per-group sorts — the grouped form of
+    * [[histogramQuantiles]], for "q1/q3 per category" analytics where a
+    * `Window.partitionBy(group)` sort would funnel each category through a
+    * single reducer (catastrophic when one category holds most of the
+    * corpus).
+    *
+    * Same three passes, all keyed by the group: pass 0 fixes a per-group
+    * equi-width binning (one row per group, broadcast — the group column is
+    * assumed low-cardinality, a category/source/type axis); pass 1
+    * histograms `(group, bin)` with a map-side combine (shuffle ≤
+    * groups·bins rows) and locates each percentile's bin with a cumulative
+    * sum whose window is bounded by `bins`, never by group size; pass 2
+    * ranks only the boundary-bin rows per (group, pct). Output: one row per
+    * (group, pct) with the exact order statistic `qvalue` at rank
+    * `ceil(n·p/100)` within the group.
+    */
+  def groupedHistogramQuantiles(df: DataFrame, group: String, value: Column,
+      pcts: Seq[Int], bins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(group).as("__g"), value.cast("long").as("__v"))
+    val bounds = v.groupBy("__g").agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), count(lit(1)).as("__n"))
+    val withW = bounds.select(col("__g"), col("__lo"), col("__n"),
+      expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+    val binned = v.join(broadcast(withW), "__g")
+      .select(col("__g"), col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+    val hist = binned.groupBy("__g", "__bin").agg(count(lit(1)).as("__bc"))
+      .withColumn("__cum", sum(col("__bc")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__below", col("__cum") - col("__bc"))
+    val probes = pcts.toDF("pct")
+      .crossJoin(broadcast(bounds.select(col("__g"), col("__n"))))
+      .withColumn("__rank", expr("(__n * pct + 99) div 100"))
+      .drop("__n")
+    val probeBins = probes.join(broadcast(hist.withColumnRenamed("__g", "__gh")),
+        col("__g") === col("__gh") &&
+          col("__rank") > col("__below") && col("__rank") <= col("__cum"))
+      .select(col("__g"), col("pct"), col("__rank"), col("__bin"), col("__below"))
+    binned.join(broadcast(probeBins), Seq("__g", "__bin"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"), col("pct")).orderBy(col("__v"))))
+      .filter(col("__below") + col("__rn") === col("__rank"))
+      .select(col("__g").as(group), col("pct"),
+        col("__rank").as("qrank"), col("__v").as("qvalue"))
+  }
 }

@@ -307,6 +307,34 @@ object ClusterQueries {
       graft.operators.TextOps.lmCoverage(
         docs.filter(col("bk") >= 90), docs.filter(col("bk") < 90),
         "doc_id", "bi")
+    },
+
+    // Graph analytics over a frequent-pair co-occurrence graph: parts
+    // sharing ≥2 orders become edges (support gate — the support-1 graph is
+    // near-complete noise); triangles close wedges with the degree-ordered
+    // forward algorithm. Everything is hash joins + combining aggregates —
+    // the join-only big-graph kernel, no driver-side graph.
+    QueryDef(
+      "q94_triangles",
+      """WITH e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT count(DISTINCT v) AS n_nodes
+        |          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1
+        |        JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT cast(n_nodes as bigint) AS n_nodes,
+        |       cast((SELECT count(*) FROM e) as bigint) AS n_edges,
+        |       cast(n_triangles as bigint) AS n_triangles
+        |FROM nodes, tri""".stripMargin) { (s, dir) =>
+      val edges = graft.operators.GraphOps.cooccurrenceEdges(
+        Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"),
+        minSupport = 2L)
+      graft.operators.GraphOps.triangleStats(edges)
     }
   )
 }

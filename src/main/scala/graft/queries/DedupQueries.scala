@@ -157,6 +157,42 @@ object DedupQueries {
           size(array_intersect(col("a_sh"), col("b_sh"))).as("n_common"),
           size(array_union(col("a_sh"), col("b_sh"))).as("n_union"),
           Dedup.jaccard(col("a_sh"), col("b_sh")).as("jacc"))
+    },
+
+    // Edit-distance near-dup pairs (typo-class duplicates): prefix-blocked
+    // candidate generation + exact Levenshtein verify. Planted variants —
+    // a character substituted at position 40 (every 9th doc, dist 1) and a
+    // character deleted at position 45 (every 15th doc, dist 1) — edit past
+    // the 24-char blocking prefix, so each variant lands in its base's
+    // block; every-45th docs yield the variant-variant dist-2 pair too.
+    QueryDef(
+      "q91_editdist_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         substr(text, 1, 39) || 'X' || substr(text, 41)
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substr(text, 1, 44) || substr(text, 46)
+        |  FROM documents WHERE doc_id % 15 = 0),
+        |k AS (SELECT doc_id, text, substr(text, 1, 24) AS blk FROM corpus)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  cast(levenshtein(a.text, b.text) as int) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 4""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val subbed = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 39), lit("X"),
+            substring(col("text"), 41, Int.MaxValue)).as("text"))
+      val deleted = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 44),
+            substring(col("text"), 46, Int.MaxValue)).as("text"))
+      val corpus = docs.unionByName(subbed).unionByName(deleted)
+      Dedup.editDistancePairs(corpus, "doc_id", "text",
+        blockLen = 24, maxDist = 4)
     }
   )
 }

@@ -438,6 +438,49 @@ object ExtendedQueries {
         .select(col("pct"), col("qvalue").as("exact_cents"))
       est.join(exact, Seq("pct"))
         .select(col("pct"), col("est_cents"), col("exact_cents"))
+    },
+
+    // Per-category IQR outlier screen: exact q1/q3 per event_type from the
+    // GROUPED two-pass histogram (no per-group sort — a window partitioned
+    // by a 5-value category would funnel the corpus through 5 reducers),
+    // then Tukey fences in pure integer cents: 2v < 2·q1 − 3·IQR avoids
+    // the 1.5 float multiplier entirely.
+    QueryDef(
+      "q92_iqr_outliers",
+      """WITH v AS (SELECT event_type,
+        |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS c
+        |  FROM events),
+        |r AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM v),
+        |q AS (SELECT event_type,
+        |        max(CASE WHEN rn = (n * 25 + 99) // 100 THEN c END) AS q1,
+        |        max(CASE WHEN rn = (n * 75 + 99) // 100 THEN c END) AS q3
+        |      FROM r GROUP BY event_type)
+        |SELECT v.event_type,
+        |  min(q1) AS q1_cents, min(q3) AS q3_cents,
+        |  cast(count(*) FILTER (WHERE 2*c < 2*q1 - 3*(q3-q1)) as bigint) AS n_low,
+        |  cast(count(*) FILTER (WHERE 2*c > 2*q3 + 3*(q3-q1)) as bigint) AS n_high,
+        |  cast(count(*) as bigint) AS n
+        |FROM v JOIN q USING (event_type)
+        |GROUP BY v.event_type""".stripMargin) { (s, dir) =>
+      val v = Tables.events(s, dir).select(col("event_type"),
+        (Exact.dec(col("value")) * 100).cast("long").as("c"))
+      val thr = Sketches.groupedHistogramQuantiles(v, "event_type", col("c"),
+          Seq(25, 75))
+        .groupBy("event_type").agg(
+          max(when(col("pct") === 25, col("qvalue"))).as("q1"),
+          max(when(col("pct") === 75, col("qvalue"))).as("q3"))
+      val iqr = col("q3") - col("q1")
+      v.join(broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("q1")).as("q1_cents"), min(col("q3")).as("q3_cents"),
+          count(when(lit(2) * col("c") < lit(2) * col("q1") - lit(3) * iqr,
+            1)).as("n_low"),
+          count(when(lit(2) * col("c") > lit(2) * col("q3") + lit(3) * iqr,
+            1)).as("n_high"),
+          count(lit(1)).as("n"))
     }
   )
 }

@@ -97,6 +97,100 @@ object MiscQueries {
         coalesce(col(t), lit(0L)).as(s"evt_$t")): _*)
     },
 
+    // Cube (all grouping-set combinations): q88's rollup covers the
+    // hierarchy levels; CUBE adds the cross combinations ((), (pri), (st),
+    // (pri, st)) — still ONE scan and one shuffle, the partial aggregate
+    // expanding each input row into every grouping set map-side.
+    QueryDef(
+      "q90_cube_orders",
+      """SELECT o_orderpriority, o_orderstatus,
+        |  cast(grouping(o_orderpriority) as int) AS g_pri,
+        |  cast(grouping(o_orderstatus) as int) AS g_st,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).as("g_pri"),
+          grouping(col("o_orderstatus")).as("g_st"),
+          count(lit(1)).as("n"),
+          graft.functions.Exact.sumMoney(col("o_totalprice")).as("revenue"))
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("g_pri").cast("int"), col("g_st").cast("int"),
+          col("n"), col("revenue"))
+    },
+
+    // Time-series gap fill: per-user daily event counts densified over each
+    // user's own [first, last] day span — missing days appear as zero rows
+    // and the day's max spend carries forward. Integer day axis (epoch-day
+    // offset from the corpus start) keeps both engines in exact arithmetic.
+    QueryDef(
+      "q93_gap_fill_daily",
+      """WITH d AS (
+        |  SELECT user_id,
+        |    cast(date_diff('day', DATE '2024-01-01', cast(ts as date)) as int) AS day_idx,
+        |    cast(count(*) as bigint) AS n_events,
+        |    max(cast(cast(value as decimal(18,4)) * 100 as bigint)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+        |      FROM d GROUP BY 1),
+        |dense AS (SELECT user_id, cast(unnest(range(d0, d1 + 1)) as int) AS day_idx
+        |          FROM s),
+        |j AS (SELECT dense.user_id, dense.day_idx,
+        |             coalesce(d.n_events, 0) AS n_events, d.cents
+        |      FROM dense LEFT JOIN d USING (user_id, day_idx))
+        |SELECT user_id, day_idx, n_events,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+        |FROM j""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("day_idx"),
+          (Exact.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("user_id", "day_idx")
+        .agg(count(lit(1)).as("n_events"), max(col("cents")).as("cents"))
+      graft.operators.Relational.gapFillDaily(daily, "user_id", "day_idx",
+          zeroCols = Seq("n_events"), ffillCols = Seq("cents"))
+        .select(col("user_id"), col("day_idx"), col("n_events"),
+          col("cents").as("cents_ffill"))
+    },
+
+    // Ordered conversion funnel: users with a view, users whose first view
+    // precedes a click, and users completing view → click → purchase in
+    // order. Each stage is a keyed aggregate + one equi-join on user_id —
+    // no per-user event-sequence sort, no window over the raw stream.
+    QueryDef(
+      "q95_funnel",
+      """WITH v AS (SELECT user_id, min(cast(ts as timestamp)) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(cast(e.ts as timestamp)) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND cast(e.ts as timestamp) >= v.t1
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND cast(e.ts as timestamp) >= c.t2
+        |      GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t2"))
+        .select("user_id").distinct()
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+
     // Semi-structured access: JSON props column → typed field → aggregate.
     QueryDef(
       "q50_json_props",

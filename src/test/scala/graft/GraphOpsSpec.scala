@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Join-only graph kernels: co-occurrence edge derivation and exact
+  * triangle counting (q94). */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cooccurrenceEdges: distinct ascending pairs within groups only") {
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 20L), (2L, 10L),   // re-derives (10,20) — must stay distinct
+      (2L, 10L),              // duplicate item in one basket: no self-edge
+      (3L, 5L))               // singleton basket: no edges
+      .toDF("g", "i")
+    val edges = GraphOps.cooccurrenceEdges(df, col("g"), col("i"))
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    // support gate: only (10,20) co-occurs in two distinct baskets
+    val frequent = GraphOps.cooccurrenceEdges(df, col("g"), col("i"),
+      minSupport = 2L).as[(Long, Long)].collect().toSet
+    assert(frequent == Set((10L, 20L)))
+  }
+
+  test("triangleStats: each triangle counted once; open wedges don't count") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4};
+    // the isolated edge (7,8) adds nodes/edges but no closure.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (7L, 8L))
+      .toDF("a", "b")
+    val row = GraphOps.triangleStats(edges)
+      .as[(Long, Long, Long)].head()
+    assert(row == ((6L, 6L, 2L)))
+  }
+
+  test("triangleStats: full K4 has 4 triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(GraphOps.triangleStats(k4).as[(Long, Long, Long)].head() ==
+      ((4L, 6L, 4L)))
+  }
+}

@@ -662,6 +662,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(row._1 == 10.0 / 35 && row._2 == 2L)
   }
 
+  test("groupedHistogramQuantiles equals the per-group brute-force sort") {
+    import graft.operators.Sketches
+    val rows = (1 to 300).map(i => ("a", (i * 7 % 83).toLong)) ++
+      (1 to 57).map(i => ("b", (i * i % 13).toLong)) ++ // heavy ties
+      Seq(("c", 42L))                                   // singleton group
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(1, 25, 50, 75, 100)
+    for (bins <- Seq(4, 4096)) {
+      val got = Sketches.groupedHistogramQuantiles(df, "g", col("v"), pcts, bins)
+        .as[(String, Int, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+      for (g <- Seq("a", "b", "c"); p <- pcts) {
+        val vals = rows.filter(_._1 == g).map(_._2).sorted
+        val r = (vals.size.toLong * p + 99) / 100
+        assert(got((g, p)) == (r, vals(r.toInt - 1)), s"bins=$bins g=$g p=$p")
+      }
+    }
+  }
+
+  test("editDistancePairs: in-block pairs verified exactly, threshold and blocking filter") {
+    val pref = "the quick brown fox jump" // 24 chars = the block key
+    val base = pref + "s over the lazy dog again"
+    val sub = pref + "s ovXr the lazy dog again"  // substitute: dist 1 to base
+    val del = pref + "s ovr the lazy dog again"   // delete: dist 1 to base and sub
+    val far = pref + "s totally different tail with more words" // > maxDist
+    val other = "a wholly different intro matching nothing else"
+    val df = Seq((1L, base), (2L, sub), (3L, del), (9L, far), (10L, other))
+      .toDF("id", "text")
+    val got = Dedup.editDistancePairs(df, "id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    // far shares the block but fails the distance verify; other never pairs
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("gapFillDaily: zero fill inside gaps, forward fill, per-key spans") {
+    import graft.operators.Relational
+    val daily = Seq(
+      (1L, 10, 2L, 100L), (1L, 13, 1L, 50L), // days 11, 12 missing
+      (2L, 5, 3L, 7L))                       // singleton span: no fill rows
+      .toDF("k", "d", "n", "m")
+    val out = Relational.gapFillDaily(daily, "k", "d", Seq("n"), Seq("m"))
+      .select("k", "d", "n", "m").as[(Long, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10, 2L, 100L), (1L, 11, 0L, 100L), (1L, 12, 0L, 100L),
+      (1L, 13, 1L, 50L), (2L, 5, 3L, 7L)))
+  }
+
   test("duplicateSpans: cross-doc run, intra-doc repeat, gap splitting") {
     val run = (0 until 12).map(i => s"r$i")   // 12-token shared run
     val d1 = (0 until 4).map(i => s"a$i") ++ run ++ (0 until 4).map(i => s"z$i")

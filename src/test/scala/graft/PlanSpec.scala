@@ -180,6 +180,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "vocab must be a literal, not a joined table:\n" + p)
   }
 
+  test("q91: blocked edit-distance join is an equi-join, never a cross product") {
+    val p = plan("q91_editdist_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must join on the block key:\n" + p)
+  }
+
+  test("q92: per-group histogram partial-aggregates map-side") {
+    val p = plan("q92_iqr_outliers")
+    assert(p.contains("partial_count"),
+      "grouped histogram must combine map-side:\n" + p)
+    // no window over the raw (event_type)-partitioned corpus: every
+    // windowspec must carry the histogram-side synthetic columns
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    w.foreach(l => assert(l.contains("__g"), "raw-corpus window:\n" + l))
+  }
+
+  test("q94: triangle closure is hash equi-joins, never a cross product") {
+    val p = plan("q94_triangles")
+    // (the final 1-row stats assembly is a legitimate broadcast nested loop;
+    // the edge/wedge joins must never degrade to a cartesian product)
+    assert(!p.contains("CartesianProduct"),
+      "wedge/closure joins must stay equi-joins:\n" + p)
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
