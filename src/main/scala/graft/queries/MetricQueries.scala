@@ -69,6 +69,125 @@ object MetricQueries {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc)
         .limit(10)
+    },
+
+    // Exact Pearson correlation per group. The built-in corr() folds
+    // doubles in partition order — nondeterministic across cluster shapes
+    // and unmatched by any oracle. This formulation gathers the five
+    // moments as EXACT integer sums (map-side-combinable longs, bounded
+    // < 2^53 by the column domains) and assembles r with IEEE-determined
+    // ops only: long subtract, exact long→double, sqrt (correctly rounded
+    // by both engines), one multiply, one divide — bit-identical on any
+    // partitioning and in the oracle.
+    QueryDef(
+      "q96_correlation",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    sum(cast(l_quantity as bigint)) AS sx,
+        |    sum(cast(cast(l_discount as decimal(18,4)) * 100 as bigint)) AS sd,
+        |    sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)) AS sxx,
+        |    sum(cast(cast(l_discount as decimal(18,4)) * 100 as bigint)
+        |      * cast(cast(l_discount as decimal(18,4)) * 100 as bigint)) AS sdd,
+        |    sum(cast(l_quantity as bigint)
+        |      * cast(cast(l_discount as decimal(18,4)) * 100 as bigint)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, cast(n as bigint) AS n, cast(sxy as bigint) AS sxy,
+        |  cast(n * sxy - sx * sd as double)
+        |    / (sqrt(cast(n * sxx - sx * sx as double))
+        |       * sqrt(cast(n * sdd - sd * sd as double))) AS corr_qd
+        |FROM m""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val x = col("l_quantity").cast("long")
+      val d = (Exact.dec(col("l_discount")) * 100).cast("long")
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), x.as("x"), d.as("d"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("d")).as("sd"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("x") * col("d")).as("sxy"))
+      m.select(col("l_returnflag"), col("n"), col("sxy"),
+        ((col("n") * col("sxy") - col("sx") * col("sd")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+          .as("corr_qd"))
+    },
+
+    // Per-segment OLS trend: slope/intercept of the daily revenue series
+    // per event type. The corpus-sized work is the (type, day) aggregate —
+    // one map-side-combined shuffle; the regression then runs over ≤31
+    // points per type with the same exact-moment discipline as q96
+    // (integer sums, IEEE-only assembly).
+    QueryDef(
+      "q97_ols_trend",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    cast(date_diff('day', DATE '2024-01-01', cast(ts as date)) as bigint) AS x,
+        |    sum(cast(cast(value as decimal(18,4)) * 100 as bigint)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, cast(n as bigint) AS n_days,
+        |  cast(n * sxy - sx * sy as double)
+        |    / cast(n * sxx - sx * sx as double) AS slope_cents,
+        |  (cast(sy as double) - cast(n * sxy - sx * sy as double)
+        |     / cast(n * sxx - sx * sx as double) * cast(sx as double))
+        |    / cast(n as double) AS intercept_cents
+        |FROM m""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+          (Exact.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("event_type", "x").agg(sum(col("cents")).as("y"))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      m.select(col("event_type"), col("n").as("n_days"),
+        slope.as("slope_cents"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_cents"))
+    },
+
+    // Quantile discretizer (equi-depth binning): decile thresholds from the
+    // two-pass exact histogram (no global sort), bucket assignment as a
+    // broadcast of the 9-element threshold array — the EXACT counterpart of
+    // Spark ML's approxQuantile-based QuantileDiscretizer. bucket(v) =
+    // #thresholds strictly below v, so ties always land left.
+    QueryDef(
+      "q98_quantile_buckets",
+      """WITH v AS (SELECT
+        |    cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint) AS c
+        |  FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM v),
+        |t AS (SELECT list(c ORDER BY c) AS ts
+        |      FROM r JOIN (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS p) ps
+        |        ON rn = (n * p + 99) // 100)
+        |SELECT cast(len(list_filter(t.ts, x -> v.c > x)) as int) AS bucket,
+        |  cast(count(*) as bigint) AS n,
+        |  min(c) AS min_cents, max(c) AS max_cents
+        |FROM v, t GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      import graft.operators.Sketches
+      val v = Tables.orders(s, dir)
+        .select((Exact.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      val ts = Sketches.histogramQuantiles(v, col("c"), (10 to 90 by 10))
+        .agg(sort_array(collect_list(col("qvalue"))).as("ts"))
+      v.crossJoin(broadcast(ts))
+        .select(size(filter(col("ts"), x => col("c") > x)).as("bucket"),
+          col("c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"))
     }
   )
 }
