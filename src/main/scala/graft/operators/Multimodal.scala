@@ -284,6 +284,91 @@ object Multimodal {
     * non-WAV payloads. */
   def audioInfo(payload: Column): Column = audioInfoU(payload)
 
+  /** Perceptual average-hash (aHash) of a REAL decoded image: block-average
+    * luminance on a gridW×gridH grid, one bit per cell set iff the cell is
+    * strictly brighter than the whole-image mean (bit i·gridW+j for row i,
+    * col j, top-left origin). All comparisons are exact integer arithmetic
+    * (cellSum·nCells > totalSum·1, cells equal-sized by construction), so
+    * the hash is bit-stable across JVMs — no float luminance, no
+    * platform-dependent Graphics2D rescale. Brightness-shift invariant by
+    * design (mean-relative), which is what makes it a near-dup key: the
+    * same composition at different exposure collapses to one hash.
+    *
+    * Covers the top-left (gridW·⌊w/gridW⌋) × (gridH·⌊h/gridH⌋) region;
+    * null for undecodable payloads or images smaller than the grid.
+    * gridW·gridH must stay ≤ 63 bits (8×7 = 56 here). */
+  def averageHashJvm(bytes: Array[Byte], gridW: Int, gridH: Int): Option[Long] =
+    ImageCodec.decode(bytes).flatMap { img =>
+      val cw = img.getWidth / gridW
+      val ch = img.getHeight / gridH
+      if (cw < 1 || ch < 1) None
+      else {
+        val sums = Array.ofDim[Long](gridH, gridW)
+        var total = 0L
+        var y = 0
+        while (y < gridH * ch) {
+          var x = 0
+          while (x < gridW * cw) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            sums(y / ch)(x / cw) += lum
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val nCells = gridW.toLong * gridH
+        var hash = 0L
+        var i = 0
+        while (i < gridH) {
+          var j = 0
+          while (j < gridW) {
+            if (sums(i)(j) * nCells > total) hash |= 1L << (i * gridW + j)
+            j += 1
+          }
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
+  private val averageHashU =
+    udf((b: Array[Byte], gw: Int, gh: Int) => averageHashJvm(b, gw, gh))
+  /** Column wrapper over [[averageHashJvm]]. */
+  def averageHash(payload: Column, gridW: Int, gridH: Int): Column =
+    averageHashU(payload, lit(gridW), lit(gridH))
+
+  /** Deterministic two-tone split PNG: columns left of `splitX` at a
+    * seed-jittered dark gray, the rest 150 steps brighter — a REAL PNG
+    * whose aHash is formula-predictable (the brightness jitter cancels
+    * under the mean-relative threshold), the q39 pattern applied to
+    * perceptual hashing. */
+  def synthSplitPngJvm(width: Int, height: Int, splitX: Int,
+      seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val dark = 40 + (java.lang.Long.remainderUnsigned(
+      seed * 0x9E3779B97F4A7C15L, 20L)).toInt
+    val bright = dark + 150
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(dark, dark, dark))
+      g.fillRect(0, 0, width, height)
+      if (splitX < width) {
+        g.setColor(new java.awt.Color(bright, bright, bright))
+        g.fillRect(splitX, 0, width - splitX, height)
+      }
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val synthSplitPngU =
+    udf((w: Int, h: Int, sx: Int, seed: Long) => synthSplitPngJvm(w, h, sx, seed))
+  /** Column wrapper over [[synthSplitPngJvm]]. */
+  def synthSplitPng(width: Column, height: Column, splitX: Column,
+      seed: Column): Column = synthSplitPngU(width, height, splitX, seed)
+
   /** Deterministic length-derived metadata: the STUB half (video frame
     * counts) and the fallback for non-image payloads. */
   object FakeCodec {

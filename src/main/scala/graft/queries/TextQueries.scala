@@ -191,6 +191,32 @@ object TextQueries {
           .cast("long").as("duration_ms"))
     },
 
+    // Perceptual image dedup: REAL PNG decode → 8×7 block-average aHash →
+    // group-by-hash near-dup clusters. Payloads are two-tone split images
+    // whose split column comes from doc_id and whose absolute brightness
+    // jitters with the seed — the mean-relative threshold cancels the
+    // jitter, so images of the same composition at different exposures
+    // collapse to one hash, and the expected hash is the closed-form bit
+    // pattern (256 − 2^p)·0x01010101010101. The oracle only matches if the
+    // real decode + integer block-average recovers exactly that pattern.
+    QueryDef(
+      "q99_image_ahash_dedup",
+      """WITH h AS (SELECT doc_id,
+        |    cast((256 - (1 << (cast(doc_id % 7 as int) + 1)))
+        |         * 282578800148737 as bigint) AS ahash
+        |  FROM documents)
+        |SELECT ahash, cast(count(*) as bigint) AS n_docs,
+        |       min(doc_id) AS rep
+        |FROM h GROUP BY ahash""".stripMargin) { (s, dir) =>
+      val p = (col("doc_id") % 7 + 1).cast("int")
+      Tables.documents(s, dir)
+        .withColumn("payload",
+          Multimodal.synthSplitPng(lit(64), lit(56), p * 8, col("doc_id")))
+        .withColumn("ahash", Multimodal.averageHash(col("payload"), 8, 7))
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+    },
+
     // Sequence packing (concat-and-chunk): seeded-hash document order, global
     // token-tape offsets, fixed-size context chunks. The oracle is the
     // single-global-window formulation; the engine computes identical

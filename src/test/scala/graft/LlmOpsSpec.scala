@@ -526,6 +526,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L).map(t => (t._3, t._4)).toSeq == Seq((0L, "")))
   }
 
+  test("averageHash: closed-form pattern, exposure invariance, null guards") {
+    // split at cell column 2 → bits j≥2 of every row: (256−4)·0x01010101010101
+    val img = Multimodal.synthSplitPngJvm(64, 56, 16, seed = 5L)
+    assert(Multimodal.averageHashJvm(img, 8, 7) ==
+      Some(252L * 282578800148737L))
+    // different seeds shift absolute brightness; the mean-relative
+    // threshold cancels it — same composition, same hash
+    val h = (1 to 5).map(s =>
+      Multimodal.averageHashJvm(Multimodal.synthSplitPngJvm(64, 56, 16, s), 8, 7))
+    assert(h.distinct == Seq(Some(252L * 282578800148737L)))
+    // a different split is a different hash
+    assert(Multimodal.averageHashJvm(
+      Multimodal.synthSplitPngJvm(64, 56, 24, 5L), 8, 7) !=
+      Some(252L * 282578800148737L))
+    // non-image payloads and sub-grid images refuse, not crash
+    assert(Multimodal.averageHashJvm("not an image".getBytes, 8, 7).isEmpty)
+    assert(Multimodal.averageHashJvm(
+      Multimodal.ImageCodec.synthPng(4, 4, 1L), 8, 7).isEmpty)
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
