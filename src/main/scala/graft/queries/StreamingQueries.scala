@@ -44,6 +44,23 @@ object StreamingQueries {
         "q82_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     },
 
+    // Stream-static enrichment: the purchase stream joins the broadcast
+    // customer→nation dimension each micro-batch (no join state), then a
+    // stateful aggregate rolls up count + exact decimal revenue per nation.
+    QueryDef(
+      "q100_stream_static_enrich",
+      """SELECT n.n_name,
+        |  cast(count(*) as bigint) AS n_purchases,
+        |  cast(sum(cast(e.value as decimal(18,4))) as double) AS revenue
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Streams.runStreamStaticJoin(s, dir,
+        "q100_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
     // F3 — fit-on-train label index, encode the test split.
     QueryDef(
       "q41_onehot_index",

@@ -166,6 +166,43 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC
+    * dimension (customer → nation) that broadcasts to every micro-batch —
+    * no state store involvement for the join itself (only the downstream
+    * aggregate holds state), which is why enrichment dims should stay
+    * static/broadcast rather than be fed as a second stream. Aggregates
+    * purchase count + exact decimal revenue per nation; bounded input with
+    * AvailableNow equals the batch join, which is the oracle.
+    */
+  def runStreamStaticJoin(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val dim = broadcast(
+        graft.Tables.customer(spark, dir)
+          .join(graft.Tables.nation(spark, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")))
+      val agg = readEventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 4))).as("rev"))
+        .select(col("n_name"), col("n_purchases"),
+          col("rev").cast("double").as("revenue"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Custom session state via (flat)MapGroupsWithState: split each user's
     * event stream into sessions at >`gapMinutes` inactivity, emit one row
     * per closed session. The streaming analogue of sessionization windows.

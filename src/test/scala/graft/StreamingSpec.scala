@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join on bounded input") {
+    val streamed = Streams.runStreamStaticJoin(spark, sf0001, "spec_ssj")
+      .as[(String, Long, Double)].collect().toSet
+    val dim = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Exact.sumMoney(col("value")).as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionize splits at the inactivity gap") {
     val evs = Seq(
       Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
