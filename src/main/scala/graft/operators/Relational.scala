@@ -332,6 +332,39 @@ object Relational {
           .otherwise("changed").as("status"))
   }
 
+  /** SCD2 history from two snapshots: versioned (key, digest, valid_from,
+    * valid_to) rows where unchanged keys keep one open row, changed keys
+    * close the old version at `d1` and open a new one, and removed/added
+    * keys close/open accordingly. The [[snapshotDiff]] full outer join with
+    * version emission instead of status flags — ONE hash join on the key,
+    * each output row born map-side from the joined row (the 0–2 fan-out is
+    * an explode, not another shuffle).
+    *
+    * Version boundaries are integer epoch days (`d0` = old snapshot's day,
+    * `d1` = new one's); open rows carry a null `valid_to`.
+    */
+  def scd2FromSnapshots(old: DataFrame, newer: DataFrame, id: String,
+      digest: String, d0: Int, d1: Int): DataFrame = {
+    val o = old.select(col(id).as("__oid"), col(digest).as("__od"))
+    val n = newer.select(col(id).as("__nid"), col(digest).as("__nd"))
+    val openNull = lit(null).cast("int")
+    val rows =
+      when(col("__od").isNull,
+        array(struct(col("__nd").as("d"), lit(d1).as("f"), openNull.as("t"))))
+      .when(col("__nd").isNull,
+        array(struct(col("__od").as("d"), lit(d0).as("f"), lit(d1).as("t"))))
+      .when(col("__od") === col("__nd"),
+        array(struct(col("__od").as("d"), lit(d0).as("f"), openNull.as("t"))))
+      .otherwise(array(
+        struct(col("__od").as("d"), lit(d0).as("f"), lit(d1).as("t")),
+        struct(col("__nd").as("d"), lit(d1).as("f"), openNull.as("t"))))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as(id),
+        explode(rows).as("__v"))
+      .select(col(id), col("__v.d").as(digest),
+        col("__v.f").as("valid_from"), col("__v.t").as("valid_to"))
+  }
+
   /** Time-series densification: given per-(key, dayIdx) observations,
     * emit EVERY day in each key's [min, max] span — missing days get the
     * zero row, and `ffillCols` carry the last observed value forward.

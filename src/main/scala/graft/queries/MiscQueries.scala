@@ -49,6 +49,48 @@ object MiscQueries {
       graft.operators.Relational.snapshotDiff(old, newer, "doc_id", "d")
     },
 
+    // SCD2 dimension history from the q87 snapshot pair: unchanged keys
+    // keep one open version, changed keys close v0 at day 1 and open v1,
+    // removed close, added open. One full outer hash join; the 0-2 row
+    // fan-out per key is a map-side explode, never a second shuffle.
+    QueryDef(
+      "q101_scd2_history",
+      """WITH old AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('appended doc') FROM documents
+        |  WHERE doc_id < 50),
+        |j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |             old.d AS od, new.d AS nd
+        |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT doc_id, nd AS d, 1 AS valid_from, cast(NULL as int) AS valid_to
+        |  FROM j WHERE od IS NULL
+        |UNION ALL
+        |SELECT doc_id, od, 0, 1 FROM j WHERE nd IS NULL
+        |UNION ALL
+        |SELECT doc_id, od, 0, cast(NULL as int) FROM j WHERE od = nd
+        |UNION ALL
+        |SELECT doc_id, od, 0, 1
+        |  FROM j WHERE od IS NOT NULL AND nd IS NOT NULL AND od <> nd
+        |UNION ALL
+        |SELECT doc_id, nd, 1, cast(NULL as int)
+        |  FROM j WHERE od IS NOT NULL AND nd IS NOT NULL AND od <> nd""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.select(col("doc_id"), md5(col("text")).as("d"))
+      val newer = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("d"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(lit("appended doc")).as("d")))
+      graft.operators.Relational.scd2FromSnapshots(old, newer, "doc_id", "d",
+        d0 = 0, d1 = 1)
+    },
+
     // Rollup (grouping sets): revenue totals at (flag, status), per-flag,
     // and grand-total levels in ONE pass — partial aggregates expand the
     // grouping sets map-side, so the fact table is read and shuffled once

@@ -621,6 +621,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("scd2FromSnapshots: version intervals per change class") {
+    val old = Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "d")
+    val newer = Seq((1L, "d1"), (2L, "DX"), (4L, "d4")).toDF("id", "d")
+    val out = graft.operators.Relational
+      .scd2FromSnapshots(old, newer, "id", "d", d0 = 10, d1 = 20)
+      .as[(Long, String, Int, Option[Int])].collect().toSet
+    assert(out == Set(
+      (1L, "d1", 10, None),           // unchanged: one open version
+      (2L, "d2", 10, Some(20)),       // changed: v0 closed at d1...
+      (2L, "DX", 20, None),           // ...v1 open
+      (3L, "d3", 10, Some(20)),       // removed: closed
+      (4L, "d4", 20, None)))          // added: open from d1
+  }
+
   test("lmCoverage: attested-gram fraction, zero-gram and zero-hit docs") {
     val ref = Seq((1L, Seq("a b", "b c", "c d"))).toDF("id", "bi")
     val scored = Seq(
