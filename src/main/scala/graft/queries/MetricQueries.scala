@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -154,6 +155,87 @@ object MetricQueries {
         slope.as("slope_cents"),
         ((col("sy").cast("double") - slope * col("sx").cast("double")) /
           col("n").cast("double")).as("intercept_cents"))
+    },
+
+    // Chi-square independence statistic over a contingency table built with
+    // ONE map-side-combined aggregate (cells), margins from windows over
+    // the ≤|cells|-row result. Per-cell terms use exact integer numerators
+    // (O·n − rt·ct fits a long exactly) and IEEE-determined double ops;
+    // the final Σ folds the cells in sorted order (sum(double) is
+    // partition-order-dependent — an ordered fold is not).
+    QueryDef(
+      "q103_chisq_independence",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT f, s, o,
+        |        sum(o) OVER (PARTITION BY f) AS rt,
+        |        sum(o) OVER (PARTITION BY s) AS ct,
+        |        sum(o) OVER () AS n
+        |      FROM cells),
+        |t AS (SELECT f, s,
+        |        cast(o * n - rt * ct as double) * cast(o * n - rt * ct as double)
+        |          / (cast(n as double) * cast(rt as double) * cast(ct as double))
+        |          AS term,
+        |        n FROM m)
+        |SELECT list_reduce(list_prepend(cast(0 as double),
+        |         list(term ORDER BY f, s)), (x, y) -> x + y) AS chi2,
+        |  cast(max(n) as bigint) AS n,
+        |  cast((count(DISTINCT f) - 1) * (count(DISTINCT s) - 1) as int) AS df
+        |FROM t""".stripMargin) { (s, dir) =>
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+      val m = cells
+        .withColumn("rt", sum(col("o")).over(Window.partitionBy("f")))
+        .withColumn("ct", sum(col("o")).over(Window.partitionBy("st")))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      val num = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+      val t = m.select(col("f"), col("st"), col("n"),
+        (num * num / (col("n").cast("double") * col("rt").cast("double")
+          * col("ct").cast("double"))).as("term"))
+      t.agg(
+          sort_array(collect_list(struct(col("f"), col("st"), col("term"))))
+            .as("ts"),
+          max(col("n")).as("n"),
+          countDistinct(col("f")).as("nf"),
+          countDistinct(col("st")).as("ns"))
+        .select(
+          aggregate(col("ts"), lit(0.0),
+            (acc, x) => acc + x.getField("term")).as("chi2"),
+          col("n"),
+          ((col("nf") - 1) * (col("ns") - 1)).cast("int").as("df"))
+    },
+
+    // Incremental aggregate maintenance: a materialized per-type aggregate
+    // (count / exact cents sum / max) built from the first half of the
+    // month merges with the delta from the second half by RE-AGGREGATING
+    // THE PARTIALS — count adds, sum adds, max maxes. The mergeability is
+    // the whole point: the oracle recomputes from scratch and must agree,
+    // which is exactly the property that lets a 100 TB rollup absorb a
+    // day's delta without re-reading history.
+    QueryDef(
+      "q104_delta_agg_merge",
+      """SELECT event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(cast(value as decimal(18,4)) * 100 as bigint)) as bigint)
+        |    AS cents,
+        |  cast(max(cast(cast(value as decimal(18,4)) * 100 as bigint)) as bigint)
+        |    AS max_cents
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      def halfAgg(pred: org.apache.spark.sql.Column) =
+        Tables.events(s, dir).filter(pred)
+          .select(col("event_type"),
+            (Exact.dec(col("value")) * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"),
+            max(col("c")).as("max_cents"))
+      val cutoff = dayofmonth(col("ts")) < 15
+      halfAgg(cutoff).unionByName(halfAgg(!cutoff))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"),
+          max(col("max_cents")).as("max_cents"))
     },
 
     // Quantile discretizer (equi-depth binning): decile thresholds from the

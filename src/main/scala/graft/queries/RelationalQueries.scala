@@ -163,6 +163,47 @@ object RelationalQueries {
         |  UNION ALL SELECT l_linestatus FROM lineitem)
         |WHERE value IS NOT NULL GROUP BY value""".stripMargin) { (s, dir) =>
       Relational.valueCounts(Tables.lineitem(s, dir), Seq("l_returnflag", "l_linestatus"))
+    },
+
+    // Ratio-to-report + ranking windows on top of the q03 star join:
+    // each nation's share of its region's revenue and its dense rank
+    // within the region. Revenue stays exact decimal through the window
+    // sum; doubles appear only in the final division (IEEE-determined).
+    // The windows run over the ≤|nations|-row aggregate, never the fact
+    // table.
+    QueryDef(
+      "q102_revenue_share",
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    sum(cast(l_extendedprice as decimal(18,4))
+        |        * (1 - cast(l_discount as decimal(18,4)))) AS revd
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cast(revd as double) AS revenue,
+        |  cast(revd as double)
+        |    / cast(sum(revd) OVER (PARTITION BY r_name) as double) AS share,
+        |  cast(dense_rank() OVER (PARTITION BY r_name
+        |         ORDER BY revd DESC, n_name) as int) AS rk
+        |FROM rev""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(Exact.dec(col("l_extendedprice"))
+          * (lit(1) - Exact.dec(col("l_discount")))).as("revd"))
+      val wp = Window.partitionBy("r_name")
+      rev.select(col("r_name"), col("n_name"),
+        col("revd").cast("double").as("revenue"),
+        (col("revd").cast("double") /
+          sum(col("revd")).over(wp).cast("double")).as("share"),
+        dense_rank().over(wp.orderBy(col("revd").desc, col("n_name")))
+          .cast("int").as("rk"))
     }
   )
 }
