@@ -271,6 +271,79 @@ object Similarity {
     * (the same guarded literal/driver boundary as the frequent-set path,
     * CleanOps C10).
     */
+  /** Full IVF-PQ search with asymmetric distance computation (ADC):
+    * queries probe their `nprobe` nearest coarse cells, and candidates in
+    * those cells are ranked by the PQ-approximated L2 — the query stays
+    * exact, the candidate is its `m` codebook codes, and the distance is
+    * `Σ_s LUT[s][code_s]` where the per-query lookup table holds the L2²
+    * from each query subvector to every codeword (Jégou et al., the
+    * billion-vector ANN query path).
+    *
+    * Scale shape: the LUT is m·|codebook| doubles computed ONCE per query
+    * as a narrow projection (codebook rides as plan literals, the pqEncode
+    * discipline); the candidate scan then does m array lookups + adds per
+    * row — it never touches the 64-dim float vectors. The fold over
+    * subspaces runs in ascending s order, so the double sum is
+    * reproducible (and matched by the oracle's ordered list_reduce).
+    * Codebook ids must be dense 0..n-1 (they index the LUT directly).
+    * Returns (q_id, n_id, rank, adc).
+    */
+  def ivfPqSearch(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame, codebook: DataFrame, m: Int,
+      nprobe: Int, k: Int, queryPred: Column,
+      maxCodebook: Int = 65536): DataFrame = {
+    val rows = codebook.select(col(id).cast("long"), col(vec))
+      .limit(maxCodebook + 1).collect()
+    require(rows.nonEmpty && rows.length <= maxCodebook,
+      s"ivfPqSearch: codebook must hold 1..$maxCodebook entries")
+    val cents: Seq[(Long, Seq[Double])] = rows.toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      })
+    }.sortBy(_._1)
+    require(cents.map(_._1) == (0L until cents.length.toLong),
+      "ivfPqSearch: codebook ids must be dense 0..n-1 (they index the LUT)")
+    val dims = cents.head._2.length
+    require(dims % m == 0, s"ivfPqSearch: $dims dims not divisible by m=$m")
+    val sub = dims / m
+
+    val codes = pqEncode(df, id, vec, codebook, id, vec, m, maxCodebook)
+    val cells = ivfAssign(df, id, vec, centroids)
+    val c = broadcast(centroids.select(
+      col(id).as("__cid"), col(vec).as("__cvec")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("__dist").asc, col("__cid").asc)
+    val lut = array((0 until m).map { s =>
+      array(cents.map { case (_, cv) =>
+        graft.plans.VecKernels.l2sq(
+          slice(col("q_vec"), s * sub + 1, sub),
+          typedLit(cv.slice(s * sub, (s + 1) * sub)))
+      }: _*)
+    }: _*)
+    val probes = df.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("__lut", lut)
+      .crossJoin(c)
+      .withColumn("__dist", l2sq(col("q_vec"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__lut"), col("__cid").as("cell"))
+    val cand = codes.select(col(id).as("n_id"), col("codes"))
+      .join(cells.select(col(id).as("n_id"), col("cell")), Seq("n_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(
+        element_at(col("__lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id").asc)
+    cand.withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("adc"))
+  }
+
   def pqEncode(corpus: DataFrame, id: String, vec: String,
       codebook: DataFrame, cbId: String, cbVec: String,
       m: Int, maxCodebook: Int = 65536): DataFrame = {

@@ -309,6 +309,68 @@ object ClusterQueries {
         "doc_id", "bi")
     },
 
+    // Full IVF-PQ ANN query path (ADC): queries probe their 2 nearest
+    // coarse cells (q47/q62's routing), candidates are ranked by the PQ-
+    // approximated L2 — per query a LUT of subvector→codeword distances is
+    // computed once (codebook rides as literals), then each candidate costs
+    // m array lookups + adds, never touching its 64-dim floats. The
+    // subspace fold runs in ascending s order on both engines, so the
+    // double sum is reproducible. Completes q47 (route) + q70 (compress)
+    // with the search step.
+    QueryDef(
+      "q105_ivfpq_adc", {
+        def subL2(a: String, b: String, s: String): String =
+          s"""list_reduce(list_transform(range(1, 9), i ->
+             |  (cast($a[$s*8 + i] as double) - cast($b[$s*8 + i] as double))
+             |  * (cast($a[$s*8 + i] as double) - cast($b[$s*8 + i] as double))),
+             |  (x, y) -> x + y)""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           |           FROM embeddings WHERE vec_id < 8),
+           |cb AS (SELECT vec_id AS bid, embedding AS bvec
+           |       FROM embeddings WHERE vec_id < 16),
+           |sp AS (SELECT range AS s FROM range(0, 8)),
+           |cells AS (SELECT vec_id, cid AS cell FROM (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+           |codes AS (SELECT vec_id, s, bid FROM (
+           |  SELECT e.vec_id, sp.s, cb.bid,
+           |    row_number() OVER (PARTITION BY e.vec_id, sp.s
+           |      ORDER BY ${subL2("e.embedding", "cb.bvec", "sp.s")}, cb.bid) AS rn
+           |  FROM embeddings e CROSS JOIN sp CROSS JOIN cb) WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id % 100 = 0),
+           |probe AS (SELECT q_id, cell FROM (
+           |  SELECT q.q_id, c.cid AS cell,
+           |    row_number() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${l2Sql("q.q_vec", "c.cvec")}, c.cid) AS rn
+           |  FROM q CROSS JOIN c) WHERE rn <= 2),
+           |cand AS (SELECT p.q_id, ce.vec_id AS n_id
+           |         FROM probe p JOIN cells ce USING (cell)
+           |         WHERE ce.vec_id <> p.q_id),
+           |adc AS (SELECT cand.q_id, cand.n_id,
+           |    list_reduce(list_prepend(cast(0 as double),
+           |      list(${subL2("q.q_vec", "cb.bvec", "codes.s")}
+           |           ORDER BY codes.s)), (x, y) -> x + y) AS adc
+           |  FROM cand
+           |  JOIN codes ON codes.vec_id = cand.n_id
+           |  JOIN cb ON cb.bid = codes.bid
+           |  JOIN q ON q.q_id = cand.q_id
+           |  GROUP BY cand.q_id, cand.n_id)
+           |SELECT q_id, n_id, cast(rank as int) AS rank, adc FROM (
+           |  SELECT q_id, n_id, adc,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+           |  FROM adc) WHERE rank <= 3""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqSearch(e, "vec_id", "embedding",
+        centroids = e.filter(col("vec_id") < 8),
+        codebook = e.filter(col("vec_id") < 16),
+        m = 8, nprobe = 2, k = 3,
+        queryPred = col("vec_id") % 100 === 0)
+    },
+
     // Graph analytics over a frequent-pair co-occurrence graph: parts
     // sharing ≥2 orders become edges (support gate — the support-1 graph is
     // near-complete noise); triangles close wedges with the degree-ordered

@@ -696,6 +696,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(row._1 == 10.0 / 35 && row._2 == 2L)
   }
 
+  test("ivfPqSearch: ADC ranks by LUT-summed subspace distances") {
+    import graft.operators.Similarity
+    // 4-dim vectors, m=2 (sub=2); ids 0/1 double as codebook AND coarse
+    // centroids. Query id 4 = (0.1, 0, 0, 0):
+    //   LUT: sub0 → [0.01, 1.81], sub1 → [0.0, 2.0]
+    //   codes: id0 [0,0]  id1 [1,1]  id2 [0,1]  id3 [1,0]
+    //   ADC:   id0 0.01   id1 3.81   id2 2.01   id3 1.81
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(1f, 1f, 0f, 0f)),
+      (4L, Seq(0.1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqSearch(vecs, "vec_id", "embedding",
+        centroids = vecs.filter(col("vec_id") < 2),
+        codebook = vecs.filter(col("vec_id") < 2),
+        m = 2, nprobe = 2, k = 3, queryPred = col("vec_id") === 4)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(out.map(t => (t._2, t._3)).toSeq == Seq((0L, 1), (3L, 2), (2L, 3)))
+    // float32 inputs: 0.1f widens to 0.10000000149…, so compare loosely
+    assert(math.abs(out(0)._4 - 0.01) < 1e-7)
+    assert(math.abs(out(1)._4 - 1.81) < 1e-7)
+  }
+
   test("groupedHistogramQuantiles equals the per-group brute-force sort") {
     import graft.operators.Sketches
     val rows = (1 to 300).map(i => ("a", (i * 7 % 83).toLong)) ++
