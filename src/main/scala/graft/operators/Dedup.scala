@@ -105,6 +105,43 @@ object Dedup {
       .select("a_id", "b_id", "n_common", "n_union")
   }
 
+  /** Incremental near-dup pairing: candidate pairs are (corpus × delta)
+    * band matches only — pair generation scales with the DELTA's band
+    * rows, never corpus². This is how a standing corpus absorbs a crawl
+    * increment: old-old pairs are (by contract) already known from the
+    * previous run and are never regenerated; only pairs touching a new
+    * document appear. `deltaPred` marks the new rows inside `docs`; output
+    * pairs are oriented a_id < b_id and verified with exact Jaccard like
+    * [[minhashLshPairs]] — on the same corpus, this equals the full run's
+    * pairs restricted to those touching the delta.
+    */
+  def minhashLshPairsDelta(docs: DataFrame, idCol: String, shinglesCol: String,
+      deltaPred: Column, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), col(shinglesCol).as("sh"),
+        deltaPred.as("__new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigDf = sh.select(col("id"), col("__new"),
+        minhashSig(col("sh"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = sigDf.select(col("id"), col("__new"),
+      explode(bandKeys(col("sig"), bands, k / bands)).as("__bk"))
+    val cand = bandsDf.select(col("id").as("x_id"), col("__bk"))
+      .join(bandsDf.filter(col("__new"))
+        .select(col("id").as("y_id"), col("__bk")), Seq("__bk"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("n_union", size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("n_common").cast("double") / col("n_union") >= threshold)
+      .select("a_id", "b_id", "n_common", "n_union")
+  }
+
   /** Edit-distance near-duplicate pairs via prefix blocking — the classic
     * record-linkage shape for typo-class duplicates that shingle Jaccard
     * misses (single-character edits leave most shingles intact but exact

@@ -159,6 +159,40 @@ object DedupQueries {
           Dedup.jaccard(col("a_sh"), col("b_sh")).as("jacc"))
     },
 
+    // Incremental near-dup pairing: the mutants play the "newly crawled"
+    // delta against the standing corpus — the band join is corpus×delta,
+    // never corpus×corpus, so an increment's dedup cost scales with the
+    // increment. Same signatures/verify as q28; old-old pairs never
+    // regenerate.
+    QueryDef(
+      "q106_incremental_neardup",
+      s"""$mutantCorpusSql,
+         |sh AS (${shingleSql("c")}),
+         |sig AS (${sigSql("sh")}),
+         |bk AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |         md5(concat(cast(b as varchar), chr(1), array_to_string(
+         |           list_transform(sig[(b*4+1):(b*4+4)], v -> cast(v as varchar)),
+         |           chr(1)))))) AS bk
+         |       FROM sig),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+         |                greatest(a.doc_id, b.doc_id) AS b_id
+         |         FROM bk a JOIN bk b USING (bk)
+         |         WHERE b.doc_id >= 1000000 AND a.doc_id <> b.doc_id)
+         |SELECT a_id, b_id,
+         |  cast(len(list_intersect(x.sh, y.sh)) as int) AS n_common,
+         |  cast(len(list_distinct(x.sh || y.sh)) as int) AS n_union
+         |FROM cand
+         |JOIN sh x ON x.doc_id = a_id
+         |JOIN sh y ON y.doc_id = b_id
+         |WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+         |      / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin) { (s, dir) =>
+      val corpus = mutantCorpus(s, dir)
+        .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+      Dedup.minhashLshPairsDelta(corpus, "doc_id", "sh",
+        deltaPred = col("doc_id") >= 1000000L, k = 16, bands = 4,
+        threshold = 0.5)
+    },
+
     // Edit-distance near-dup pairs (typo-class duplicates): prefix-blocked
     // candidate generation + exact Levenshtein verify. Planted variants —
     // a character substituted at position 40 (every 9th doc, dist 1) and a

@@ -696,6 +696,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(row._1 == 10.0 / 35 && row._2 == 2L)
   }
 
+  test("minhashLshPairsDelta == full pairs restricted to those touching the delta") {
+    val base = (0 until 20).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, base), (2L, base.updated(0, "X")),      // old near-dups
+      (3L, (50 until 70).map(i => s"w$i")),        // old, unrelated
+      (101L, base.updated(1, "Y")),                // new: pairs with 1 and 2
+      (102L, (50 until 70).map(i => s"w$i").updated(0, "Z")), // new: pairs with 3
+      (103L, (900 until 920).map(i => s"q$i")))    // new, matches nothing
+      .toDF("id", "toks")
+      .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+    val isNew = col("id") >= 100L
+    val full = Dedup.minhashLshPairs(docs, "id", "sh")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val delta = Dedup.minhashLshPairsDelta(docs, "id", "sh", isNew)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(delta == full.filter(p => p._1 >= 100L || p._2 >= 100L))
+    // the old-old pair (1,2) exists in the full run but never regenerates
+    assert(full.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!delta.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(delta.exists(p => p._1 == 3L && p._2 == 102L))
+  }
+
   test("ivfPqSearch: ADC ranks by LUT-summed subspace distances") {
     import graft.operators.Similarity
     // 4-dim vectors, m=2 (sub=2); ids 0/1 double as codebook AND coarse
