@@ -145,6 +145,58 @@ object Sketches {
       .select(col("pct"), col("__rank").as("qrank"), col("__v").as("qvalue"))
   }
 
+  /** SQL-standard `percentile_cont` (linear interpolation between order
+    * statistics) on the same two-pass histogram — no global sort. For
+    * percentile p over n rows, h = 1 + (n−1)·p/100; the result interpolates
+    * the values at ⌊h⌋ and ⌈h⌉: `lo + (hi − lo) · frac` with
+    * frac = ((n−1)·p mod 100)/100. Ranks are integer-only; the
+    * interpolation is exact long→double + one multiply/add (IEEE-determined
+    * in both engines). One extra probe per percentile vs
+    * [[histogramQuantiles]] — same shuffle bounds.
+    */
+  def histogramQuantilesCont(df: DataFrame, value: Column,
+      pcts: Seq[Int], bins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(value.cast("long").as("__v"))
+    val bounds = v.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      count(lit(1)).as("__n"))
+    val withW = bounds.select(col("__lo"), col("__n"),
+      expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+    val binned = v.crossJoin(broadcast(withW))
+      .select(col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+    val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__bc"))
+      .withColumn("__cum", sum(col("__bc")).over(Window.orderBy(col("__bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__below", col("__cum") - col("__bc"))
+    val probes = pcts.toDF("pct")
+      .crossJoin(broadcast(bounds.select(col("__n"))))
+      .withColumn("__frac", expr("((__n - 1) * pct % 100) / 100.0"))
+      .select(col("pct"), col("__frac"), explode(array(
+        struct(lit("lo").as("side"),
+          expr("(100 + (__n - 1) * pct) div 100").as("__rank")),
+        struct(lit("hi").as("side"),
+          expr("(100 + (__n - 1) * pct + 99) div 100").as("__rank")))).as("p"))
+      .select(col("pct"), col("__frac"), col("p.side").as("__side"),
+        col("p.__rank").as("__rank"))
+    val probeBins = probes.join(broadcast(hist),
+        col("__rank") > col("__below") && col("__rank") <= col("__cum"))
+      .select(col("pct"), col("__frac"), col("__side"), col("__rank"),
+        col("__bin"), col("__below"))
+    binned.join(broadcast(probeBins), "__bin")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("pct"), col("__side")).orderBy(col("__v"))))
+      .filter(col("__below") + col("__rn") === col("__rank"))
+      .groupBy("pct", "__frac")
+      .agg(max(when(col("__side") === "lo", col("__v"))).as("__qlo"),
+        max(when(col("__side") === "hi", col("__v"))).as("__qhi"))
+      .select(col("pct"),
+        (col("__qlo").cast("double") +
+          (col("__qhi").cast("double") - col("__qlo").cast("double"))
+            * col("__frac")).as("q_cont"))
+  }
+
   /** Per-group exact quantiles WITHOUT per-group sorts — the grouped form of
     * [[histogramQuantiles]], for "q1/q3 per category" analytics where a
     * `Window.partitionBy(group)` sort would funnel each category through a

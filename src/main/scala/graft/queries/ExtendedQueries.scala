@@ -440,6 +440,63 @@ object ExtendedQueries {
         .select(col("pct"), col("est_cents"), col("exact_cents"))
     },
 
+    // SQL-standard percentile_cont, exact and sort-free: interpolates
+    // between the two order statistics around h = 1 + (n−1)p/100, both
+    // fetched by the two-pass histogram; the interpolation is exact
+    // long→double + one multiply/add, IEEE-identical in both engines.
+    QueryDef(
+      "q107_percentile_cont",
+      """WITH v AS (SELECT
+        |    cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint) AS c
+        |  FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM v),
+        |p AS (SELECT unnest([25, 50, 75, 90]) AS pct),
+        |s AS (SELECT p.pct,
+        |        max(CASE WHEN rn = (100 + (n-1) * pct) // 100 THEN c END) AS lo,
+        |        max(CASE WHEN rn = (100 + (n-1) * pct + 99) // 100 THEN c END) AS hi,
+        |        min(n) AS n
+        |      FROM r CROSS JOIN p GROUP BY p.pct)
+        |SELECT cast(pct as int) AS pct,
+        |  cast(lo as double) + (cast(hi as double) - cast(lo as double))
+        |    * (((n-1) * pct % 100) / 100.0) AS q_cont
+        |FROM s""".stripMargin) { (s, dir) =>
+      val v = Tables.orders(s, dir)
+        .select((Exact.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      Sketches.histogramQuantilesCont(v, col("c"), Seq(25, 50, 75, 90))
+    },
+
+    // Median absolute deviation — the robust scale estimate: median of
+    // |x − median(x)|, both medians exact order statistics from the
+    // two-pass histogram (integer cents throughout; no sort, no float
+    // until the emitted columns).
+    QueryDef(
+      "q109_mad",
+      """WITH v AS (SELECT
+        |    cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint) AS c
+        |  FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM v),
+        |med AS (SELECT c AS m FROM r WHERE rn = (n * 50 + 99) // 100),
+        |dev AS (SELECT abs(v.c - med.m) AS d FROM v, med),
+        |dr AS (SELECT d, row_number() OVER (ORDER BY d) AS rn,
+        |              count(*) OVER () AS n
+        |       FROM dev)
+        |SELECT med.m AS median_cents, dr.d AS mad_cents
+        |FROM dr, med WHERE dr.rn = (dr.n * 50 + 99) // 100""".stripMargin) { (s, dir) =>
+      val v = Tables.orders(s, dir)
+        .select((Exact.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      val med = Sketches.histogramQuantiles(v, col("c"), Seq(50))
+        .select(col("qvalue").as("m"))
+      val dev = v.crossJoin(broadcast(med))
+        .select(abs(col("c") - col("m")).as("d"), col("m"))
+      val mad = Sketches.histogramQuantiles(dev, col("d"), Seq(50))
+        .select(col("qvalue").as("mad_cents"))
+      med.select(col("m").as("median_cents")).crossJoin(mad)
+    },
+
     // Per-category IQR outlier screen: exact q1/q3 per event_type from the
     // GROUPED two-pass histogram (no per-group sort — a window partitioned
     // by a 5-value category would funnel the corpus through 5 reducers),

@@ -233,6 +233,31 @@ object MiscQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     },
 
+    // Corrupt-record quarantine: planted truncation (final '}' chopped on
+    // every 11th event) must route rows to the bad counter, not crash the
+    // scan and not silently zero the field — the PERMISSIVE-ingestion
+    // contract. Validity check is a real JSON parse on both engines
+    // (get_json_object / json_valid), one narrow projection + aggregate.
+    QueryDef(
+      "q111_corrupt_quarantine",
+      """SELECT event_type,
+        |  cast(count(*) FILTER (WHERE json_valid(p)) as bigint) AS n_ok,
+        |  cast(count(*) FILTER (WHERE NOT json_valid(p)) as bigint) AS n_bad
+        |FROM (SELECT event_type,
+        |        CASE WHEN event_id % 11 = 0
+        |             THEN substr(props, 1, length(props) - 1)
+        |             ELSE props END AS p
+        |      FROM events)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = when(col("event_id") % 11 === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      Tables.events(s, dir)
+        .withColumn("ok", get_json_object(p, "$").isNotNull)
+        .groupBy("event_type")
+        .agg(count(when(col("ok"), 1)).as("n_ok"),
+          count(when(!col("ok"), 1)).as("n_bad"))
+    },
+
     // Semi-structured access: JSON props column → typed field → aggregate.
     QueryDef(
       "q50_json_props",

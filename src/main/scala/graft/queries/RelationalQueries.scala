@@ -165,6 +165,47 @@ object RelationalQueries {
       Relational.valueCounts(Tables.lineitem(s, dir), Seq("l_returnflag", "l_linestatus"))
     },
 
+    // Mode aggregate with deterministic tie-break: most frequent quantity
+    // per return flag, ties to the smaller value. A map-side-combined
+    // (flag, qty) count, then min_by over a (−cnt, qty) struct — the argmax
+    // without a per-group sort or window.
+    QueryDef(
+      "q108_mode_per_group",
+      """SELECT l_returnflag, q AS mode_qty, cast(cnt as bigint) AS cnt FROM (
+        |  SELECT l_returnflag, q, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cnt DESC, q) AS rn
+        |  FROM (SELECT l_returnflag, cast(l_quantity as bigint) AS q,
+        |               count(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+          min_by(col("q"), struct((-col("cnt")).as("nc"), col("q"))).as("mode_qty"),
+          max(col("cnt")).as("cnt"))
+    },
+
+    // Ordered string aggregation: deterministic csv of the statuses seen
+    // per priority — collect_set is unordered by contract, so the sort is
+    // explicit before the join (string_agg ORDER BY on the oracle side).
+    QueryDef(
+      "q110_string_agg",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  cast(count(DISTINCT o_orderstatus) as int) AS n_statuses
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(collect_set(col("o_orderstatus")).as("ss"))
+        .select(col("o_orderpriority"),
+          array_join(array_sort(col("ss")), ",").as("statuses"),
+          size(col("ss")).cast("int").as("n_statuses"))
+    },
+
     // Ratio-to-report + ranking windows on top of the q03 star join:
     // each nation's share of its region's revenue and its dense rank
     // within the region. Revenue stays exact decimal through the window

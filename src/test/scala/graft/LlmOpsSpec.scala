@@ -484,6 +484,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantilesCont equals brute-force linear interpolation") {
+    import graft.operators.Sketches
+    val vals = ((1 to 401).map(i => (i * i % 97).toLong) ++ Seq.fill(50)(7L))
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val pcts = Seq(0, 25, 50, 75, 90, 100)
+    for (bins <- Seq(4, 4096)) {
+      val got = Sketches.histogramQuantilesCont(df, col("v"), pcts, bins)
+        .as[(Int, Double)].collect().toMap
+      pcts.foreach { p =>
+        val n = vals.size.toLong
+        val lo = sorted(((100 + (n - 1) * p) / 100 - 1).toInt).toDouble
+        val hi = sorted(((100 + (n - 1) * p + 99) / 100 - 1).toInt).toDouble
+        val frac = ((n - 1) * p % 100) / 100.0
+        assert(got(p) == lo + (hi - lo) * frac, s"bins=$bins pct=$p")
+      }
+    }
+  }
+
   test("temperatureResample: min source kept whole, others at sqrt ratio, deterministic") {
     import graft.functions.XHash
     import graft.operators.Relational
