@@ -164,8 +164,13 @@ object Dedup {
       .join(keyed.select(col("id").as("b_id"), col("txt").as("b_txt"),
         col("__blk")), Seq("__blk"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt")))
-      .filter(col("dist") <= maxDist)
+      // banded DP: the threshold argument caps the per-pair cost at
+      // O(maxDist·|a|) and returns -1 past the band — far-apart same-block
+      // pairs bail out early instead of filling the full |a|·|b| matrix.
+      // Result set is unchanged (we only keep dist ≤ maxDist), so the
+      // full-DP oracle still matches.
+      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
   }
 

@@ -164,7 +164,8 @@ object Multimodal {
     * it never touches sample data (`mdat`), so a metadata scan over 100 TB
     * of video reads a few hundred bytes per row. */
   object VideoCodec {
-    final case class Mp4Info(timescale: Int, duration: Long, nTracks: Int)
+    final case class Mp4Info(timescale: Int, duration: Long, nTracks: Int,
+        nSamples: Long)
 
     private def be32(v: Int): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
@@ -172,12 +173,26 @@ object Multimodal {
     private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
       be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
 
-    /** Minimal valid MP4: `ftyp` + `moov`(`mvhd` v0 + `nTracks`×`trak`
-      * stubs) + a small seeded `mdat`. Deterministic in its arguments. */
     def synthMp4(timescale: Int, duration: Long, nTracks: Int,
-        seed: Long): Array[Byte] = {
+        seed: Long): Array[Byte] =
+      synthMp4(timescale, duration, nTracks, 0, seed)
+
+    /** Minimal valid MP4: `ftyp` + `moov`(`mvhd` v0 + `nTracks`×`trak`s,
+      * each trak carrying a REAL `mdia/minf/stbl/stts` time-to-sample
+      * table with `samplesPerTrak` samples split over two entries) + a
+      * small seeded `mdat`. Deterministic in its arguments. */
+    def synthMp4(timescale: Int, duration: Long, nTracks: Int,
+        samplesPerTrak: Int, seed: Long): Array[Byte] = {
       require(timescale > 0 && duration >= 0 && duration <= Int.MaxValue
-        && nTracks >= 0)
+        && nTracks >= 0 && samplesPerTrak >= 0)
+      val sttsEntries: Array[(Int, Int)] =
+        if (samplesPerTrak == 0) Array.empty
+        else if (samplesPerTrak == 1) Array((1, 100))
+        else Array((samplesPerTrak - samplesPerTrak / 2, 100),
+          (samplesPerTrak / 2, 200))
+      val stts = box("stts", be32(0) ++ be32(sttsEntries.length) ++
+        sttsEntries.flatMap { case (c, d) => be32(c) ++ be32(d) })
+      val mdia = box("mdia", box("minf", box("stbl", stts)))
       val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
         "isomiso2mp41".getBytes("US-ASCII"))
       val mvhd = box("mvhd", be32(0) ++ // version 0 + flags
@@ -194,7 +209,7 @@ object Multimodal {
           new Array[Byte](8) ++ new Array[Byte](8) ++ // reserved, layer/group/volume
           (be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x00010000)
             ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)) ++
-          be32(0) ++ be32(0))) // width, height
+          be32(0) ++ be32(0)) ++ mdia) // width, height; then media tree
       }
       val moov = box("moov", mvhd ++ traks)
       var x = seed * 0x9E3779B97F4A7C15L | 1L
@@ -207,9 +222,10 @@ object Multimodal {
       ftyp ++ moov ++ box("mdat", data)
     }
 
-    /** Header-only parse: timescale, duration and track count from
-      * `moov`/`mvhd`. None for anything that is not ISO-BMFF with a
-      * well-formed movie header. */
+    /** Header-only parse: timescale, duration, track count and total
+      * sample count (summed over every trak's `stts` time-to-sample
+      * entries — a real table walk, `mdat` untouched). None for anything
+      * that is not ISO-BMFF with a well-formed movie header. */
     def info(bytes: Array[Byte]): Option[Mp4Info] = {
       if (bytes == null || bytes.length < 16) return None
       val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
@@ -233,12 +249,33 @@ object Multimodal {
         }
         true
       }
+      // recursive container descent summing stts sample counts
+      def sumStts(from: Long, until: Long): Long = {
+        var tot = 0L
+        walk(from, until) { (tpe, s, e) =>
+          if (tpe == "stts" && e - s >= 8) {
+            val n = buf.getInt(s.toInt + 4)
+            var i = 0
+            var off = s + 8
+            while (i < n && off + 8 <= e) {
+              tot += buf.getInt(off.toInt).toLong & 0xffffffffL
+              off += 8
+              i += 1
+            }
+          } else if (tpe == "mdia" || tpe == "minf" || tpe == "stbl") {
+            tot += sumStts(s, e)
+          }
+          true
+        }
+        tot
+      }
       var result: Option[Mp4Info] = None
       walk(0L, bytes.length.toLong) { (tpe, start, end) =>
         if (tpe == "moov") {
           var ts = -1
           var dur = -1L
           var tracks = 0
+          var samples = 0L
           val ok = walk(start, end) { (child, cs, ce) =>
             if (child == "mvhd" && ce - cs >= 24) {
               val version = bytes(cs.toInt) & 0xff
@@ -249,11 +286,14 @@ object Multimodal {
                 ts = buf.getInt(cs.toInt + 12)
                 dur = buf.getInt(cs.toInt + 16).toLong & 0xffffffffL
               }
-            } else if (child == "trak") tracks += 1
+            } else if (child == "trak") {
+              tracks += 1
+              samples += sumStts(cs, ce)
+            }
             true
           }
           if (ok && ts > 0 && dur >= 0)
-            result = Some(Mp4Info(ts, dur, tracks))
+            result = Some(Mp4Info(ts, dur, tracks, samples))
           false // stop the top-level walk either way
         } else true
       }
@@ -261,11 +301,12 @@ object Multimodal {
     }
   }
 
-  private val synthMp4U = udf((ts: Int, dur: Long, n: Int, seed: Long) =>
-    VideoCodec.synthMp4(ts, dur, n, seed))
+  private val synthMp4U = udf((ts: Int, dur: Long, n: Int, spt: Int, seed: Long) =>
+    VideoCodec.synthMp4(ts, dur, n, spt, seed))
   /** Column wrapper over [[VideoCodec.synthMp4]]. */
   def synthMp4(timescale: Column, duration: Column, nTracks: Column,
-      seed: Column): Column = synthMp4U(timescale, duration, nTracks, seed)
+      samplesPerTrak: Column, seed: Column): Column =
+    synthMp4U(timescale, duration, nTracks, samplesPerTrak, seed)
 
   private val videoInfoU = udf((b: Array[Byte]) => VideoCodec.info(b))
   /** Real header-only MP4 parse as a Column:

@@ -174,6 +174,8 @@ object TextQueries {
         |  cast(600 + octet_length(encode(text)) % 5 * 100 as int) AS timescale,
         |  cast(octet_length(encode(text)) * 3 as bigint) AS duration,
         |  cast(1 + octet_length(encode(text)) % 3 as int) AS n_tracks,
+        |  cast((1 + octet_length(encode(text)) % 3)
+        |    * (octet_length(encode(text)) % 7 + 2) as bigint) AS n_samples,
         |  cast(octet_length(encode(text)) * 3 * 1000
         |    // (600 + octet_length(encode(text)) % 5 * 100) as bigint) AS duration_ms
         |FROM documents""".stripMargin) { (s, dir) =>
@@ -181,12 +183,14 @@ object TextQueries {
         .withColumn("blen", length(col("text").cast("binary")).cast("int"))
         .withColumn("mp4", Multimodal.synthMp4(
           lit(600) + col("blen") % 5 * 100, (col("blen") * 3L).cast("long"),
-          lit(1) + col("blen") % 3, col("doc_id")))
+          lit(1) + col("blen") % 3, col("blen") % 7 + 2, col("doc_id")))
         .withColumn("video", Multimodal.videoInfo(col("mp4")))
       d.select(col("doc_id"),
         col("video.timescale").as("timescale"),
         col("video.duration").as("duration"),
         col("video.nTracks").as("n_tracks"),
+        // summed from the per-trak stts tables by the real box walk
+        col("video.nSamples").as("n_samples"),
         floor(col("video.duration") * 1000L / col("video.timescale"))
           .cast("long").as("duration_ms"))
     },

@@ -34,6 +34,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(row == ((6L, 6L, 2L)))
   }
 
+  test("triangleStats matches brute force on pseudo-random graphs") {
+    // deterministic LCG-built graphs across densities; brute force counts
+    // closed triples over the adjacency set
+    for (seed <- 1 to 4) {
+      var s = seed.toLong
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      val n = 12
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if java.lang.Long.remainderUnsigned(next(), 100) < 30 + seed * 10
+      } yield (a.toLong, b.toLong)).toSeq
+      val adj = edges.toSet
+      val expect = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield 1).size.toLong
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+      val got = GraphOps.triangleStats(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].head()
+      assert(got == ((nodes, edges.size.toLong, expect)), s"seed=$seed")
+    }
+  }
+
   test("triangleStats: full K4 has 4 triangles") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("a", "b")

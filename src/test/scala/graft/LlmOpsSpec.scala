@@ -204,9 +204,15 @@ class LlmOpsSpec extends SparkSpec {
     import Multimodal.VideoCodec
     // codec level: synth -> header-only parse round-trips exactly
     val mp4 = VideoCodec.synthMp4(1000, 90000L, 2, 11L)
-    assert(VideoCodec.info(mp4).contains(VideoCodec.Mp4Info(1000, 90000L, 2)))
+    assert(VideoCodec.info(mp4).contains(VideoCodec.Mp4Info(1000, 90000L, 2, 0L)))
     assert(VideoCodec.info(VideoCodec.synthMp4(600, 0L, 0, 1L))
-      .contains(VideoCodec.Mp4Info(600, 0L, 0)))
+      .contains(VideoCodec.Mp4Info(600, 0L, 0, 0L)))
+    // stts: per-trak sample tables sum across traks (real table walk);
+    // odd counts split over two entries
+    assert(VideoCodec.info(VideoCodec.synthMp4(1000, 500L, 3, 7, 2L))
+      .contains(VideoCodec.Mp4Info(1000, 500L, 3, 21L)))
+    assert(VideoCodec.info(VideoCodec.synthMp4(1000, 500L, 2, 1, 2L))
+      .contains(VideoCodec.Mp4Info(1000, 500L, 2, 2L)))
     // version-1 mvhd (64-bit times) parses too: handcraft one
     def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -217,7 +223,7 @@ class LlmOpsSpec extends SparkSpec {
     val moov1 = be32(8 + mvhd1.length) ++ "moov".getBytes("US-ASCII") ++ mvhd1
     val ftyp = VideoCodec.synthMp4(1, 0L, 0, 0L).take(28)
     assert(VideoCodec.info(ftyp ++ moov1)
-      .contains(VideoCodec.Mp4Info(48000, 1234567890123L, 0)))
+      .contains(VideoCodec.Mp4Info(48000, 1234567890123L, 0, 0L)))
     // non-MP4 payloads parse to None, never throw
     assert(VideoCodec.info("this is certainly not an iso-bmff file".getBytes).isEmpty)
     assert(VideoCodec.info(mp4.take(30)).isEmpty) // truncated before moov
@@ -225,15 +231,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(VideoCodec.info(Multimodal.ImageCodec.synthPng(8, 8, 1L)).isEmpty)
     assert(VideoCodec.info(null).isEmpty)
     // pipeline level: synthesize in a column, parse via the Column wrapper
-    val df = Seq((1L, 600, 1800L, 1), (2L, 1000, 50000L, 3))
-      .toDF("id", "ts", "dur", "n")
-      .withColumn("mp4",
-        Multimodal.synthMp4(col("ts"), col("dur"), col("n"), col("id")))
+    val df = Seq((1L, 600, 1800L, 1, 4), (2L, 1000, 50000L, 3, 9))
+      .toDF("id", "ts", "dur", "n", "spt")
+      .withColumn("mp4", Multimodal.synthMp4(
+        col("ts"), col("dur"), col("n"), col("spt"), col("id")))
     val out = df.select(col("id"), Multimodal.videoInfo(col("mp4")).as("v"))
-      .select(col("id"), col("v.timescale"), col("v.duration"), col("v.nTracks"))
-      .as[(Long, Int, Long, Int)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    assert(out(1L) == ((600, 1800L, 1)) && out(2L) == ((1000, 50000L, 3)))
+      .select(col("id"), col("v.timescale"), col("v.duration"),
+        col("v.nTracks"), col("v.nSamples"))
+      .as[(Long, Int, Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == ((600, 1800L, 1, 4L)) && out(2L) == ((1000, 50000L, 3, 27L)))
   }
 
   test("resize meta preserves aspect bucket") {
