@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks over a table — the constraint-report
+  * primitive (deequ/dbt-test flavor) a pipeline runs before promoting a
+  * snapshot. Each check compiles to one aggregate (or one anti-join for
+  * referential integrity); the report is their union: (check, n_violations).
+  *
+  * Scale shape: predicate/not-null checks share a single scan when Spark
+  * fuses them (they are plain conditional counts); uniqueness is one
+  * map-side-combined groupBy on the key; referential integrity is a
+  * left-anti hash join against the (broadcastable) dimension — nothing
+  * collects, nothing sorts.
+  */
+object DataQuality {
+
+  sealed trait Check { def name: String }
+  /** Rows where `violates` is true fail the check. */
+  final case class Predicate(name: String, violates: Column) extends Check
+  final case class NotNull(name: String, colName: String) extends Check
+  /** Rows whose key occurs more than once all count as violations. */
+  final case class Unique(name: String, cols: Seq[String]) extends Check
+  /** Rows whose `keyCol` has no match in `dim(dimKey)`. */
+  final case class RefIntegrity(name: String, keyCol: String,
+      dim: DataFrame, dimKey: String) extends Check
+
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty)
+    val parts = checks.map {
+      case Predicate(name, violates) =>
+        df.agg(count(when(violates, 1)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      case NotNull(name, c) =>
+        df.agg(count(when(col(c).isNull, 1)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      case Unique(name, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1)
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+      case RefIntegrity(name, keyCol, dim, dimKey) =>
+        df.join(dim.select(col(dimKey).as(keyCol)).distinct(),
+            Seq(keyCol), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check"), col("n_violations"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+}

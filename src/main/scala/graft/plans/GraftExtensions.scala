@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fvec_l2sq"),
       new ExpressionInfo(classOf[FloatVecL2Sq].getName, "fvec_l2sq"),
       exprs => FloatVecL2Sq(exprs(0), exprs(1))))
+    // portable-SQL hash form → native kernel (semantics-preserving;
+    // NOT added by register() so the equivalence specs keep comparing
+    // genuinely distinct formulations)
+    e.injectOptimizerRule(_ => RewriteToMd5Bucket60)
   }
 }
 

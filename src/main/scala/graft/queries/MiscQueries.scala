@@ -233,6 +233,74 @@ object MiscQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     },
 
+    // Data-quality constraint report (deequ/dbt-test flavor): five checks,
+    // each one aggregate or anti-join, unioned into (check, n_violations).
+    // Two constraints genuinely fail on this corpus (value cap, accepted
+    // event types) and three genuinely hold — the report proves the checks
+    // run, not just that the data is clean.
+    QueryDef(
+      "q112_dq_report",
+      """SELECT 'events_value_le_300' AS check,
+        |  cast(count(*) FILTER (WHERE NOT (value >= 0 AND value <= 300)) as bigint)
+        |    AS n_violations
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_type_accepted',
+        |  cast(count(*) FILTER (WHERE event_type NOT IN
+        |    ('click', 'view', 'purchase', 'signup')) as bigint)
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_props_not_null',
+        |  cast(count(*) FILTER (WHERE props IS NULL) as bigint) FROM events
+        |UNION ALL
+        |SELECT 'events_id_unique',
+        |  cast(coalesce((SELECT sum(c) FROM (
+        |    SELECT count(*) AS c FROM events GROUP BY event_id HAVING count(*) > 1)),
+        |    0) as bigint)
+        |UNION ALL
+        |SELECT 'events_user_in_customer',
+        |  cast((SELECT count(*) FROM events e
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = e.user_id)) as bigint)""".stripMargin) { (s, dir) =>
+      import graft.operators.DataQuality._
+      report(Tables.events(s, dir), Seq(
+        Predicate("events_value_le_300",
+          !(col("value") >= 0 && col("value") <= 300)),
+        Predicate("events_type_accepted",
+          !col("event_type").isin("click", "view", "purchase", "signup")),
+        NotNull("events_props_not_null", "props"),
+        Unique("events_id_unique", Seq("event_id")),
+        RefIntegrity("events_user_in_customer", "user_id",
+          Tables.customer(s, dir), "c_custkey")))
+    },
+
+    // Window-function breadth over the event stream: lag delta, ntile
+    // quartile, cume_dist — all under a deterministic (ts, event_id)
+    // ordering. Partitioned by user, so parallelism is the user count;
+    // ties cannot occur (event_id unique), so cume_dist is exactly
+    // row_number/n in both engines.
+    QueryDef(
+      "q113_window_breadth",
+      """SELECT event_id,
+        |  cast(c - lag(c) OVER w as bigint) AS delta_cents,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM (SELECT event_id, user_id, ts,
+        |        cast(cast(value as decimal(18,4)) * 100 as bigint) AS c
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (Exact.dec(col("value")) * 100).cast("long").as("c"))
+        .select(col("event_id"),
+          (col("c") - lag(col("c"), 1).over(w)).as("delta_cents"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"))
+    },
+
     // Corrupt-record quarantine: planted truncation (final '}' chopped on
     // every 11th event) must route rows to the bad counter, not crash the
     // scan and not silently zero the field — the PERMISSIVE-ingestion

@@ -647,6 +647,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("DataQuality report counts planted violations per check") {
+    import graft.operators.DataQuality._
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Seq((1L, Option("a"), 5.0), (1L, Option.empty[String], 50.0),
+      (3L, Option("c"), -1.0)).toDF("id", "s", "v")
+    val out = report(df, Seq(
+      Predicate("range", !(col("v") >= 0 && col("v") <= 10)),
+      NotNull("nn", "s"),
+      Unique("uq", Seq("id")),
+      RefIntegrity("ref", "id", dim, "k")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("range" -> 2L, "nn" -> 1L, "uq" -> 2L, "ref" -> 1L))
+  }
+
   test("scd2FromSnapshots: version intervals per change class") {
     val old = Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "d")
     val newer = Seq((1L, "d1"), (2L, "DX"), (4L, "d4")).toDF("id", "d")

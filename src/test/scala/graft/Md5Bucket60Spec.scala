@@ -52,4 +52,34 @@ class Md5Bucket60Spec extends SparkSpec {
       .as[Long].collect()(0)
     assert(sql == XHash.bucketHashJvm("seed", "k1", "k2"))
   }
+
+  test("optimizer rule rewrites the portable formulation to the native kernel") {
+    // scoped to this test: globally active it would turn the equivalence
+    // tests above into native-vs-native comparisons
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.RewriteToMd5Bucket60
+    try {
+      val df = Tables.documents(spark, sf0001)
+        .select(col("doc_id"),
+          ReferenceKernels.bucketHashReference("s1", col("text"), col("lang"))
+            .as("h"))
+      val rewritten = df.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.Md5Bucket60]))
+      assert(rewritten, df.queryExecution.optimizedPlan.toString)
+      // and the rewritten plan's values equal the kernel's directly
+      val viaRule = df.as[(Long, Long)].collect().toMap
+      val native = Tables.documents(spark, sf0001)
+        .select(col("doc_id"),
+          XHash.bucketHash("s1", col("text"), col("lang")).as("h"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaRule == native)
+      // a near-miss (different substring length) must NOT rewrite
+      val miss = Tables.documents(spark, sf0001).select(
+        conv(substring(md5(concat_ws("", lit("s1"), col("text"))), 1, 14),
+          16, 10).cast("long").as("h"))
+      assert(!miss.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.plans.Md5Bucket60])))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
