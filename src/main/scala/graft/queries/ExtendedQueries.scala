@@ -488,8 +488,10 @@ object ExtendedQueries {
         |FROM dr, med WHERE dr.rn = (dr.n * 50 + 99) // 100""".stripMargin) { (s, dir) =>
       val v = Tables.orders(s, dir)
         .select((Exact.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      // one row; pin it — the deviation pipeline's three passes would
+      // otherwise each recompute the whole median subtree
       val med = Sketches.histogramQuantiles(v, col("c"), Seq(50))
-        .select(col("qvalue").as("m"))
+        .select(col("qvalue").as("m")).localCheckpoint()
       val dev = v.crossJoin(broadcast(med))
         .select(abs(col("c") - col("m")).as("d"), col("m"))
       val mad = Sketches.histogramQuantiles(dev, col("d"), Seq(50))
