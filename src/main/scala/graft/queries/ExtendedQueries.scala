@@ -140,8 +140,8 @@ object ExtendedQueries {
     QueryDef(
       "q55_salted_join",
       """SELECT s_nationkey,
-        |  cast(sum(cast(l_extendedprice as decimal(18,4))
-        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS revenue,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as varchar) as double) AS revenue,
         |  cast(count(*) as bigint) AS n_lines
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin) { (s, dir) =>
@@ -295,7 +295,7 @@ object ExtendedQueries {
         |             epoch_us(cast(ts as timestamp)) AS us FROM events)
         |SELECT event_id,
         |  cast(count(*) OVER w as bigint) AS cnt_1h,
-        |  cast(sum(cast(value as decimal(18,4))) OVER w as double) AS sum_1h
+        |  cast(cast(sum(cast(value as decimal(18,4))) OVER w as varchar) as double) AS sum_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>

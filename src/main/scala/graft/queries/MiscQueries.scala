@@ -101,7 +101,7 @@ object MiscQueries {
         |  cast(grouping(l_returnflag) as int) AS g_flag,
         |  cast(grouping(l_linestatus) as int) AS g_status,
         |  cast(count(*) as bigint) AS n,
-        |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS revenue
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))) as varchar) as double) AS revenue
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -149,7 +149,7 @@ object MiscQueries {
         |  cast(grouping(o_orderpriority) as int) AS g_pri,
         |  cast(grouping(o_orderstatus) as int) AS g_st,
         |  cast(count(*) as bigint) AS n,
-        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
+        |  cast(cast(sum(cast(o_totalprice as decimal(18,4))) as varchar) as double) AS revenue
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)

@@ -21,10 +21,10 @@ object RelationalQueries {
     QueryDef(
       "q01_agg_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base,
-        |  cast(sum(cast(l_extendedprice as decimal(18,4))
-        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS sum_disc,
+        |  cast(cast(sum(cast(l_quantity as decimal(18,4))) as varchar) as double) AS sum_qty,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))) as varchar) as double) AS sum_base,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as varchar) as double) AS sum_disc,
         |  cast(count(*) as bigint) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -59,8 +59,8 @@ object RelationalQueries {
     QueryDef(
       "q03_star_join_revenue",
       """SELECT n_name,
-        |  cast(sum(cast(l_extendedprice as decimal(18,4))
-        |           * (1 - cast(l_discount as decimal(18,4)))) as double) AS revenue,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as varchar) as double) AS revenue,
         |  cast(count(*) as bigint) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -102,9 +102,9 @@ object RelationalQueries {
     QueryDef(
       "q06_window_running",
       """SELECT event_id,
-        |  cast(sum(cast(value as decimal(18,4))) OVER (
+        |  cast(cast(sum(cast(value as decimal(18,4))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as varchar) as double) AS running,
         |  cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) as bigint) AS rn
         |FROM events""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -224,9 +224,9 @@ object RelationalQueries {
         |  JOIN nation   ON c_nationkey = n_nationkey
         |  JOIN region   ON n_regionkey = r_regionkey
         |  GROUP BY 1, 2)
-        |SELECT r_name, n_name, cast(revd as double) AS revenue,
-        |  cast(revd as double)
-        |    / cast(sum(revd) OVER (PARTITION BY r_name) as double) AS share,
+        |SELECT r_name, n_name, cast(cast(revd as varchar) as double) AS revenue,
+        |  cast(cast(revd as varchar) as double)
+        |    / cast(cast(sum(revd) OVER (PARTITION BY r_name) as varchar) as double) AS share,
         |  cast(dense_rank() OVER (PARTITION BY r_name
         |         ORDER BY revd DESC, n_name) as int) AS rk
         |FROM rev""".stripMargin) { (s, dir) =>

@@ -51,7 +51,7 @@ object StreamingQueries {
       "q100_stream_static_enrich",
       """SELECT n.n_name,
         |  cast(count(*) as bigint) AS n_purchases,
-        |  cast(sum(cast(e.value as decimal(18,4))) as double) AS revenue
+        |  cast(cast(sum(cast(e.value as decimal(18,4))) as varchar) as double) AS revenue
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
