@@ -371,6 +371,58 @@ object ClusterQueries {
         queryPred = col("vec_id") % 100 === 0)
     },
 
+    // Association rules over order baskets (market-basket mining): pair
+    // supports from one basket self-join (the q94 edge kernel), item
+    // supports from one combining aggregate, rules in both directions with
+    // confidence = sup(a,b)/sup(a) and lift — single-expression double
+    // ratios of exact integer supports, deterministic in both engines.
+    // Top-20 under a (conf, antecedent, consequent) tie-break.
+    QueryDef(
+      "q114_assoc_rules",
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |                 FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM baskets),
+        |isup AS (SELECT i, count(*) AS si FROM baskets GROUP BY i),
+        |pairs AS (SELECT a.i AS a, b.i AS b, count(*) AS sab
+        |          FROM baskets a JOIN baskets b
+        |            ON a.o = b.o AND a.i < b.i
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT a AS ante, b AS cons, sab FROM pairs
+        |          UNION ALL
+        |          SELECT b, a, sab FROM pairs)
+        |SELECT ante, cons, cast(sab as bigint) AS sup_pair,
+        |  cast(sab as double) / cast(sa.si as double) AS conf,
+        |  (cast(sab as double) * cast(n.n_orders as double))
+        |    / (cast(sa.si as double) * cast(sc.si as double)) AS lift
+        |FROM rules
+        |JOIN isup sa ON sa.i = ante
+        |JOIN isup sc ON sc.i = cons
+        |CROSS JOIN n
+        |ORDER BY conf DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+      val nOrders = baskets.agg(countDistinct(col("o")).as("n_orders"))
+      val isup = baskets.groupBy("i").agg(count(lit(1)).as("si"))
+      val pairs = baskets.select(col("o"), col("i").as("a"))
+        .join(baskets.select(col("o"), col("i").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 2)
+      val rules = pairs.select(col("a").as("ante"), col("b").as("cons"), col("sab"))
+        .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"),
+          col("sab")))
+      rules
+        .join(isup.select(col("i").as("ante"), col("si").as("sa")), Seq("ante"))
+        .join(isup.select(col("i").as("cons"), col("si").as("sc")), Seq("cons"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("ante"), col("cons"), col("sab").as("sup_pair"),
+          (col("sab").cast("double") / col("sa").cast("double")).as("conf"),
+          ((col("sab").cast("double") * col("n_orders").cast("double"))
+            / (col("sa").cast("double") * col("sc").cast("double"))).as("lift"))
+        .orderBy(col("conf").desc, col("ante"), col("cons"))
+        .limit(20)
+    },
+
     // Graph analytics over a frequent-pair co-occurrence graph: parts
     // sharing ≥2 orders become edges (support gate — the support-1 graph is
     // near-complete noise); triangles close wedges with the degree-ordered

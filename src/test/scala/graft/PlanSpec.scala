@@ -46,6 +46,9 @@ class PlanSpec extends SparkSpec {
     val p = plan("q05_dedup_keepfirst")
     assert(p.contains("Window"), p)
     assert(p.contains("hashpartitioning(user_id"), p)
+    // rn = 1 must plan with the group-limit pushdown: each partition keeps
+    // its top row pre-shuffle instead of sorting whole groups post-shuffle
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q47: centroid side broadcasts (no corpus reshuffle for IVF)") {
