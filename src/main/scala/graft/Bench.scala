@@ -40,7 +40,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // several operators persist intermediates (band signatures, edge
+      // lists); left cached they pile up across the 100+ query session and
+      // tax late queries with GC/eviction pressure — clear BETWEEN
+      // measurements so each query is timed against a cold cache
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
