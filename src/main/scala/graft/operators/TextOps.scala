@@ -536,4 +536,57 @@ object TextOps {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) === 0).as("is_clean"))
   }
+
+  /** Learn `rounds` BPE merges over a (word, freq) table — the
+    * vocabulary-induction loop of a subword tokenizer (q84 consumes the
+    * RESULT of such a fit; this is the fit itself). Each round counts
+    * adjacent-symbol pairs weighted by word frequency (one map-side-
+    * combined aggregate over the distinct-word table, never the raw
+    * corpus), pulls ONLY the single best pair to the driver (the bounded
+    * driver-pull discipline: 1 row, like the codebook guard), and rewrites
+    * the symbol sequences with one narrow string projection. The merge
+    * rewrite is leftmost non-overlapping with scan-continue-after
+    * (`replace` semantics, identical in Spark and DuckDB) — the documented
+    * variant of BPE's greedy pass; ties break to the lexicographically
+    * smallest pair.
+    *
+    * Returns `rounds` rows: (step, pair, cnt, n_tokens) where n_tokens is
+    * the corpus token count AFTER that round's merge. Sequences are
+    * re-checkpointed per round so lineage stays flat across iterations.
+    */
+  def bpeLearn(words: org.apache.spark.sql.DataFrame, wordCol: String,
+      freqCol: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var cur = words.select(
+        trim(regexp_replace(col(wordCol), "(.)", "$1 ")).as("r"),
+        col(freqCol).cast("long").as("f"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    var step = 1
+    while (step <= rounds) {
+      val best = cur
+        .select(explode(ngrams(split(col("r"), " "), 2)).as("g"), col("f"))
+        .groupBy("g").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(1).collect()
+      if (best.isEmpty) { step = rounds + 1 } // nothing left to merge
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        cur = cur.select(
+            trim(call_function("replace",
+              concat(lit(" "), col("r"), lit(" ")),
+              lit(" " + pair + " "), lit(" " + merged + " "))).as("r"),
+            col("f"))
+          .localCheckpoint()
+        val nTokens = cur
+          .agg(sum(col("f") * size(split(col("r"), " "))).as("n"))
+          .head().getLong(0)
+        out += ((step, pair, cnt, nTokens))
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "pair", "cnt", "n_tokens")
+  }
 }

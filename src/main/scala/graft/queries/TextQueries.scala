@@ -195,6 +195,52 @@ object TextQueries {
           .cast("long").as("duration_ms"))
     },
 
+    // BPE vocabulary induction (the fit whose RESULT q84 consumes): three
+    // merge rounds over the corpus word-frequency table. Per round: pair
+    // counts are one combining aggregate over distinct words, only the
+    // single best pair crosses to the driver, and the rewrite is one
+    // narrow string projection. The oracle replays the three rounds as
+    // chained CTEs with identical replace/tie-break semantics.
+    QueryDef(
+      "q115_bpe_merges", {
+        def round(k: Int): String = {
+          val prev = s"s${k - 1}"
+          s"""p$k AS (SELECT g, sum(f) AS c FROM (
+             |  SELECT unnest(list_transform(range(1, len(tk)),
+             |           i -> tk[i] || ' ' || tk[i+1])) AS g, f
+             |  FROM (SELECT string_split(r, ' ') AS tk, f FROM $prev))
+             |  GROUP BY g),
+             |b$k AS (SELECT g, c FROM p$k ORDER BY c DESC, g LIMIT 1),
+             |s$k AS (SELECT trim(replace(' ' || r || ' ',
+             |          ' ' || (SELECT g FROM b$k) || ' ',
+             |          ' ' || replace((SELECT g FROM b$k), ' ', '') || ' '))
+             |          AS r, f FROM $prev),
+             |n$k AS (SELECT sum(f * len(string_split(r, ' '))) AS n FROM s$k)""".stripMargin
+        }
+        s"""$toksCte,
+           |w AS (SELECT word, count(*) AS f
+           |      FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+           |s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS r, f
+           |       FROM w),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT 1 AS step, (SELECT g FROM b1) AS pair,
+           |  cast((SELECT c FROM b1) as bigint) AS cnt,
+           |  cast((SELECT n FROM n1) as bigint) AS n_tokens
+           |UNION ALL
+           |SELECT 2, (SELECT g FROM b2), cast((SELECT c FROM b2) as bigint),
+           |  cast((SELECT n FROM n2) as bigint)
+           |UNION ALL
+           |SELECT 3, (SELECT g FROM b3), cast((SELECT c FROM b3) as bigint),
+           |  cast((SELECT n FROM n3) as bigint)""".stripMargin
+      }) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(ArrayOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      TextOps.bpeLearn(words, "word", "f", rounds = 3)
+    },
+
     // Perceptual image dedup: REAL PNG decode → 8×7 block-average aHash →
     // group-by-hash near-dup clusters. Payloads are two-tone split images
     // whose split column comes from doc_id and whose absolute brightness

@@ -647,6 +647,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("bpeLearn: hand-computed three-round merge sequence") {
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "f")
+    val out = TextOps.bpeLearn(words, "word", "f", rounds = 3)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // r1: 'a a' (2 per 'aaab' × 3 = 6) → aaab = 'aa a b'; tokens 3·3+2·2=13
+    // r2: 'a b' (3 + 2 = 5)            → 'aa ab' / 'ab'; tokens 2·3+1·2=8
+    // r3: 'aa ab' (3)                  → 'aaab';         tokens 1·3+1·2=5
+    assert(out == Seq(
+      (1, "a a", 6L, 13L),
+      (2, "a b", 5L, 8L),
+      (3, "aa ab", 3L, 5L)))
+  }
+
   test("DataQuality report counts planted violations per check") {
     import graft.operators.DataQuality._
     val dim = Seq(1L, 2L).toDF("k")
