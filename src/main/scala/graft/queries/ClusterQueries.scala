@@ -399,8 +399,11 @@ object ClusterQueries {
         |JOIN isup sc ON sc.i = cons
         |CROSS JOIN n
         |ORDER BY conf DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
+      // four consumers (order count, item supports, both self-join sides):
+      // persist the distinct basket table instead of re-shuffling lineitem
       val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nOrders = baskets.agg(countDistinct(col("o")).as("n_orders"))
       val isup = baskets.groupBy("i").agg(count(lit(1)).as("si"))
       val pairs = baskets.select(col("o"), col("i").as("a"))

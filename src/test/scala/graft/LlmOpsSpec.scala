@@ -829,6 +829,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("editDistancePairs equals blocked brute force on random mutated strings") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // 12 base strings; mutants edit past the 6-char blocking prefix
+    val rows = (0 until 12).flatMap { i =>
+      val base = randStr(6) + randStr(10)
+      // same block; one substitution past the prefix, or a far random tail
+      val mut =
+        if (i % 3 == 0) base.substring(0, 7) + randStr(9)
+        else base.substring(0, 10) +
+          (if (base(10) == 'a') 'b' else 'a') + base.substring(11)
+      Seq((i * 2L, base), (i * 2L + 1, mut))
+    }
+    val df = rows.toDF("id", "text")
+    val got = Dedup.editDistancePairs(df, "id", "text", blockLen = 6, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force under the SAME blocking contract (block-local pairs only)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ai, at) <- rows; (bi, bt) <- rows
+      if ai < bi && at.take(6) == bt.take(6) && lev(at, bt) <= 3
+    } yield (ai, bi, lev(at, bt))).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty) // the planted mutants guarantee real pairs
+  }
+
   test("gapFillDaily: zero fill inside gaps, forward fill, per-key spans") {
     import graft.operators.Relational
     val daily = Seq(
