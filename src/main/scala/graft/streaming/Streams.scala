@@ -203,6 +203,45 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Idempotent keyed upsert sink via foreachBatch: the Complete-mode
+    * per-type aggregate lands in a parquet table PARTITIONED BY the key
+    * with dynamic partition overwrite — each micro-batch replaces exactly
+    * the partitions it carries and leaves every other partition untouched
+    * (at 100 TB the sink holds far more keys than any one batch touches;
+    * rewriting the whole table per batch would be the scale killer).
+    * Re-running the stream from a fresh checkpoint overwrites the same
+    * partitions with the same values — idempotent by construction, no
+    * double counting on replay.
+    */
+  def runAggUpsertSink(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val agg = readEventsStream(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast(DecimalType(18, 4)) * 100).cast("long"))
+            .as("cents"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").partitionBy("event_type")
+            .parquet(outPath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+  }
+
   /** Custom session state via (flat)MapGroupsWithState: split each user's
     * event stream into sessions at >`gapMinutes` inactivity, emit one row
     * per closed session. The streaming analogue of sessionization windows.

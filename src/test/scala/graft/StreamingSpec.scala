@@ -84,6 +84,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch upsert sink: partition-scoped overwrite, idempotent replay") {
+    val root = java.nio.file.Files.createTempDirectory("upsert").toString
+    val out = s"$root/table"
+    // pre-seed a partition the stream never touches: dynamic overwrite
+    // must leave it alone (a whole-table overwrite would delete it)
+    Seq(("zzz-preexisting", 7L, 700L)).toDF("event_type", "n", "cents")
+      .write.partitionBy("event_type").parquet(out)
+    Streams.runAggUpsertSink(spark, sf0001, out, s"$root/ckpt1")
+    val expected = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,4)") * 100).cast("long")).as("cents"))
+      .as[(String, Long, Long)].collect().toSet +
+      (("zzz-preexisting", 7L, 700L))
+    def read() = spark.read.parquet(out)
+      .select("event_type", "n", "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(read() == expected)
+    // replay from a FRESH checkpoint: same partitions, same values —
+    // no double counting, untouched partition still intact
+    Streams.runAggUpsertSink(spark, sf0001, out, s"$root/ckpt2")
+    assert(read() == expected)
+  }
+
   test("sessionize splits at the inactivity gap") {
     val evs = Seq(
       Streams.Ev(1L, 0L), Streams.Ev(1L, 10L * 60 * 1000000),
