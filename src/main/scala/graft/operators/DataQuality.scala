@@ -28,13 +28,27 @@ object DataQuality {
 
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty)
-    val parts = checks.map {
-      case Predicate(name, violates) =>
-        df.agg(count(when(violates, 1)).as("n_violations"))
-          .select(lit(name).as("check"), col("n_violations"))
-      case NotNull(name, c) =>
-        df.agg(count(when(col(c).isNull, 1)).as("n_violations"))
-          .select(lit(name).as("check"), col("n_violations"))
+    // every row-predicate check (Predicate/NotNull) compiles into ONE
+    // aggregate over ONE scan — a conditional count per check, melted to
+    // rows afterward; only keyed checks (Unique/RefIntegrity) need their
+    // own shuffle/join
+    val rowChecks = checks.collect {
+      case Predicate(name, violates) => name -> violates
+      case NotNull(name, c) => name -> col(c).isNull
+    }
+    val scanPart =
+      if (rowChecks.isEmpty) Nil
+      else {
+        val counts = rowChecks.map { case (name, cond) =>
+          count(when(cond, 1)).as(name)
+        }
+        Seq(df.agg(counts.head, counts.tail: _*)
+          .select(explode(array(rowChecks.map { case (name, _) =>
+            struct(lit(name).as("check"), col(name).as("n_violations"))
+          }: _*)).as("__r"))
+          .select(col("__r.check"), col("__r.n_violations")))
+      }
+    val keyedParts = checks.collect {
       case Unique(name, cols) =>
         df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
           .filter(col("__c") > 1)
@@ -46,6 +60,6 @@ object DataQuality {
           .agg(count(lit(1)).as("n_violations"))
           .select(lit(name).as("check"), col("n_violations"))
     }
-    parts.reduce(_ unionByName _)
+    (scanPart ++ keyedParts).reduce(_ unionByName _)
   }
 }
