@@ -647,6 +647,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("scd2FromSnapshots matches the class definition on random snapshots") {
+    val rnd = new scala.util.Random(11)
+    val oldM = (1 to 40).map(i => i.toLong -> s"d${rnd.nextInt(5)}").toMap
+    val newM = (1 to 50).filter(_ => rnd.nextBoolean())
+      .map(i => i.toLong -> s"d${rnd.nextInt(5)}").toMap
+    val out = graft.operators.Relational.scd2FromSnapshots(
+        oldM.toSeq.toDF("id", "d"), newM.toSeq.toDF("id", "d"),
+        "id", "d", d0 = 3, d1 = 9)
+      .as[(Long, String, Int, Option[Int])].collect().toSet
+    val expect = (oldM.keySet ++ newM.keySet).flatMap { k =>
+      (oldM.get(k), newM.get(k)) match {
+        case (None, Some(n)) => Set((k, n, 9, None))
+        case (Some(o), None) => Set((k, o, 3, Some(9)))
+        case (Some(o), Some(n)) if o == n => Set((k, o, 3, Option.empty[Int]))
+        case (Some(o), Some(n)) => Set((k, o, 3, Some(9)), (k, n, 9, None))
+        case _ => Set.empty[(Long, String, Int, Option[Int])]
+      }
+    }
+    assert(out == expect)
+  }
+
+  test("gapFillDaily invariants on random sparse series") {
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(13)
+    val daily = (1 to 8).flatMap { k =>
+      val days = (0 until 40).filter(_ => rnd.nextInt(4) == 0)
+      days.map(d => (k.toLong, d, rnd.nextInt(5) + 1L, rnd.nextInt(100).toLong))
+    }
+    assume(daily.nonEmpty)
+    val byKey = daily.groupBy(_._1)
+    val out = Relational.gapFillDaily(daily.toDF("k", "d", "n", "m"),
+        "k", "d", Seq("n"), Seq("m"))
+      .as[(Long, Int, Long, Long)].collect()
+    val outByKey = out.groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      val got = outByKey(k).sortBy(_._2)
+      val (d0, d1) = (rows.map(_._2).min, rows.map(_._2).max)
+      // densified: exactly one row per day of the span
+      assert(got.map(_._2).toSeq == (d0 to d1).toSeq)
+      val obs = rows.map(r => r._2 -> (r._3, r._4)).toMap
+      var lastM = -1L
+      got.foreach { case (_, d, n, m) =>
+        obs.get(d) match {
+          case Some((on, om)) => assert(n == on && m == om); lastM = om
+          case None => assert(n == 0L && m == lastM) // zero fill + ffill
+        }
+      }
+    }
+  }
+
   test("bpeLearn: hand-computed three-round merge sequence") {
     val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "f")
     val out = TextOps.bpeLearn(words, "word", "f", rounds = 3)
