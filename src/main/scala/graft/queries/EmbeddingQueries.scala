@@ -139,6 +139,73 @@ object EmbeddingQueries {
         .agg(count(lit(1)).as("cnt"),
           min(Similarity.norm(col("embedding"))).as("min_norm"),
           max(Similarity.norm(col("embedding"))).as("max_norm"))
+    },
+
+    // Sparse retrieval (the token-space counterpart of the dense ANN path):
+    // docs as integer tf vectors, candidate pairs from an inverted index on
+    // RARE terms only (a planted zipf-tail tag per doc — the synthetic
+    // corpus has no natural rare vocabulary), then the full sparse cosine
+    // over ALL shared tokens. Dot products and norms are exact integer
+    // sums — order-independent under any shuffle — and the cosine is one
+    // double expression. Candidate fan-out is Σ df² over rare terms only;
+    // common terms never generate pairs.
+    QueryDef(
+      "q116_sparse_retrieval",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'zrare' || cast(doc_id % 97 as varchar) FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(tf * tf) AS nn FROM tf GROUP BY 1),
+        |inv AS (SELECT doc_id, token FROM tf WHERE token LIKE 'zrare%'),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |         FROM inv a JOIN inv b
+        |           ON a.token = b.token AND a.doc_id < b.doc_id),
+        |dots AS (SELECT cand.a, cand.b, sum(ta.tf * tb.tf) AS dot
+        |         FROM cand
+        |         JOIN tf ta ON ta.doc_id = cand.a
+        |         JOIN tf tb ON tb.doc_id = cand.b AND tb.token = ta.token
+        |         GROUP BY 1, 2)
+        |SELECT a, b, cast(dot as bigint) AS dot,
+        |  cast(dot as double)
+        |    / (sqrt(cast(na.nn as double)) * sqrt(cast(nb.nn as double))) AS cos
+        |FROM dots
+        |JOIN norms na ON na.doc_id = a
+        |JOIN norms nb ON nb.doc_id = b
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.functions.ArrayOps
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"), explode(ArrayOps.tokens(col("text"))).as("token"))
+        .unionByName(docs.select(col("doc_id"),
+          concat(lit("zrare"), (col("doc_id") % 97).cast("string")).as("token")))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
+      val inv = tf.filter(col("token").startsWith("zrare"))
+        .select(col("doc_id"), col("token"))
+      val cand = inv.select(col("doc_id").as("a"), col("token"))
+        .join(inv.select(col("doc_id").as("b"), col("token")), Seq("token"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val dots = cand
+        .join(tf.select(col("doc_id").as("a"), col("token"),
+          col("tf").as("tfa")), Seq("a"))
+        .join(tf.select(col("doc_id").as("b"), col("token"),
+          col("tf").as("tfb")), Seq("b", "token"))
+        .groupBy("a", "b").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), Seq("a"))
+        .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos"))
+        .orderBy(col("cos").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 }
