@@ -359,6 +359,23 @@ object MiscQueries {
           .as("zkey"))
     },
 
+    // Hilbert-curve key: the stronger-locality clustering index next to
+    // q74's Morton key (consecutive indices are always-adjacent cells, so
+    // range-partitioned files cover tighter boxes — write path is
+    // Layout.clusterByHilbert, pruning proven in HilbertPruningSpec).
+    // Exact integer walk in both engines; the oracle carries the per-level
+    // (x, y) rotation state through a recursive CTE.
+    QueryDef(
+      "q117_hilbert_key",
+      graft.operators.Layout.hilbert2OracleSql(
+        "SELECT event_id, user_id, user_id % 1024 AS x, event_id % 1024 AS y FROM events",
+        Seq("event_id", "user_id"), 10)) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        graft.operators.Layout.hilbert2(
+          col("user_id") % 1024, col("event_id") % 1024, 10).as("hkey"))
+    },
+
     // As-of join composed from built-ins: each purchase joined to the most
     // recent prior click of the same user (union + running last-non-null —
     // no custom physical operator needed, SURVEY §4.3 preference (a)).
