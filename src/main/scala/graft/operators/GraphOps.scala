@@ -82,4 +82,41 @@ object GraphOps {
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`)
+    * where EVERY node has out-degree ≥ 1 (callers close the graph first,
+    * e.g. by adding reverse edges — no dangling-mass redistribution term
+    * needed). Ranks are integers at a fixed scale (`scale` ≙ rank 1.0),
+    * advanced with floor division only: `r' = 0.15·scale +
+    * (85·Σ_in (r div outdeg)) div 100`. Truncating division on
+    * non-negative integers is bit-identical across engines, so the whole
+    * iteration is exact — no float accumulation-order sensitivity, which
+    * is what makes a distributed PageRank reproducible run-to-run.
+    *
+    * Per iteration: one join of edges⋈deg⋈ranks co-partitioned on `src`
+    * + one combining sum keyed on `dst` — the canonical bounded-shuffle
+    * propagation loop. The edge list and node set persist across
+    * iterations; at real iteration depth, checkpoint `ranks` every few
+    * rounds to keep lineage flat (3 fixed rounds here stay shallow).
+    * Returns (v, r) for every node.
+    */
+  def pagerankScaled(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = lit(scale * 15L / 100L)
+    var ranks = nodes.withColumn("r", lit(scale))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(deg, "src")
+        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("v"), expr("r div od").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"), (base +
+          expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+    }
+    ranks
+  }
 }

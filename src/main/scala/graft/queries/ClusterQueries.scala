@@ -452,6 +452,53 @@ object ClusterQueries {
         Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"),
         minSupport = 2L)
       graft.operators.GraphOps.triangleStats(edges)
+    },
+
+    // Iterative graph propagation: PageRank over the supplier↔customer
+    // trade graph (bipartite, closed with reverse edges so no node
+    // dangles; keys disambiguated by integer tagging 2k / 2k+1). Ranks are
+    // scaled integers advanced with floor division only — bit-identical
+    // across engines, so a distributed 3-round propagation is checked
+    // EXACTLY, no float tolerance. The oracle unrolls the loop as CTEs
+    // (DuckDB 1.0 recursive CTEs cannot aggregate in the recursive term).
+    QueryDef(
+      "q118_pagerank",
+      """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM e0
+        |          UNION ALL SELECT c, s FROM e0),
+        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS v FROM edges),
+        |r0 AS (SELECT v, cast(1000000000000 as bigint) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r0 r ON r.v = e.src GROUP BY 1),
+        |r1 AS (SELECT n.v, cast(150000000000 as bigint)
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r1 r ON r.v = e.src GROUP BY 1),
+        |r2 AS (SELECT n.v, cast(150000000000 as bigint)
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r2 r ON r.v = e.src GROUP BY 1),
+        |r3 AS (SELECT n.v, cast(150000000000 as bigint)
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT v AS node, r AS pr FROM r3""".stripMargin) { (s, dir) =>
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s"),
+          (col("o_custkey") * 2 + 1).as("c"))
+        .distinct()
+      val edges = e0.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(e0.select(col("c").as("src"), col("s").as("dst")))
+      graft.operators.GraphOps.pagerankScaled(edges, 3, 1000000000000L)
+        .select(col("v").as("node"), col("r").as("pr"))
     }
   )
 }

@@ -63,4 +63,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.triangleStats(k4).as[(Long, Long, Long)].head() ==
       ((4L, 6L, 4L)))
   }
+
+  test("pagerankScaled is exactly stationary at `scale` on a cycle") {
+    // out-degree 1 everywhere: r' = 0.15S + (85·S) div 100 = S exactly in
+    // integer arithmetic (S = 1e12), every iteration — any drift means the
+    // floor-division recurrence is wrong
+    val n = 7
+    val cycle = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val s = 1000000000000L
+    val ranks = GraphOps.pagerankScaled(cycle, 5, s)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.size == n)
+    assert(ranks.values.forall(_ == s), s"cycle ranks drifted: $ranks")
+  }
+
+  test("pagerankScaled concentrates rank on a star hub") {
+    // leaves all point at the hub; hub's mass returns split across leaves.
+    // closed graph (hub has out-edges), so ranks order hub >> any leaf
+    val leaves = (1L to 10L).toSeq
+    val edges = (leaves.map(l => (l, 0L)) ++ leaves.map(l => (0L, l)))
+      .toDF("src", "dst")
+    val ranks = GraphOps.pagerankScaled(edges, 3, 1000000000000L)
+      .as[(Long, Long)].collect().toMap
+    val hub = ranks(0L)
+    assert(leaves.forall(l => ranks(l) < hub / 2),
+      s"hub does not dominate: $ranks")
+    // leaves are symmetric: identical ranks, exactly
+    assert(leaves.map(ranks).distinct.size == 1)
+  }
 }
