@@ -163,6 +163,76 @@ object MiscQueries {
           col("n"), col("revenue"))
     },
 
+    // Arbitrary GROUPING SETS (beyond rollup's hierarchy and cube's full
+    // cross): two unrelated 2-D breakdowns plus a 1-D margin in ONE scan
+    // and one shuffle — the grouping-set expansion happens map-side in the
+    // partial aggregate, exactly like q88/q90. Sets that would repeat
+    // under cube never materialize.
+    QueryDef(
+      "q119_grouping_sets",
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |  cast(extract(month from l_shipdate) as int) AS ship_month, l_quantity
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, ship_month,
+        |  cast(grouping(l_returnflag) as int) AS g_flag,
+        |  cast(grouping(l_linestatus) as int) AS g_status,
+        |  cast(grouping(ship_month) as int) AS g_month,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(cast(sum(cast(l_quantity as decimal(18,4))) as varchar) as double) AS qty
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag, ship_month),
+        |                        (ship_month))""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_month", month(col("l_shipdate")))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag"), col("ship_month")),
+            Seq(col("ship_month"))),
+          col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          grouping(col("ship_month")).as("g_month"),
+          count(lit(1)).as("n"),
+          graft.functions.Exact.sumMoney(col("l_quantity")).as("qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
+          col("g_flag").cast("int"), col("g_status").cast("int"),
+          col("g_month").cast("int"), col("n"), col("qty"))
+    },
+
+    // Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL between the
+    // open-order and urgent-order customer multisets (a customer with 3
+    // open and 1 urgent order keeps 2 'except' copies). Spark plans both
+    // as a single aggregate over a tagged union (count-difference
+    // replication) — one shuffle, no join; the result is re-aggregated so
+    // the multiplicities themselves are what the oracle checks.
+    QueryDef(
+      "q120_bag_set_ops",
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |ex AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+        |ix AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        |SELECT 'except_all' AS op, o_custkey AS custkey,
+        |       cast(count(*) as bigint) AS n
+        |FROM ex GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all', o_custkey, cast(count(*) as bigint)
+        |FROM ix GROUP BY 2""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val a = orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val ex = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"),
+          col("o_custkey").as("custkey"), col("n"))
+      val ix = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"),
+          col("o_custkey").as("custkey"), col("n"))
+      ex.unionByName(ix)
+    },
+
     // Time-series gap fill: per-user daily event counts densified over each
     // user's own [first, last] day span — missing days appear as zero rows
     // and the day's max spend carries forward. Integer day axis (epoch-day
