@@ -44,6 +44,26 @@ object StreamingQueries {
         "q82_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     },
 
+    // LEFT OUTER stream-stream interval join: q82 plus the null-extended
+    // rows for clicks with no purchase in the hour — emitted only when the
+    // watermark passes each click's horizon (outer emission is a state
+    // eviction, not a join result). Bounded input + watermark flush ⇒
+    // equals the batch left interval join.
+    QueryDef(
+      "q121_stream_left_interval_join",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  cast(ts as timestamp) AS ts
+        |           FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+      Streams.runIntervalJoinLeftOuter(s, dir,
+        "q121_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
     // Stream-static enrichment: the purchase stream joins the broadcast
     // customer→nation dimension each micro-batch (no join state), then a
     // stateful aggregate rolls up count + exact decimal revenue per nation.

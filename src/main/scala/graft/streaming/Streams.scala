@@ -166,6 +166,89 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** LEFT OUTER watermarked interval join: clicks with no purchase within
+    * the window still emit (purchase_id null) — but only once the global
+    * watermark passes the click's join horizon, because until then a
+    * matching purchase could still arrive. That is the semantic difference
+    * from [[runIntervalJoin]] and the reason outer emission is a
+    * state-store EVICTION, not a join result: eviction for batch N uses
+    * the watermark committed at the end of batch N-1, so rows pending at
+    * the final data batch would never flush on a bounded run. The harness
+    * therefore stages the events file plus TWO far-future sentinel files
+    * (impossible user -1, filtered from the output) and paces the source
+    * at one file per micro-batch: sentinel 1's batch advances the
+    * watermark past every real click's horizon, and sentinel 2's batch
+    * performs the eviction that emits the pending outer rows. Equals the
+    * batch left interval join.
+    */
+  def runIntervalJoinLeftOuter(spark: SparkSession, dir: String,
+      queryName: String, withinHours: Int = 1): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val maxNanos = spark.read.schema(eventsSchema)
+        .parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+      val stage = Files.createTempDirectory("graft_louter_")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(stage.resolve("events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3 * 3600000L))
+      // sentinel k: one click + one purchase at maxTs + k days, user -1
+      (1 to 2).foreach { k =>
+        val tmp = Files.createTempDirectory("graft_sentinel_")
+        import spark.implicits._
+        Seq((-1L, maxNanos + k * 86400L * 1000000000L, -1L, "click", 0.0, "{}"),
+          (-1L, maxNanos + k * 86400L * 1000000000L, -1L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = stage.resolve(s"events_zsentinel$k.parquet")
+        Files.move(part, dst)
+        // the file source paces oldest-mtime-first: events, then 1, then 2
+        // (all mtimes in the past — the source ignores future timestamps)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (3 - k) * 3600000L))
+      }
+      def side(): DataFrame = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = side()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = side()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $withinHours HOUR"),
+        "leftOuter")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      // the sentinel filter must stay OUT of the streaming plan: pushed
+      // into the scan, `user_id >= 0` would row-group-prune the sentinel
+      // files (user -1) and the watermark would never see them
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName).filter(col("user_id") >= 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stream-static enrichment join: the event stream joins a STATIC
     * dimension (customer → nation) that broadcasts to every micro-batch —
     * no state store involvement for the join itself (only the downstream
