@@ -207,6 +207,44 @@ class PlanSpec extends SparkSpec {
       "wedge/closure joins must stay equi-joins:\n" + p)
   }
 
+  test("q116: sparse retrieval joins stay equi-joins (no cross product)") {
+    val p = plan("q116_sparse_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate pairs come from the inverted-index token equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q117: hilbert key is a narrow projection over the scan") {
+    val p = plan("q117_hilbert_key")
+    assert(!p.contains("Exchange"), "hilbert key should not shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q118: pagerank iterations partial-aggregate; joins stay equi") {
+    val p = plan("q118_pagerank")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q119: grouping sets expand map-side over a single scan") {
+    val p = plan("q119_grouping_sets")
+    assert(p.contains("Expand"), p)
+    // one fact scan feeds all three grouping sets (formatted explain names
+    // each scan twice: once in the tree, once in the node detail)
+    assert(p.split("Scan parquet").length <= 3,
+      "grouping sets re-scanned the fact table:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q120: bag set ops are aggregates + generate, never a join explosion") {
+    val p = plan("q120_bag_set_ops")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
