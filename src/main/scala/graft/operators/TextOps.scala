@@ -589,4 +589,37 @@ object TextOps {
     }
     out.toSeq.toDF("step", "pair", "cnt", "n_tokens")
   }
+
+  /** Gopher-style repetition signals, computed entirely map-side: the
+    * most-repeated bigram's multiplicity via a run-length fold over the
+    * SORTED bigram list (sorting groups equal grams adjacently, so the
+    * longest run IS the max multiplicity), plus the duplicated-token
+    * fraction. No per-doc shuffle — repetition scoring must ride the scan
+    * at corpus scale, not round-trip through a (doc, gram) exchange. The
+    * fold state is a (prev, run, best) struct; empty/one-token docs yield
+    * top count 0. */
+  def repetitionSignals(toks: Column): Column = {
+    val bg = sort_array(ngrams(toks, 2))
+    val top = aggregate(
+      bg,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nTokens = size(toks)
+    val nDistinct = size(array_distinct(toks))
+    // |bigrams| = max(n_tokens - 1, 0): don't re-evaluate the sorted array
+    val nBigrams = when(nTokens >= 2, nTokens - 1).otherwise(lit(0))
+    struct(
+      nTokens.cast("long").as("n_tokens"),
+      top.as("top_bigram_n"),
+      nBigrams.cast("long").as("n_bigrams"),
+      when(nTokens > 0,
+        (nTokens - nDistinct).cast("double") / nTokens.cast("double"))
+        .as("dup_token_frac"))
+  }
 }

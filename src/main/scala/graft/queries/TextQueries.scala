@@ -622,6 +622,85 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("tok"),
           array_join(col("__pieces"), "|").as("piece_str"),
           size(col("__pieces")).cast("long").as("n_pieces"))
+    },
+
+    // Gopher repetition rules (the family q83's length/punct/stopword
+    // rules left out): most-repeated-bigram multiplicity and duplicated-
+    // token fraction per doc. Spark computes both map-side — a run-length
+    // fold over the SORTED per-doc bigram list replaces the (doc, gram)
+    // shuffle a groupBy formulation would pay; the oracle uses the plain
+    // unnest + GROUP BY formulation, so the fold is checked against the
+    // textbook definition.
+    QueryDef(
+      "q122_repetition_signals",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |             len(list_distinct(toks)) AS n_distinct,
+        |             list_transform(range(1, len(toks)),
+        |               i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |      FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+        |m AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_bg
+        |      FROM (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY 1, 2)
+        |      GROUP BY 1)
+        |SELECT b.doc_id, cast(b.n_tokens as bigint) AS n_tokens,
+        |  cast(coalesce(m.top_n, 0) as bigint) AS top_bigram_n,
+        |  cast(coalesce(m.n_bg, 0) as bigint) AS n_bigrams,
+        |  cast(b.n_tokens - b.n_distinct as double)
+        |    / cast(b.n_tokens as double) AS dup_token_frac
+        |FROM b LEFT JOIN m ON m.doc_id = b.doc_id""".stripMargin) { (s, dir) =>
+      val sig = TextOps.repetitionSignals(ArrayOps.tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sig.as("__s"))
+        .filter(col("__s.n_tokens") > 0)
+        .select(col("doc_id"), col("__s.n_tokens").as("n_tokens"),
+          col("__s.top_bigram_n").as("top_bigram_n"),
+          col("__s.n_bigrams").as("n_bigrams"),
+          col("__s.dup_token_frac").as("dup_token_frac"))
+    },
+
+    // Cross-source vocabulary overlap matrix: shared distinct tokens and
+    // lexical Jaccard for every source pair — the "how similar are my
+    // corpus slices" audit before mixing weights are chosen. Bounded by
+    // construction: the join key is the token, and a token contributes at
+    // most |sources|² pairs regardless of corpus size, so the shuffle
+    // carries the (source, token) VOCABULARY, never the corpus.
+    QueryDef(
+      "q123_vocab_overlap",
+      """WITH v AS (SELECT DISTINCT source, unnest(
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |              count(*) AS n_shared
+        |       FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, cast(n_shared as bigint) AS n_shared,
+        |  cast(n_shared as double)
+        |    / cast(na.nv + nb.nv - n_shared as double) AS jaccard
+        |FROM sh
+        |JOIN n na ON na.source = src_a
+        |JOIN n nb ON nb.source = src_b""".stripMargin) { (s, dir) =>
+      val v = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(ArrayOps.tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = v.groupBy("source").agg(count(lit(1)).as("nv"))
+      val sh = v.select(col("source").as("src_a"), col("tok"))
+        .join(v.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      sh.join(broadcast(n.select(col("source").as("src_a"), col("nv").as("na"))),
+          Seq("src_a"))
+        .join(broadcast(n.select(col("source").as("src_b"), col("nv").as("nb"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")).cast("double"))
+            .as("jaccard"))
     }
   )
 }

@@ -102,4 +102,33 @@ class TextOpsPropertySpec extends SparkSpec {
       (i.toLong, (0 until 30).map(j => s"u${i}_$j"))).toDF("id", "toks")
     assert(TextOps.duplicateSpans(unique, "id", col("toks"), n).count() == 0)
   }
+
+  test("repetitionSignals: sorted-run fold equals brute-force max bigram multiplicity (300 random docs)") {
+    // small alphabet forces heavy repetition, so runs genuinely merge
+    val cases = (0 until 300).map { c =>
+      val vocab = (0 until (1 + rnd.nextInt(5))).map(i => s"w$i")
+      val toks = (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (c.toLong, toks)
+    }
+    val got = cases.toDF("id", "toks")
+      .select(col("id"), TextOps.repetitionSignals(col("toks")).as("s"))
+      .select(col("id"), col("s.n_tokens"), col("s.top_bigram_n"),
+        col("s.n_bigrams"), col("s.dup_token_frac"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    cases.foreach { case (id, toks) =>
+      val bigrams = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      val (nt, tb, nb, df) = got(id)
+      assert(nt == toks.size.toLong, s"doc $id n_tokens")
+      assert(tb == top, s"doc $id: fold said $tb, brute force $top")
+      assert(nb == bigrams.size.toLong, s"doc $id n_bigrams")
+      if (toks.isEmpty) assert(df.isEmpty, s"doc $id dup_frac should be null")
+      else assert(df.contains(
+        (toks.size - toks.distinct.size).toDouble / toks.size),
+        s"doc $id dup_frac")
+    }
+  }
 }
