@@ -245,6 +245,34 @@ object RelationalQueries {
           sum(col("revd")).over(wp).cast("double")).as("share"),
         dense_rank().over(wp.orderBy(col("revd").desc, col("n_name")))
           .cast("int").as("rk"))
+    },
+
+    // Join-cardinality audit: predict a self-join's output size from the
+    // per-key histogram BEFORE paying the shuffle (Σ c², with max c² as
+    // the skew headline — the "will this join explode" check a pipeline
+    // runs before an expensive equi-join at 100 TB, where a single hot key
+    // can dominate the whole output). The audit itself costs one combining
+    // aggregate over the key column. The actual join count is computed too
+    // and must EQUAL the prediction — the query is self-checking.
+    QueryDef(
+      "q124_join_size_audit",
+      """WITH h AS (SELECT l_partkey AS k, count(*) AS c
+        |           FROM lineitem GROUP BY 1)
+        |SELECT cast(sum(c * c) as bigint) AS predicted,
+        |  cast(max(c * c) as bigint) AS max_key_pairs,
+        |  cast(count(*) as bigint) AS n_keys,
+        |  (SELECT cast(count(*) as bigint)
+        |   FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
+        |    AS actual
+        |FROM h""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+      val h = li.groupBy("k").agg(count(lit(1)).as("c"))
+      val stats = h.agg(sum(col("c") * col("c")).as("predicted"),
+        max(col("c") * col("c")).as("max_key_pairs"),
+        count(lit(1)).as("n_keys"))
+      val actual = li.join(li.select(col("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual"))
+      stats.crossJoin(actual)
     }
   )
 }
