@@ -124,4 +124,67 @@ object Layout {
       .sortWithinPartitions(col("__h"))
       .drop("__h")
   }
+
+  /** Scalar [[hilbert2]] — the same walk in plain Scala, for driver-side
+    * planning (range covering) and spec cross-checks. */
+  def hilbertIndex(order: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << order
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Query-side complement of [[clusterByHilbert]]: cover the box
+    * [x0,x1]×[y0,y1] (inclusive, grid coordinates) with a minimal-ish set
+    * of CONTIGUOUS curve-index ranges, so a 2-D box predicate becomes a
+    * disjunction of `hkey BETWEEN lo AND hi` — the form parquet min/max
+    * stats and range-partition pruning can actually use. Correctness
+    * rests on the Hilbert recursion: every aligned power-of-two
+    * sub-square is one contiguous curve segment (each quadrant is a
+    * rotated copy of the whole curve, entered and left exactly once), and
+    * its segment start is the minimum of its four corner indices. The
+    * quadtree descent emits fully-contained sub-squares whole and splits
+    * boundary ones, so the range count is O(perimeter · order), not
+    * O(area); adjacent ranges merge afterwards. Pure driver-side planning
+    * arithmetic — no data touched. */
+  def hilbertBoxRanges(order: Int, x0: Long, x1: Long, y0: Long,
+      y1: Long): Seq[(Long, Long)] = {
+    require(order >= 1 && order <= 31)
+    val n = 1L << order
+    require(0 <= x0 && x0 <= x1 && x1 < n && 0 <= y0 && y0 <= y1 && y1 < n,
+      s"box out of grid: [$x0,$x1]x[$y0,$y1] on $n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def walk(qx: Long, qy: Long, s: Long): Unit = {
+      val (qx1, qy1) = (qx + s - 1, qy + s - 1)
+      if (qx1 < x0 || qx > x1 || qy1 < y0 || qy > y1) return // disjoint
+      if (qx >= x0 && qx1 <= x1 && qy >= y0 && qy1 <= y1) {  // contained
+        val dStart = Seq((qx, qy), (qx1, qy), (qx, qy1), (qx1, qy1))
+          .map { case (cx, cy) => hilbertIndex(order, cx, cy) }.min
+        out += ((dStart, dStart + s * s - 1))
+      } else {
+        val h = s >> 1
+        walk(qx, qy, h); walk(qx + h, qy, h)
+        walk(qx, qy + h, h); walk(qx + h, qy + h, h)
+      }
+    }
+    walk(0L, 0L, n)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && merged.last._2 + 1 >= lo)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, hi))
+      else merged += ((lo, hi))
+    }
+    merged.toSeq
+  }
 }

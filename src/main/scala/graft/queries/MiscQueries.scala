@@ -446,6 +446,49 @@ object MiscQueries {
           col("user_id") % 1024, col("event_id") % 1024, 10).as("hkey"))
     },
 
+    // Query-side Hilbert pruning: a 2-D box predicate rewritten to a
+    // disjunction of contiguous hkey ranges (Layout.hilbertBoxRanges —
+    // driver-side planning arithmetic, the form range-partition/file
+    // pruning consumes). Self-checking: the range-predicate count must
+    // EQUAL the direct box count. The range list is computed once at
+    // query build and embedded as literals in BOTH engines.
+    {
+      val (o, bx0, bx1, by0, by1) = (6, 10L, 39L, 20L, 51L)
+      val rs = graft.operators.Layout.hilbertBoxRanges(o, bx0, bx1, by0, by1)
+      val rangeSql = rs
+        .map { case (lo, hi) => s"(hkey BETWEEN $lo AND $hi)" }
+        .mkString(" OR ")
+      val inner = graft.operators.Layout.hilbert2OracleSql(
+        s"SELECT event_id, user_id, user_id % 64 AS x, event_id % 64 AS y FROM events",
+        Seq("event_id", "user_id"), o)
+      QueryDef(
+        "q125_hilbert_range_pruning",
+        s"""WITH hk AS (SELECT event_id, user_id, hkey FROM ($inner))
+           |SELECT
+           |  (SELECT cast(count(*) as bigint) FROM events
+           |   WHERE user_id % 64 BETWEEN $bx0 AND $bx1
+           |     AND event_id % 64 BETWEEN $by0 AND $by1) AS n_box,
+           |  cast(count(*) FILTER (WHERE $rangeSql) as bigint) AS n_range_pred,
+           |  cast(${rs.size} as int) AS n_ranges
+           |FROM hk""".stripMargin) { (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val hk = ev.select(
+          graft.operators.Layout.hilbert2(
+            col("user_id") % 64, col("event_id") % 64, o).as("hkey"))
+        val rangePred = rs
+          .map { case (lo, hi) => col("hkey").between(lo, hi) }
+          .reduce(_ || _)
+        val nBox = ev.filter(
+            (col("user_id") % 64).between(bx0, bx1) &&
+            (col("event_id") % 64).between(by0, by1))
+          .agg(count(lit(1)).as("n_box"))
+        val nRange = hk.agg(
+          count(when(rangePred, lit(1))).as("n_range_pred"))
+        nBox.crossJoin(nRange)
+          .withColumn("n_ranges", lit(rs.size).cast("int"))
+      }
+    },
+
     // As-of join composed from built-ins: each purchase joined to the most
     // recent prior click of the same user (union + running last-non-null —
     // no custom physical operator needed, SURVEY §4.3 preference (a)).

@@ -48,6 +48,40 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("scalar hilbertIndex equals the column expression on the full grid") {
+    val order = 4
+    val n = 1 << order
+    val rows = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+      .select(col("x"), col("y"),
+        Layout.hilbert2(col("x"), col("y"), order).as("d"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == Layout.hilbertIndex(order, r.getLong(0), r.getLong(1)),
+        s"mismatch at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("hilbertBoxRanges covers exactly the box cells (random boxes, orders 4-6)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (order <- 4 to 6; _ <- 1 to 20) {
+      val n = 1 << order
+      val x0 = rnd.nextInt(n); val x1 = x0 + rnd.nextInt(n - x0)
+      val y0 = rnd.nextInt(n); val y1 = y0 + rnd.nextInt(n - y0)
+      val rs = Layout.hilbertBoxRanges(order, x0, x1, y0, y1)
+      // sorted, disjoint, merged
+      rs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"unmerged: $rs")
+        case _ => ()
+      }
+      val covered = rs.flatMap { case (lo, hi) => lo to hi }.toSet
+      val box = (for (x <- x0.toLong to x1; y <- y0.toLong to y1)
+        yield Layout.hilbertIndex(order, x, y)).toSet
+      assert(covered == box,
+        s"order=$order box=[$x0,$x1]x[$y0,$y1]: covered ${covered.size}, box ${box.size}")
+    }
+  }
+
   /** Rows the parquet scan emitted (post row-group pruning, pre Filter). */
   private def scanOutputRows(df: DataFrame): Long = {
     df.collect()
