@@ -141,6 +141,65 @@ object EmbeddingQueries {
           max(Similarity.norm(col("embedding"))).as("max_norm"))
     },
 
+    // kNN label probe — the standard embedding-quality eval: each query
+    // vector's label predicted by majority vote over its k nearest
+    // neighbours (cosine, exact sequential fold), scored against the true
+    // label, for k ∈ {1, 5, 10} in one pass over a single top-10 ranking.
+    // Tie-breaks are total orders in both engines: neighbour rank by
+    // (sim DESC, n_id), vote by (count DESC, label ASC).
+    QueryDef(
+      "q126_knn_probe",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS n_id, embedding AS c_vec, label AS n_label
+         |      FROM embeddings),
+         |p AS (SELECT q_id, q_label, n_label,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY ${cosSql("q_vec", "c_vec")} DESC, n_id) AS rnk
+         |      FROM q CROSS JOIN c WHERE q_id <> n_id),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k),
+         |votes AS (SELECT ks.k, q_id, q_label, n_label, count(*) AS c
+         |          FROM p, ks WHERE rnk <= ks.k GROUP BY 1, 2, 3, 4),
+         |pred AS (SELECT k, q_id, q_label, n_label AS p_label,
+         |           row_number() OVER (PARTITION BY k, q_id
+         |             ORDER BY c DESC, n_label) AS vr
+         |         FROM votes)
+         |SELECT cast(k as int) AS k,
+         |  cast(count(*) FILTER (WHERE p_label = q_label) as bigint) AS n_correct,
+         |  cast(count(*) as bigint) AS n_total,
+         |  cast(count(*) FILTER (WHERE p_label = q_label) as double)
+         |    / cast(count(*) as double) AS acc
+         |FROM pred WHERE vr = 1 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_vec"),
+        col("label").as("n_label"))
+      val top = Similarity.bruteForceTopK(
+          q.select("q_id", "q_vec"), c.select("n_id", "c_vec"), 10)
+        .join(broadcast(c.select("n_id", "n_label")), Seq("n_id"))
+        .join(broadcast(q.select("q_id", "q_label")), Seq("q_id"))
+      val votes = top
+        .crossJoin(broadcast(
+          s.range(1, 2).select(explode(typedLit(Seq(1, 5, 10))).as("k"))))
+        .filter(col("rank") <= col("k"))
+        .groupBy("k", "q_id", "q_label", "n_label")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "q_id")
+        .orderBy(col("c").desc, col("n_label"))
+      votes.withColumn("vr", row_number().over(w))
+        .filter(col("vr") === 1)
+        .groupBy("k")
+        .agg(count(when(col("n_label") === col("q_label"), lit(1)))
+            .as("n_correct"),
+          count(lit(1)).as("n_total"))
+        .select(col("k").cast("int"), col("n_correct"), col("n_total"),
+          (col("n_correct").cast("double") / col("n_total").cast("double"))
+            .as("acc"))
+    },
+
     // Sparse retrieval (the token-space counterpart of the dense ANN path):
     // docs as integer tf vectors, candidate pairs from an inverted index on
     // RARE terms only (a planted zipf-tail tag per doc — the synthetic

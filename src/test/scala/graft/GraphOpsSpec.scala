@@ -78,6 +78,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks.values.forall(_ == s), s"cycle ranks drifted: $ranks")
   }
 
+  test("pagerankScaled matches the scalar floor-division recurrence on random graphs") {
+    // LCG-built digraphs, every node given a self-loop so out-degree ≥ 1;
+    // the brute force replays the identical integer recurrence in plain
+    // Scala — any divergence is a distribution bug (join/agg mis-keying),
+    // since the arithmetic itself is exact in both
+    val s = 1000000000000L
+    for (seed <- 1 to 3) {
+      var st = seed.toLong
+      def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+      val n = 9
+      val edges = ((0 until n).map(i => (i.toLong, i.toLong)) ++ (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && java.lang.Long.remainderUnsigned(next(), 100) < 25
+      } yield (a.toLong, b.toLong))).distinct
+      val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = (0 until n).map(i => i.toLong -> s).toMap
+      (1 to 3).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => r(u) / outDeg(u) }.sum).toMap
+        r = r.keys.map(v =>
+          v -> (s * 15L / 100L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      val got = GraphOps.pagerankScaled(edges.toDF("src", "dst"), 3, s)
+        .as[(Long, Long)].collect().toMap
+      assert(got == r, s"seed=$seed: spark $got vs scalar $r")
+    }
+  }
+
   test("pagerankScaled concentrates rank on a star hub") {
     // leaves all point at the hub; hub's mass returns split across leaves.
     // closed graph (hub has out-edges), so ranks order hub >> any leaf
