@@ -288,6 +288,51 @@ object Relational {
       .drop("__thr")
   }
 
+  /** Distributed exact prefix sum of `w` in ascending `key` order, WITHOUT
+    * a global-order window (Window.orderBy with no partition collapses the
+    * whole table onto one reducer — the canonical scale-killer). Instead:
+    * order-aligned range buckets (key·B div (max+1) is monotone in key),
+    * a per-bucket running window, and a B-row bucket-offset table that
+    * broadcasts back. The only single-partition work is the B-row offsets
+    * window. Keys must be non-negative and unique; `w` non-negative
+    * integers. Adds `__cum` (inclusive prefix sum). */
+  def prefixSumOrdered(df: DataFrame, key: String, w: String,
+      buckets: Int = 32): DataFrame = {
+    val mk = df.agg(max(col(key)).as("__mk"))
+    val bucketed = df.crossJoin(broadcast(mk))
+      .withColumn("__b", expr(s"$key * $buckets div (__mk + 1)"))
+      .drop("__mk")
+    val wIn = Window.partitionBy("__b").orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = bucketed.withColumn("__in", sum(col(w)).over(wIn))
+    val offs = bucketed.groupBy("__b").agg(sum(col(w)).as("__bw"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    inner.join(broadcast(offs), Seq("__b"))
+      .withColumn("__cum", col("__in") + col("__off"))
+      .drop("__b", "__in", "__off")
+  }
+
+  /** Systematic weighted sampling (survey-sampling style): walk the
+    * cumulative-weight axis and keep every row whose weight interval
+    * crosses a multiple of stride T = total div `target` — deterministic,
+    * exactly weight-proportional inclusion, no transcendental priorities
+    * (A-ES needs u^(1/w); this needs only integer division). The corpus-
+    * mixing primitive when sampling must be reproducible across engines
+    * and runs. Built on [[prefixSumOrdered]], so no global-order window.
+    */
+  def systematicSample(df: DataFrame, key: String, w: String,
+      target: Long): DataFrame = {
+    val withCum = prefixSumOrdered(df, key, w)
+    val tot = df.agg(sum(col(w)).as("__total"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("__t", expr(s"__total div $target"))
+      .filter(expr(s"__cum div __t > (__cum - $w) div __t"))
+      .drop("__total", "__t")
+  }
+
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
     * by replicating `small` `saltFactor` times and deterministically
     * scattering each big-side row across the salt range. AQE's skew-join

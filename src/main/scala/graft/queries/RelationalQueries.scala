@@ -273,6 +273,32 @@ object RelationalQueries {
       val actual = li.join(li.select(col("k")), Seq("k"))
         .agg(count(lit(1)).as("actual"))
       stats.crossJoin(actual)
+    },
+
+    // Systematic weighted sampling: every order whose cents interval on
+    // the cumulative-weight axis crosses a multiple of T = total/1000 —
+    // deterministic, weight-proportional, integer-exact (no u^(1/w)
+    // priorities). The oracle uses the textbook single global-order
+    // window; Spark uses the DISTRIBUTED prefix sum (order-aligned range
+    // buckets + per-bucket window + broadcast offsets), so the equality
+    // also proves the two-pass prefix decomposition.
+    QueryDef(
+      "q127_systematic_sample",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |    cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint) AS w
+        |  FROM orders),
+        |c AS (SELECT k, w, cast(sum(w) OVER (ORDER BY k) as bigint) AS cum
+        |      FROM t),
+        |tot AS (SELECT cast(sum(w) as bigint) AS total FROM t)
+        |SELECT k AS o_orderkey, w AS w_cents, cum AS cum_cents
+        |FROM c, tot
+        |WHERE cum // (total // 1000) > (cum - w) // (total // 1000)""".stripMargin) { (s, dir) =>
+      val t = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (graft.functions.Exact.dec(col("o_totalprice")) * 100)
+          .cast("long").as("w"))
+      graft.operators.Relational.systematicSample(t, "k", "w", 1000L)
+        .select(col("k").as("o_orderkey"), col("w").as("w_cents"),
+          col("__cum").as("cum_cents"))
     }
   )
 }

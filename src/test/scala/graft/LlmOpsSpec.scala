@@ -945,4 +945,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(spans(3L) == Set((3L, 1L, 8L, 1L), (3L, 19L, 26L, 1L)))
     assert(!spans.contains(4L))
   }
+
+  test("prefixSumOrdered == scanLeft; systematicSample hits the stride count (random weights)") {
+    val rnd = new scala.util.Random(20260813L)
+    // sparse non-contiguous keys + zero weights mixed in
+    val rows = (0 until 500).map(i =>
+      (i * 7L + rnd.nextInt(5), rnd.nextInt(1000).toLong))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq
+    val df = rows.toDF("k", "w")
+    val got = graft.operators.Relational.prefixSumOrdered(df, "k", "w")
+      .select(col("k"), col("__cum")).as[(Long, Long)].collect().toMap
+    val expect = rows.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, w)) => (k, acc + w) }
+      .tail.toMap
+    assert(got == expect)
+    // systematic sampling: exactly `target` crossings when total div
+    // target divides cleanly into the axis (up to the final partial stride)
+    val target = 50L
+    val total = rows.map(_._2).sum
+    val t = total / target
+    val picked = graft.operators.Relational.systematicSample(df, "k", "w", target)
+      .select(col("k")).as[Long].collect().toSet
+    val expPicked = rows.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, w)) => (k, acc + w) }
+      .tail.zip(rows.sortBy(_._1)).collect {
+        case ((k, cum), (_, w)) if cum / t > (cum - w) / t => k
+      }.toSet
+    assert(picked == expPicked)
+    assert(math.abs(picked.size - target) <= total / t / target + 1)
+  }
 }
