@@ -333,6 +333,33 @@ object Relational {
       .drop("__total", "__t")
   }
 
+  /** Point-in-interval join WITHOUT a nested loop. A bare `p BETWEEN lo
+    * AND hi` join has no equi-key, so Spark plans BroadcastNestedLoopJoin
+    * (or worse, CartesianProduct) — O(|points|·|intervals|) comparisons,
+    * the classic range-join scale-killer. Binning restores an equi-key:
+    * every interval is replicated onto each `binWidth`-sized bin it
+    * overlaps (`sequence(lo div W, hi div W)` + explode), every point maps
+    * to its single bin, and the join becomes a hash equi-join on the bin
+    * with the exact containment predicate left as a residual filter. Each
+    * qualifying pair meets exactly once (the point's one bin), so no
+    * dedup pass is needed. Cost: interval replication factor is
+    * span/W + 1 — pick `binWidth` near the typical interval span so the
+    * build side stays ~2×. Columns `pCol`,`loCol`,`hiCol` must be
+    * integral and non-null. */
+  def binnedIntervalJoin(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"cast($loCol as bigint) div $binWidth"),
+        expr(s"cast($hiCol as bigint) div $binWidth"))))
+    val pt = points.withColumn("__bin",
+      expr(s"cast($pCol as bigint) div $binWidth"))
+    pt.join(iv, Seq("__bin"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
     * by replicating `small` `saltFactor` times and deterministically
     * scattering each big-side row across the salt range. AQE's skew-join

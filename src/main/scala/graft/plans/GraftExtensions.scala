@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // NOT added by register() so the equivalence specs keep comparing
     // genuinely distinct formulations)
     e.injectOptimizerRule(_ => RewriteToMd5Bucket60)
+    // theta range join → binned equi-join; no-op unless
+    // spark.graft.rangeJoin.binWidth is set positive
+    e.injectOptimizerRule(_ => RewriteRangeJoinToBinned)
   }
 }
 

@@ -299,6 +299,41 @@ object RelationalQueries {
       graft.operators.Relational.systematicSample(t, "k", "w", 1000L)
         .select(col("k").as("o_orderkey"), col("w").as("w_cents"),
           col("__cum").as("cum_cents"))
+    },
+
+    // Binned range join: heavy lineitems (points = ship day) against
+    // per-order validity windows (intervals = order day .. +1..7 days).
+    // The oracle runs the textbook theta join (p BETWEEN lo AND hi); Spark
+    // runs the binned equi-join (intervals replicated onto 8-day bins,
+    // hash join on bin, exact containment as residual) — the equality
+    // proves the binning decomposition, and PlanSpec locks that no
+    // nested-loop/cartesian survives in the physical plan.
+    QueryDef(
+      "q128_binned_range_join",
+      """WITH pt AS (SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS p
+        |  FROM lineitem WHERE l_quantity > 49),
+        |iv AS (SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS lo,
+        |    date_diff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        |      + o_orderkey % 7 + 1 AS hi
+        |  FROM orders)
+        |SELECT l_orderkey, l_linenumber,
+        |  cast(count(*) as bigint) AS n_cover, min(o_orderkey) AS first_order
+        |FROM pt JOIN iv ON p >= lo AND p <= hi
+        |GROUP BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val pt = Tables.lineitem(s, dir).filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("p"))
+      val iv = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + col("o_orderkey") % 7 + 1)
+      graft.operators.Relational.binnedIntervalJoin(pt, "p", iv, "lo", "hi", 8L)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_cover"), min(col("o_orderkey")).as("first_order"))
     }
   )
 }
