@@ -111,6 +111,48 @@ object TextOps {
       count(lit(1)).over(w).as("group_size"))
   }
 
+  /** Fixed-width "lines": the token array cut into consecutive `chunk`-token
+    * segments (last one partial) — the deterministic stand-in for paragraph
+    * boundaries on corpora without newlines. Entirely map-side: one
+    * transform over the chunk-index sequence, two slices per line. */
+  def docLines(toks: Column, chunk: Int): Column =
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / chunk).cast("int")),
+        i => array_join(slice(toks, i * chunk + 1, lit(chunk)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** CCNet/C4-style boilerplate removal: drop every line that appears (as
+    * an exact token sequence) in >= `minDocs` DISTINCT documents, then
+    * reassemble each document from its surviving lines in order. The
+    * corpus-frequency analogue of [[normalizedDupGroups]] at line rather
+    * than document granularity (Wenzek et al. 2019 dedup common crawl
+    * paragraphs this way before LM training).
+    *
+    * Scale shape: chunking is map-side ([[docLines]]); one shuffle counts
+    * line document-frequency; the frequent set joins back as a left_anti
+    * on the line text; reassembly is one groupBy(id) whose per-group state
+    * is the document's own lines (bounded by doc length). No windows, no
+    * per-token shuffle — the exchanged rows are (id, line), ~1/chunk of
+    * the token count. Documents whose every line is boilerplate drop out
+    * (nothing left to keep) — callers wanting them keep an outer join on
+    * ids. */
+  def removeFrequentLines(docs: org.apache.spark.sql.DataFrame, id: String,
+      textCol: String, chunk: Int, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(id),
+      posexplode(docLines(split(col(textCol), " "), chunk)).as(Seq("lineno", "line")))
+    val frequent = lines.groupBy("line")
+      .agg(countDistinct(col(id)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("line")
+    lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("lineno"), col("line")))),
+          s => s.getField("line")), " ").as("text_clean"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Non-distinct word n-grams (frequency semantics — unlike
     * [[Dedup.wordShingles]], which distincts per doc for set containment).
     * Empty when the document has fewer than n tokens. n=2 runs as one

@@ -701,6 +701,35 @@ object TextQueries {
           (col("n_shared").cast("double") /
             (col("na") + col("nb") - col("n_shared")).cast("double"))
             .as("jaccard"))
+    },
+
+    // CCNet/C4-style boilerplate-line removal. The corpus has no newlines,
+    // so "lines" are aligned 8-token chunks, and a per-source boilerplate
+    // line is PLANTED as a prepended chunk on both engines (25+ docs per
+    // source at sf0.01 >= minDocs=10 → it is the frequent line; removal
+    // must reconstruct exactly the original text for every document).
+    QueryDef(
+      "q129_boilerplate_lines",
+      """WITH base AS (
+        |  SELECT doc_id, concat('boiler plate for ', source,
+        |    ' subscribe now thanks bye ', text) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM base),
+        |lines AS (
+        |  SELECT doc_id, i AS lineno,
+        |    array_to_string(list_slice(tk, i*8+1, i*8+8), ' ') AS line
+        |  FROM toks, unnest(range((len(tk) + 7) // 8)) AS r(i)),
+        |freq AS (SELECT line FROM lines
+        |         GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq))
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY lineno) AS text_clean,
+        |  cast(count(*) as bigint) AS n_lines_kept
+        |FROM kept GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("boiler plate for "), col("source"),
+            lit(" subscribe now thanks bye "), col("text")).as("t"))
+      TextOps.removeFrequentLines(planted, "doc_id", "t", 8, 10L)
     }
   )
 }

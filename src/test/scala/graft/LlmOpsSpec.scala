@@ -974,4 +974,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(picked == expPicked)
     assert(math.abs(picked.size - target) <= total / t / target + 1)
   }
+
+  test("removeFrequentLines: drops shared chunks, keeps order, drops all-boilerplate docs") {
+    // chunk=2; line "x y" planted in 3 docs (>= minDocs=3)
+    val docs = Seq(
+      (1L, "x y a b c d e"), // boiler + 3 lines (last partial)
+      (2L, "x y f g"),
+      (3L, "x y"),           // ONLY the boilerplate → must vanish entirely
+      (4L, "h i j k")        // no boilerplate, untouched
+    ).toDF("id", "t")
+    val got = graft.operators.TextOps.removeFrequentLines(docs, "id", "t", 2, 3L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("a b c d e", 3L)),
+      2L -> (("f g", 1L)),
+      4L -> (("h i j k", 2L))))
+    // docLines alignment: planted line only counts when chunk-aligned —
+    // doc 5's "x y" sits at offset 1, so it is NOT the frequent line
+    val shifted = Seq((1L, "x y a"), (2L, "x y b"), (3L, "x y c"),
+      (5L, "q x y")).toDF("id", "t")
+    val got2 = graft.operators.TextOps.removeFrequentLines(shifted, "id", "t", 2, 3L)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got2(5L) == "q x y")
+  }
 }
