@@ -62,4 +62,35 @@ object DataQuality {
     }
     (scanPart ++ keyedParts).reduce(_ unionByName _)
   }
+
+  /** ANALYZE-style column statistics — (min, max, null count, exact NDV)
+    * per column, the numbers a catalog needs for file skipping, join
+    * ordering, and broadcast decisions. ONE pass over the table: all
+    * columns' min/max/null counts are plain aggregates sharing the scan,
+    * and the exact NDVs compile to Spark's multi-distinct Expand (each row
+    * fans out once per distinct-column, then one shuffle of (column, value)
+    * groups — never a per-column rescan of the table). min/max are emitted
+    * as strings so heterogeneous columns stack into one long report;
+    * callers needing typed bounds profile per type. At 100 TB swap the
+    * exact NDVs for [[Sketches.hllRegisters]] — same report shape, no
+    * Expand. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"),
+          col(s"__min_$c").as("min_v"), col(s"__max_$c").as("max_v"),
+          col(s"__nulls_$c").as("n_nulls"), col(s"__ndv_$c").as("ndv"))
+      }: _*)).as("__p"))
+      .select(col("__p.column_name").as("column_name"),
+        col("__p.min_v").as("min_v"), col("__p.max_v").as("max_v"),
+        col("__p.n_nulls").as("n_nulls"), col("__p.ndv").as("ndv"))
+  }
 }

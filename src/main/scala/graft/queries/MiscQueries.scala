@@ -539,6 +539,51 @@ object MiscQueries {
           aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))
+    },
+
+    // ANALYZE-style column profile: min/max/nulls/exact-NDV for five
+    // heterogeneous lineitem columns in ONE scan (the multi-distinct plans
+    // as a single Expand, not five rescans — locked in PlanSpec). Doubles
+    // enter as exact cents and dates as DATE so min/max stringification is
+    // engine-portable.
+    QueryDef(
+      "q130_column_profile",
+      """WITH s AS (SELECT l_orderkey, l_returnflag, l_linestatus,
+        |    cast(cast(l_quantity as decimal(18,4)) * 100 as bigint) AS qty_cents,
+        |    cast(l_shipdate as date) AS ship_date
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name,
+        |  cast(min(l_orderkey) as varchar) AS min_v,
+        |  cast(max(l_orderkey) as varchar) AS max_v,
+        |  cast(count(*) - count(l_orderkey) as bigint) AS n_nulls,
+        |  cast(count(DISTINCT l_orderkey) as bigint) AS ndv FROM s
+        |UNION ALL
+        |SELECT 'l_returnflag', cast(min(l_returnflag) as varchar),
+        |  cast(max(l_returnflag) as varchar),
+        |  cast(count(*) - count(l_returnflag) as bigint),
+        |  cast(count(DISTINCT l_returnflag) as bigint) FROM s
+        |UNION ALL
+        |SELECT 'l_linestatus', cast(min(l_linestatus) as varchar),
+        |  cast(max(l_linestatus) as varchar),
+        |  cast(count(*) - count(l_linestatus) as bigint),
+        |  cast(count(DISTINCT l_linestatus) as bigint) FROM s
+        |UNION ALL
+        |SELECT 'qty_cents', cast(min(qty_cents) as varchar),
+        |  cast(max(qty_cents) as varchar),
+        |  cast(count(*) - count(qty_cents) as bigint),
+        |  cast(count(DISTINCT qty_cents) as bigint) FROM s
+        |UNION ALL
+        |SELECT 'ship_date', cast(min(ship_date) as varchar),
+        |  cast(max(ship_date) as varchar),
+        |  cast(count(*) - count(ship_date) as bigint),
+        |  cast(count(DISTINCT ship_date) as bigint) FROM s""".stripMargin) { (s, dir) =>
+      val src = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        (graft.functions.Exact.dec(col("l_quantity")) * 100).cast("long")
+          .as("qty_cents"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      graft.operators.DataQuality.columnProfile(src,
+        Seq("l_orderkey", "l_returnflag", "l_linestatus", "qty_cents", "ship_date"))
     }
   )
 }

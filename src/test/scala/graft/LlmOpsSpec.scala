@@ -997,4 +997,14 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(got2(5L) == "q x y")
   }
+
+  test("columnProfile: nulls excluded from min/max/ndv, counted in n_nulls") {
+    val df = Seq[(java.lang.Long, String)]((1L, "b"), (3L, null), (null, "a"),
+      (3L, "b")).toDF("k", "s")
+    val got = graft.operators.DataQuality.columnProfile(df, Seq("k", "s"))
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("k") == (("1", "3", 1L, 2L)))
+    assert(got("s") == (("a", "b", 1L, 2L)))
+  }
 }

@@ -245,6 +245,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q130: column profile is one scan (multi-distinct Expand, no rescans)") {
+    val p = plan("q130_column_profile")
+    // exactly one parquet scan of lineitem — the five NDVs ride one Expand
+    // (count Location lines: the formatted dump repeats node names)
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
   test("addOriginalIndex joins file offsets (no when-chain literal)") {
     val dir = "/root/reference/orderly/data/test_data/extracted_ord_test_data_dont_trust_labelling/extracted_ords"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
