@@ -584,6 +584,44 @@ object MiscQueries {
         col("l_shipdate").cast("date").as("ship_date"))
       graft.operators.DataQuality.columnProfile(src,
         Seq("l_orderkey", "l_returnflag", "l_linestatus", "qty_cents", "ship_date"))
+    },
+
+    // Time-weighted average (TWAP): each event's value holds until the
+    // user's next event; the average weights by holding duration, not
+    // event count — the telemetry/pricing aggregate where sampling rates
+    // vary. Exact integer core: value in 1e-4 units (long) × duration in
+    // whole ms (truncating div on both engines); the only doubles are the
+    // final correctly-rounded casts and one division. One shuffle
+    // (partitionBy user) for the lead window, then a combining aggregate.
+    QueryDef(
+      "q131_twap",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    cast(cast(value as decimal(18,4)) * 10000 as bigint) AS v
+        |  FROM events),
+        |n AS (SELECT user_id, v, tus,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS next_tus
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    cast(sum(v * ((next_tus - tus) // 1000)) as bigint) AS num,
+        |    cast(sum((next_tus - tus) // 1000) as bigint) AS den
+        |  FROM n WHERE next_tus IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, num, den,
+        |  cast(num as double) / nullif(cast(den as double), 0) AS twap
+        |FROM a""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          (graft.functions.Exact.dec(col("value")) * 10000).cast("long").as("v"))
+        .withColumn("next_tus", lead(col("tus"), 1).over(w))
+        .filter(col("next_tus").isNotNull)
+        .withColumn("dur_ms", expr("(next_tus - tus) div 1000"))
+        .groupBy("user_id")
+        .agg(sum(col("v") * col("dur_ms")).as("num"),
+          sum(col("dur_ms")).as("den"))
+        .select(col("user_id"), col("num"), col("den"),
+          (col("num").cast("double") /
+            nullif(col("den").cast("double"), lit(0.0))).as("twap"))
     }
   )
 }
