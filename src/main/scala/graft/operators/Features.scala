@@ -31,6 +31,47 @@ object Features {
   }
 
   /** One-hot vector from an index (dense 0/1 array — parquet-friendly). */
+  /** Deterministic hash-based negative sampling — the contrastive/recsys
+    * training primitive: for every user, draw `k` pseudo-random item ids
+    * that the user has NO positive interaction with. Draws come from the
+    * engine's cross-engine md5 hash ([[graft.functions.XHash.bucketHash]])
+    * of (user, draw-index), so the sample is reproducible across engines,
+    * runs, and cluster sizes — `rand()` negatives are none of those.
+    *
+    * `numItems` is a one-row frame (column `__np`) so the item-id domain
+    * [0, __np) is derived at runtime and broadcast, never hard-coded.
+    * Overdrawing `k*overdraw` candidates absorbs collisions with the
+    * user's positives and duplicate draws; per-user survivors are ranked
+    * by draw index and trimmed to `k`.
+    *
+    * Scale shape: candidates are |users|·k·overdraw rows built map-side;
+    * one left_anti hash join against the positives (shuffles candidates +
+    * positives once on (user, item)); the two windows partition by user —
+    * group size is bounded by k·overdraw, so no skew. Users whose
+    * positives swallow too many draws return fewer than k rows (raise
+    * `overdraw` if the item catalog is small relative to positives). */
+  def negativeSamples(users: DataFrame, userCol: String,
+      positives: DataFrame, puCol: String, piCol: String,
+      numItems: DataFrame, k: Int, overdraw: Int = 2,
+      seed: String = "negsamp"): DataFrame = {
+    val cands = users.select(col(userCol)).distinct()
+      .crossJoin(broadcast(numItems))
+      .select(col(userCol), explode(sequence(lit(0), lit(k * overdraw - 1))).as("draw"),
+        col("__np"))
+      .withColumn("neg_item",
+        pmod(graft.functions.XHash.bucketHash(seed,
+          col(userCol).cast("string"), col("draw").cast("string")), col("__np")))
+      .drop("__np")
+    val neg = cands.join(
+      positives.select(col(puCol).as(userCol), col(piCol).as("neg_item")).distinct(),
+      Seq(userCol, "neg_item"), "left_anti")
+    val wDedup = Window.partitionBy(col(userCol), col("neg_item")).orderBy("draw")
+    val wRank = Window.partitionBy(col(userCol)).orderBy("draw")
+    neg.withColumn("__rd", row_number().over(wDedup)).filter(col("__rd") === 1)
+      .withColumn("__rk", row_number().over(wRank)).filter(col("__rk") <= k)
+      .select(col(userCol), col("neg_item"), col("draw"))
+  }
+
   def oneHot(idx: Column, numClasses: Int): Column =
     transform(sequence(lit(0), lit(numClasses)),
       i => when(i === idx, 1).otherwise(0))

@@ -270,6 +270,41 @@ object MetricQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("c")).as("min_cents"),
           max(col("c")).as("max_cents"))
+    },
+
+    // Deterministic negative sampling: 5 pseudo-random parts per customer
+    // that the customer never ordered — md5-hash draws (cross-engine
+    // reproducible), overdrawn 2×, positives anti-joined away, ranked by
+    // draw index. The oracle replays the identical hash, so the sample
+    // sets match bit-for-bit.
+    QueryDef(
+      "q132_negative_sampling",
+      s"""WITH np AS (SELECT max(p_partkey) + 1 AS n FROM part),
+        |u AS (SELECT DISTINCT c_custkey FROM customer),
+        |cand AS (
+        |  SELECT c_custkey, i,
+        |    (${graft.functions.XHash.bucketHashSql("negsamp", "c_custkey", "i")}
+        |      % (SELECT n FROM np)) AS neg_item
+        |  FROM u, unnest(range(10)) AS r(i)),
+        |pos AS (SELECT DISTINCT o_custkey, l_partkey
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |neg AS (SELECT * FROM cand WHERE NOT EXISTS (
+        |  SELECT 1 FROM pos
+        |  WHERE o_custkey = cand.c_custkey AND l_partkey = cand.neg_item)),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY c_custkey, neg_item
+        |        ORDER BY i) AS rd FROM neg),
+        |r AS (SELECT c_custkey, neg_item, i, row_number() OVER (
+        |        PARTITION BY c_custkey ORDER BY i) AS rk FROM d WHERE rd = 1)
+        |SELECT c_custkey, neg_item, cast(i as int) AS draw
+        |FROM r WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      import graft.operators.Features
+      val numItems = Tables.part(s, dir)
+        .agg((max(col("p_partkey")) + 1).as("__np"))
+      val positives = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Features.negativeSamples(Tables.customer(s, dir), "c_custkey",
+        positives, "o_custkey", "l_partkey", numItems, k = 5)
     }
   )
 }

@@ -1007,4 +1007,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got("k") == (("1", "3", 1L, 2L)))
     assert(got("s") == (("a", "b", 1L, 2L)))
   }
+
+  test("negativeSamples: disjoint from positives, k per user, deterministic") {
+    val users = Seq(1L, 2L, 3L).toDF("u")
+    val pos = Seq((1L, 0L), (1L, 1L), (2L, 5L)).toDF("pu", "pi")
+    val numItems = Seq(8L).toDF("__np")
+    def run() = graft.operators.Features.negativeSamples(
+      users, "u", pos, "pu", "pi", numItems, k = 3, overdraw = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = run()
+    assert(got == run()) // deterministic
+    val byUser = got.groupBy(_._1)
+    assert(byUser.keySet == Set(1L, 2L, 3L))
+    byUser.foreach { case (_, rows) =>
+      assert(rows.size == 3)
+      assert(rows.map(_._2).size == 3) // distinct items per user
+    }
+    val posSet = Set((1L, 0L), (1L, 1L), (2L, 5L))
+    assert(got.forall { case (u, it, _) => !posSet((u, it)) && it >= 0 && it < 8 })
+  }
 }
