@@ -91,6 +91,35 @@ object Sketches {
       .select((lit(hllAlpha) * hllM * hllM / col("hsum")).as("est_distinct"))
   }
 
+  /** [[hllRegisters]] per group: the shuffle carries ≤ 64 rows PER GROUP
+    * however many values each group holds — the per-dimension distinct
+    * profile (NDV by source/date/tenant) that exact count_distinct can't
+    * give without a (group, value) exchange of the whole corpus. Register
+    * rows are max-mergeable across partitions, files, and days. */
+  def hllRegistersGrouped(terms: DataFrame, group: String, term: String): DataFrame = {
+    val h = XHash.bucketHash("hll", col(term))
+    val v = shiftright(h, 6)
+    terms.select(col(group),
+        pmod(h, lit(hllM.toLong)).as("reg"),
+        when(v === 0, lit(55)).otherwise(lit(55) - length(bin(v))).as("rank"))
+      .groupBy(col(group), col("reg")).agg(max(col("rank")).as("rank"))
+  }
+
+  /** Per-group raw estimate from grouped registers. Absent registers each
+    * contribute 2⁻⁰ = 1 to the harmonic sum, added as ONE exact integer
+    * term (64 − #present) — no fill join. Present terms fold in register
+    * order; every term is a dyadic double, so the estimate is
+    * bit-identical across engines and partitionings. */
+  def hllEstimateGrouped(regs: DataFrame, group: String): DataFrame =
+    regs.groupBy(col(group))
+      .agg(sort_array(collect_list(struct(col("reg"), col("rank")))).as("rs"))
+      .select(col(group),
+        (aggregate(col("rs"), lit(0.0),
+          (acc, x) => acc + pow(lit(0.5), x.getField("rank")))
+          + (lit(hllM) - size(col("rs")))).as("hsum"))
+      .select(col(group),
+        (lit(hllAlpha) * hllM * hllM / col("hsum")).as("est_distinct"))
+
   /** Exact global quantiles WITHOUT a global sort — the mergeable-histogram
     * companion to the sketch family (the TODO's "quantile sketch with
     * deterministic two-pass exact refinement").

@@ -440,6 +440,46 @@ object TextQueries {
       est.crossJoin(exact)
     },
 
+    // Per-source HLL distinct-token profile: q73's sketch, grouped — ≤64
+    // register rows per source cross the wire at any corpus size (exact
+    // per-group NDV would exchange every (source, token) pair). Absent
+    // registers enter the harmonic sum as one exact integer term; the
+    // estimates stay bit-identical across engines.
+    QueryDef(
+      "q133_hll_grouped",
+      s"""WITH t AS (
+         |  SELECT source,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |u AS (SELECT source, unnest(toks) AS term FROM t),
+         |hx AS (SELECT source, ${XHash.bucketHashSql("hll", "term")} AS h FROM u),
+         |rr AS (SELECT source, h % 64 AS reg,
+         |         CASE WHEN (h // 64) = 0 THEN 55
+         |              ELSE 55 - length(bin(h // 64)) END AS rank
+         |       FROM hx),
+         |regs AS (SELECT source, reg, max(rank) AS rank
+         |         FROM rr GROUP BY source, reg),
+         |s AS (SELECT source,
+         |        list_reduce(
+         |          [cast(0.0 as double)] || list(pow(0.5, rank) ORDER BY reg),
+         |          (x, y) -> x + y) + (64 - count(*)) AS hsum
+         |      FROM regs GROUP BY source),
+         |ex AS (SELECT source, count(DISTINCT term) AS exact_distinct
+         |       FROM u GROUP BY source)
+         |SELECT s.source,
+         |  cast(cast(${Sketches.hllAlpha} as double) * 64 * 64 / hsum
+         |    as double) AS est_distinct,
+         |  cast(exact_distinct as bigint) AS exact_distinct
+         |FROM s JOIN ex ON s.source = ex.source""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(ArrayOps.tokens(col("text"))).as("term"))
+      val est = Sketches.hllEstimateGrouped(
+        Sketches.hllRegistersGrouped(toks, "source", "term"), "source")
+      val exact = toks.groupBy("source")
+        .agg(count_distinct(col("term")).as("exact_distinct"))
+      est.join(exact, Seq("source"))
+    },
+
     // Normalized exact-dup groups: whitespace/case variants (planted: two
     // leading spaces + uppercased copies) collapse to one canonical id via
     // a hash aggregate on the normalized text — dedup robustness without

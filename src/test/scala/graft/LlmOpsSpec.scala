@@ -1026,4 +1026,28 @@ class LlmOpsSpec extends SparkSpec {
     val posSet = Set((1L, 0L), (1L, 1L), (2L, 5L))
     assert(got.forall { case (u, it, _) => !posSet((u, it)) && it >= 0 && it < 8 })
   }
+
+  test("grouped HLL registers are max-mergeable; estimate matches whole-corpus") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 2000).map(i =>
+      (if (i % 2 == 0) "a" else "b", s"t${rnd.nextInt(400)}", i))
+    val whole = rows.toDF("g", "term", "i")
+    val regsWhole = graft.operators.Sketches
+      .hllRegistersGrouped(whole, "g", "term")
+    // split halves, sketch each, merge by max — must equal the whole sketch
+    val h1 = rows.filter(_._3 < 1000).toDF("g", "term", "i")
+    val h2 = rows.filter(_._3 >= 1000).toDF("g", "term", "i")
+    val merged = graft.operators.Sketches.hllRegistersGrouped(h1, "g", "term")
+      .unionByName(graft.operators.Sketches.hllRegistersGrouped(h2, "g", "term"))
+      .groupBy("g", "reg").agg(max(col("rank")).as("rank"))
+    val a = regsWhole.as[(String, Long, Int)].collect().toSet
+    val b = merged.as[(String, Long, Int)].collect().toSet
+    assert(a == b)
+    val est = graft.operators.Sketches.hllEstimateGrouped(merged, "g")
+      .as[(String, Double)].collect().toMap
+    val estWhole = graft.operators.Sketches.hllEstimateGrouped(regsWhole, "g")
+      .as[(String, Double)].collect().toMap
+    assert(est == estWhole)
+    assert(est.keySet == Set("a", "b") && est.values.forall(_ > 0))
+  }
 }
