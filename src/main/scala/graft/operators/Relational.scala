@@ -404,6 +404,29 @@ object Relational {
           .otherwise("changed").as("status"))
   }
 
+  /** Apply a CDC change batch to a snapshot — the MERGE INTO / Delta
+    * change-data-feed primitive, inverse of [[snapshotDiff]]: `changes`
+    * carries full payload rows tagged `opCol` ∈ {'I','U','D'} with a
+    * `versionCol` ordering concurrent changes to one key (latest wins,
+    * including a late D beating an earlier U). Result = snapshot rows
+    * whose key has no winning D/U, plus the winning U/I payloads.
+    *
+    * Scale shape: latest-wins is one window over the CHANGE batch (small
+    * relative to the snapshot); the snapshot is touched by exactly one
+    * left_anti hash join on the key — broadcastable when the batch is,
+    * and never rewritten where Delta/Iceberg would rewrite only matched
+    * files. Change payloads must share the snapshot's schema plus the two
+    * control columns. */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String,
+      opCol: String, versionCol: String): DataFrame = {
+    val latest = dedupKeepFirst(changes, Seq(key), Seq(col(versionCol).desc))
+    val survivors = snapshot.join(
+      latest.filter(col(opCol).isin("D", "U")).select(key),
+      Seq(key), "left_anti")
+    survivors.unionByName(
+      latest.filter(col(opCol).isin("U", "I")).drop(opCol, versionCol))
+  }
+
   /** SCD2 history from two snapshots: versioned (key, digest, valid_from,
     * valid_to) rows where unchanged keys keep one open row, changed keys
     * close the old version at `d1` and open a new one, and removed/added

@@ -334,6 +334,56 @@ object RelationalQueries {
       graft.operators.Relational.binnedIntervalJoin(pt, "p", iv, "lo", "hi", 8L)
         .groupBy("l_orderkey", "l_linenumber")
         .agg(count(lit(1)).as("n_cover"), min(col("o_orderkey")).as("first_order"))
+    },
+
+    // CDC MERGE apply: a derived change batch (deletes for keys %10=0, one
+    // update for %10=1, a SECOND higher-version update for %20=1 — latest
+    // must win — and inserts for %10=2 under shifted keys) applied to the
+    // customer snapshot. One window over the batch + one anti-join on the
+    // snapshot; money kept in exact cents.
+    QueryDef(
+      "q134_cdc_merge",
+      """WITH snap AS (SELECT c_custkey AS k, c_nationkey AS nk,
+        |    cast(cast(c_acctbal as decimal(18,4)) * 100 as bigint) AS bal_cents,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |ch AS (
+        |  SELECT k, nk, bal_cents, seg, 'D' AS op, 1 AS v FROM snap WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, nk, bal_cents + 100, 'UPDATED', 'U', 1 FROM snap WHERE k % 10 = 1
+        |  UNION ALL
+        |  SELECT k, nk, bal_cents + 200, 'UPDATED2', 'U', 2 FROM snap WHERE k % 20 = 1
+        |  UNION ALL
+        |  SELECT k + 1000000, nk, 4200, 'NEW', 'I', 1 FROM snap WHERE k % 10 = 2),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |surv AS (SELECT s.* FROM snap s WHERE NOT EXISTS (
+        |  SELECT 1 FROM latest l WHERE l.k = s.k AND l.op IN ('D', 'U'))),
+        |appl AS (SELECT k, nk, bal_cents, seg FROM latest WHERE op IN ('U', 'I'))
+        |SELECT k, nk, bal_cents, seg FROM surv
+        |UNION ALL SELECT * FROM appl""".stripMargin) { (s, dir) =>
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+        (graft.functions.Exact.dec(col("c_acctbal")) * 100).cast("long")
+          .as("bal_cents"),
+        col("c_mktsegment").as("seg"))
+      val ch = snap.filter(col("k") % 10 === 0)
+        .withColumn("op", lit("D")).withColumn("v", lit(1))
+        .unionByName(snap.filter(col("k") % 10 === 1)
+          .withColumn("bal_cents", col("bal_cents") + 100)
+          .withColumn("seg", lit("UPDATED"))
+          .withColumn("op", lit("U")).withColumn("v", lit(1)))
+        .unionByName(snap.filter(col("k") % 20 === 1)
+          .withColumn("bal_cents", col("bal_cents") + 200)
+          .withColumn("seg", lit("UPDATED2"))
+          .withColumn("op", lit("U")).withColumn("v", lit(2)))
+        .unionByName(snap.filter(col("k") % 10 === 2)
+          .withColumn("k", col("k") + 1000000)
+          .withColumn("bal_cents", lit(4200L))
+          .withColumn("seg", lit("NEW"))
+          .withColumn("op", lit("I")).withColumn("v", lit(1)))
+      graft.operators.Relational.applyCdc(snap, ch, "k", "op", "v")
     }
   )
 }

@@ -1050,4 +1050,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(est == estWhole)
     assert(est.keySet == Set("a", "b") && est.values.forall(_ > 0))
   }
+
+  test("applyCdc: latest version wins, late delete beats update, inserts land") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
+    val ch = Seq(
+      (1L, "a2", "U", 1), (1L, "a3", "U", 2), // latest update wins
+      (2L, "x", "U", 1), (2L, "x", "D", 2),   // late delete beats update
+      (9L, "new", "I", 1)
+    ).toDF("k", "p", "op", "v")
+    val got = graft.operators.Relational.applyCdc(snap, ch, "k", "op", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a3"), (3L, "c"), (9L, "new")))
+  }
 }
