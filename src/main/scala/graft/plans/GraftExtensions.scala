@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fvec_l2sq"),
       new ExpressionInfo(classOf[FloatVecL2Sq].getName, "fvec_l2sq"),
       exprs => FloatVecL2Sq(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hll64_agg"),
+      new ExpressionInfo(classOf[Hll64Agg].getName, "hll64_agg"),
+      exprs => new Hll64Agg(exprs.head).toAggregateExpression()))
     // portable-SQL hash form → native kernel (semantics-preserving;
     // NOT added by register() so the equivalence specs keep comparing
     // genuinely distinct formulations)
@@ -49,5 +53,7 @@ object GraftExtensions {
       exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("fvec_l2sq",
       exprs => FloatVecL2Sq(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hll64_agg",
+      exprs => new Hll64Agg(exprs.head).toAggregateExpression(), "built-in")
   }
 }

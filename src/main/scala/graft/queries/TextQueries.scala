@@ -480,6 +480,49 @@ object TextQueries {
       est.join(exact, Seq("source"))
     },
 
+    // q133 recomputed through the NATIVE one-pass aggregate (plans/
+    // Hll64Agg): update folds each (source, term) row into the 64-int
+    // buffer map-side, merge is zip_with max — the (source, term) pairs
+    // never shuffle (vs the composed pipeline's explode + two groupBys).
+    // The oracle folds filled registers in order, so equality proves the
+    // native buffer produced exactly the composed registers.
+    QueryDef(
+      "q135_hll_native_agg",
+      s"""WITH t AS (
+         |  SELECT source,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |u AS (SELECT source, unnest(toks) AS term FROM t),
+         |hx AS (SELECT source, ${XHash.bucketHashSql("hll", "term")} AS h FROM u),
+         |rr AS (SELECT source, h % 64 AS reg,
+         |         CASE WHEN (h // 64) = 0 THEN 55
+         |              ELSE 55 - length(bin(h // 64)) END AS rank
+         |       FROM hx),
+         |regs AS (SELECT source, reg, max(rank) AS rank
+         |         FROM rr GROUP BY source, reg),
+         |f AS (SELECT s.source, r.range AS reg, coalesce(regs.rank, 0) AS rank
+         |      FROM (SELECT DISTINCT source FROM regs) s
+         |      CROSS JOIN range(0, 64) r
+         |      LEFT JOIN regs ON regs.source = s.source AND regs.reg = r.range),
+         |hs AS (SELECT source,
+         |         list_reduce(
+         |           [cast(0.0 as double)] || list(pow(0.5, rank) ORDER BY reg),
+         |           (x, y) -> x + y) AS hsum
+         |       FROM f GROUP BY source)
+         |SELECT source,
+         |  cast(cast(${Sketches.hllAlpha} as double) * 64 * 64 / hsum
+         |    as double) AS est_distinct
+         |FROM hs""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(ArrayOps.tokens(col("text"))).as("term"))
+      toks.groupBy("source")
+        .agg(graft.plans.Hll64Agg(col("term")).as("regs"))
+        .select(col("source"),
+          (lit(Sketches.hllAlpha) * 64 * 64 /
+            aggregate(col("regs"), lit(0.0),
+              (acc, x) => acc + pow(lit(0.5), x))).as("est_distinct"))
+    },
+
     // Normalized exact-dup groups: whitespace/case variants (planted: two
     // leading spaces + uppercased copies) collapse to one canonical id via
     // a hash aggregate on the normalized text — dedup robustness without
