@@ -333,6 +333,105 @@ object Relational {
       .drop("__total", "__t")
   }
 
+  /** Per-group [[prefixSumOrdered]]: exact running sum of `w` in ascending
+    * `key` order WITHIN each group, by the same order-aligned bucket
+    * decomposition — a `Window.partitionBy(group).orderBy(key)` would put
+    * each whole group on one reducer, catastrophic for a hot group. Group
+    * cardinality is assumed bounded (a category/type axis): the bucket-
+    * offset table is ≤ groups·buckets rows and broadcasts. Unlike the
+    * global op, `w` may be SIGNED (interval sweeps carry −1 deltas); keys
+    * must be unique within their group. Adds `__cum`. */
+  def prefixSumOrderedBy(df: DataFrame, groups: Seq[String], key: String,
+      w: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val mk = df.groupBy(gcols: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    val bucketed = df.join(broadcast(mk), groups)
+      .withColumn("__b",
+        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+      .drop("__mn", "__mk")
+    val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = bucketed.withColumn("__in", sum(col(w)).over(wIn))
+    val offs = bucketed.groupBy((gcols :+ col("__b")): _*)
+      .agg(sum(col(w)).as("__bw"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(
+          Window.partitionBy(gcols: _*).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gcols :+ col("__b") :+ col("__off")): _*)
+    inner.join(broadcast(offs), groups :+ "__b")
+      .withColumn("__cum", col("__in") + col("__off"))
+      .drop("__b", "__in", "__off")
+  }
+
+  /** Per-group distributed `lead` in ascending `key` order WITHOUT a
+    * per-group global window (the usual `lead` over
+    * `Window.partitionBy(group).orderBy(key)` lands each whole group on
+    * one reducer) — the ordered-neighbor companion to
+    * [[prefixSumOrderedBy]], same order-aligned bucket decomposition.
+    * `lead` runs inside each (group, bucket); each bucket's LAST row takes
+    * the first row of the group's next non-empty bucket from a
+    * ≤groups·buckets-row "firsts" table (the only windowed-whole object,
+    * broadcast back). Keys must be unique within their group; `value` is
+    * carried alongside. Adds `__nextKey`, `__nextVal` (null at each
+    * group's end). */
+  def leadOrderedBy(df: DataFrame, groups: Seq[String], key: String,
+      value: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val mk = df.groupBy(gcols: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    val bucketed = df.join(broadcast(mk), groups)
+      .withColumn("__b",
+        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+      .drop("__mn", "__mk")
+    val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
+    val inner = bucketed
+      .withColumn("__nk", lead(col(key), 1).over(wIn))
+      .withColumn("__nv", lead(col(value), 1).over(wIn))
+    // keys are unique per group, so min(struct(key, value)) IS the first
+    // row of each (group, bucket); `lead` over this tiny table finds the
+    // next non-empty bucket's first row, skipping empty buckets
+    val firsts = bucketed.groupBy((gcols :+ col("__b")): _*)
+      .agg(min(struct(col(key), col(value))).as("__f"))
+    val nexts = firsts
+      .withColumn("__nf", lead(col("__f"), 1).over(
+        Window.partitionBy(gcols: _*).orderBy(col("__b"))))
+      .select((gcols :+ col("__b") :+ col("__nf")): _*)
+    inner.join(broadcast(nexts), groups :+ "__b")
+      .withColumn("__nextKey", coalesce(col("__nk"), col("__nf").getField(key)))
+      // value may be legitimately null — gate on the KEY, never coalesce
+      .withColumn("__nextVal",
+        when(col("__nk").isNotNull, col("__nv"))
+          .otherwise(col("__nf").getField(value)))
+      .drop("__b", "__nk", "__nv", "__nf")
+  }
+
+  /** Peak concurrent intervals per group (sweep line): each interval
+    * [start, end) decomposes into a +1 delta at `start` and a −1 at `end`,
+    * deltas at one instant net together first (so a session ending exactly
+    * when another starts never double-counts), and the running sum over
+    * the per-group time axis is the concurrency profile. The running sum
+    * rides [[prefixSumOrderedBy]] — no per-group single-reducer window —
+    * and the peak plus its EARLIEST attainment instant come from one
+    * `max(struct)` aggregate (lexicographic: max concurrency, then max
+    * negated time = min time; the first attainment always sits on a
+    * positive-net point, so netting never hides it). Start/end must be
+    * integral instants with start < end. Output: (group, peak,
+    * peak_start). */
+  def maxConcurrency(iv: DataFrame, group: String, startCol: String,
+      endCol: String, buckets: Int = 32): DataFrame = {
+    val pts = iv.select(col(group), col(startCol).cast("long").as("__t"),
+        lit(1L).as("__d"))
+      .unionByName(iv.select(col(group), col(endCol).cast("long").as("__t"),
+        lit(-1L).as("__d")))
+    val net = pts.groupBy(col(group), col("__t")).agg(sum(col("__d")).as("__nd"))
+    prefixSumOrderedBy(net, Seq(group), "__t", "__nd", buckets)
+      .groupBy(col(group))
+      .agg(max(struct(col("__cum").as("c"), (-col("__t")).as("nt"))).as("m"))
+      .select(col(group), col("m.c").as("peak"), (-col("m.nt")).as("peak_start"))
+  }
+
   /** Point-in-interval join WITHOUT a nested loop. A bare `p BETWEEN lo
     * AND hi` join has no equi-key, so Spark plans BroadcastNestedLoopJoin
     * (or worse, CartesianProduct) — O(|points|·|intervals|) comparisons,

@@ -274,4 +274,64 @@ object Sketches {
       .select(col("__g").as(group), col("pct"),
         col("__rank").as("qrank"), col("__v").as("qvalue"))
   }
+
+  /** Weighted exact quantile per group — the weighted companion to
+    * [[groupedHistogramQuantiles]]: the quantile of a distribution in which
+    * each row counts `weight` times (weighted median price where the weight
+    * is units sold; latency percentile where the weight is request count).
+    * Expanding each row `weight` times or sorting each group whole are both
+    * scale-killers; the same three bounded passes work because weight is
+    * additive per bin.
+    *
+    * The per-group rank target is `T = ceil(W·p/100)` over total weight `W`
+    * (integer-only: `(W·p + 99) div 100`); the result is the smallest value
+    * whose cumulative weight reaches `T`. Cumulation runs over PER-VALUE
+    * aggregated weights, so tie order can never matter. Pass 2 differs from
+    * the unweighted op: `row_number` cannot express weighted rank, so the
+    * boundary bin's rows combine map-side to per-value weights and only ONE
+    * bin's distinct values per group feed the cumulative window — bounded
+    * by the bin's value spread, never by group size.
+    *
+    * `value` and `weight` must be integral (long-valued); rows with
+    * non-positive weight are ignored (they hold no probability mass).
+    * Output: one row per group, `qvalue` = the weighted p-quantile.
+    */
+  def groupedWeightedQuantile(df: DataFrame, group: String, value: Column,
+      weight: Column, pct: Int, bins: Int = 4096): DataFrame = {
+    require(pct >= 1 && pct <= 100)
+    val w = df.select(col(group).as("__g"), value.cast("long").as("__v"),
+        weight.cast("long").as("__wt"))
+      .filter(col("__wt") > 0)
+    // pass 0: per-group bounds + total weight — one row per group
+    val bounds = w.groupBy("__g").agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), sum(col("__wt")).as("__tw"))
+    val withW = bounds.select(col("__g"), col("__lo"),
+      expr(s"(__hi - __lo + $bins) div $bins").as("__w"),
+      expr(s"(__tw * $pct + 99) div 100").as("__rank"))
+    val binned = w.join(broadcast(withW.select("__g", "__lo", "__w")), "__g")
+      .select(col("__g"), col("__v"), col("__wt"),
+        expr("(__v - __lo) div __w").as("__bin"))
+    // pass 1: weight histogram, shuffle ≤ groups·bins after map-side combine
+    val hist = binned.groupBy("__g", "__bin").agg(sum(col("__wt")).as("__bw"))
+      .withColumn("__cum", sum(col("__bw")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__below", col("__cum") - col("__bw"))
+    val probeBins = hist.join(
+        broadcast(withW.select(col("__g").as("__gp"), col("__rank"))),
+        col("__g") === col("__gp") &&
+          col("__rank") > col("__below") && col("__rank") <= col("__cum"))
+      .select(col("__g"), col("__bin"), col("__below"), col("__rank"))
+    // pass 2: cumulate per-value weights inside the one boundary bin per group
+    binned.join(broadcast(probeBins), Seq("__g", "__bin"))
+      .groupBy("__g", "__v", "__below", "__rank")
+      .agg(sum(col("__wt")).as("__vw"))
+      .withColumn("__cumv", sum(col("__vw")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__below") + col("__cumv") >= col("__rank"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("qvalue"))
+      .select(col("__g").as(group), col("qvalue"))
+  }
 }

@@ -305,6 +305,104 @@ object MetricQueries {
         .select(col("o_custkey"), col("l_partkey"))
       Features.negativeSamples(Tables.customer(s, dir), "c_custkey",
         positives, "o_custkey", "l_partkey", numItems, k = 5)
+    },
+
+    // Weighted median unit price per return flag: each line's price counts
+    // `quantity` times. Exact in cents via the decimal(18,4) round-trip;
+    // the Spark side is the three-pass boundary-bin weighted quantile
+    // (no per-group sort, no weight-times row expansion — both are
+    // scale-killers), the oracle is the direct cumulative-weight
+    // definition: smallest v whose cum weight reaches ceil(W/2).
+    QueryDef(
+      "q136_weighted_median",
+      """WITH w AS (SELECT l_returnflag,
+        |    cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint) AS v,
+        |    cast(l_quantity as bigint) AS wt
+        |  FROM lineitem),
+        |pv AS (SELECT l_returnflag, v, sum(wt) AS wt FROM w GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM pv)
+        |SELECT l_returnflag, min(v) AS wmedian_cents
+        |FROM c WHERE cw >= (tw * 50 + 99) // 100
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.operators.Sketches.groupedWeightedQuantile(
+          Tables.lineitem(s, dir), "l_returnflag",
+          graft.functions.Exact.dec(col("l_extendedprice")) * 100,
+          col("l_quantity"), pct = 50)
+        .select(col("l_returnflag"), col("qvalue").as("wmedian_cents"))
+    },
+
+    // Peak concurrent sessions per event type (sweep line over intervals
+    // [ts, ts + value seconds)): the capacity-planning aggregate. Interval
+    // endpoints decompose to ±1 deltas, net per instant, and the running
+    // sum rides the bucket-decomposed distributed prefix sum — never a
+    // per-type whole-group window. Reports the peak and its earliest
+    // attainment instant.
+    QueryDef(
+      "q137_max_concurrency",
+      """WITH iv AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000
+        |      + greatest(1, cast(floor(value) as bigint)) AS e
+        |  FROM events),
+        |pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
+        |net AS (SELECT event_type, t, sum(d) AS d FROM pts GROUP BY 1, 2),
+        |run AS (SELECT event_type, t,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t) AS c FROM net),
+        |pk AS (SELECT event_type, max(c) AS peak FROM run GROUP BY 1)
+        |SELECT r.event_type, cast(p.peak as bigint) AS peak,
+        |  min(r.t) AS peak_start
+        |FROM run r JOIN pk p ON r.event_type = p.event_type AND r.c = p.peak
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val iv = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("s"), col("value"))
+        .withColumn("e",
+          col("s") + greatest(lit(1L), floor(col("value")).cast("long")))
+      graft.operators.Relational.maxConcurrency(iv, "event_type", "s", "e")
+    },
+
+    // Winsorized sum/count per return flag: prices clipped at the exact
+    // per-group p05/p95 order statistics — the robust-mean feature-
+    // engineering step. Both cut points come from the boundary-bin grouped
+    // quantile (weight 1), broadcast back, and one narrow clamp+aggregate
+    // pass finishes — the corpus is scanned twice, sorted never.
+    QueryDef(
+      "q138_winsorized_mean",
+      """WITH w AS (SELECT l_returnflag,
+        |    cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint) AS v
+        |  FROM lineitem),
+        |pv AS (SELECT l_returnflag, v, count(*) AS wt FROM w GROUP BY 1, 2),
+        |cu AS (SELECT l_returnflag, v,
+        |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM pv),
+        |lo AS (SELECT l_returnflag, min(v) AS p05 FROM cu
+        |  WHERE cw >= (tw * 5 + 99) // 100 GROUP BY 1),
+        |hi AS (SELECT l_returnflag, min(v) AS p95 FROM cu
+        |  WHERE cw >= (tw * 95 + 99) // 100 GROUP BY 1)
+        |SELECT w.l_returnflag, cast(count(*) as bigint) AS n,
+        |  cast(sum(least(greatest(v, p05), p95)) as bigint) AS wsum_cents
+        |FROM w JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
+        |GROUP BY w.l_returnflag""".stripMargin) { (s, dir) =>
+      val cents = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        (graft.functions.Exact.dec(col("l_extendedprice")) * 100)
+          .cast("long").as("v"))
+      val p05 = graft.operators.Sketches.groupedWeightedQuantile(
+          cents, "l_returnflag", col("v"), lit(1L), 5)
+        .withColumnRenamed("qvalue", "p05")
+      val p95 = graft.operators.Sketches.groupedWeightedQuantile(
+          cents, "l_returnflag", col("v"), lit(1L), 95)
+        .withColumnRenamed("qvalue", "p95")
+      cents.join(broadcast(p05), "l_returnflag")
+        .join(broadcast(p95), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("v"), col("p05")), col("p95")))
+            .as("wsum_cents"))
     }
   )
 }

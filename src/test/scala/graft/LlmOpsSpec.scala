@@ -1062,4 +1062,79 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a3"), (3L, "c"), (9L, "new")))
   }
+
+  test("groupedWeightedQuantile == brute-force weighted rank (random, all pcts)") {
+    val rnd = new scala.util.Random(20260813L)
+    // few distinct values → heavy ties, weights up to 50, 3 groups
+    val rows = (0 until 600).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong, 1L + rnd.nextInt(50))
+    }
+    val df = rows.toDF("g", "v", "wt")
+    for (p <- Seq(1, 5, 50, 95, 100)) {
+      val got = graft.operators.Sketches
+        .groupedWeightedQuantile(df, "g", col("v"), col("wt"), p, bins = 8)
+        .as[(String, Long)].collect().toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val tw = rs.map(_._3).sum
+        val target = (tw * p + 99) / 100
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        g -> byV.collectFirst {
+          case (v, w) if { cum += w; cum >= target } => v
+        }.get
+      }
+      assert(got == expect, s"pct $p")
+    }
+  }
+
+  test("prefixSumOrderedBy: per-group scanLeft with SIGNED weights") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 4}", i.toLong * 3 + rnd.nextInt(3), rnd.nextInt(21).toLong - 10)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "w")
+    val got = graft.operators.Relational
+      .prefixSumOrderedBy(df, Seq("g"), "k", "w", buckets = 5)
+      .select(col("g"), col("k"), col("__cum"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).scanLeft(("", 0L, 0L)) {
+        case ((_, _, acc), (_, k, w)) => (g, k, acc + w)
+      }.tail.map { case (_, k, c) => (g, k) -> c }
+    }
+    assert(got == expect)
+  }
+
+  test("maxConcurrency: sweep matches brute-force timeline; netting at shared instants") {
+    // planted: g1 has 3 overlapping intervals, one ends exactly as another
+    // starts (net — never 4 concurrent); g2 back-to-back singletons
+    val iv = Seq(
+      ("g1", 0L, 10L), ("g1", 2L, 6L), ("g1", 4L, 8L), ("g1", 6L, 7L),
+      ("g2", 0L, 5L), ("g2", 5L, 9L)
+    ).toDF("g", "s", "e")
+    val got = graft.operators.Relational.maxConcurrency(iv, "g", "s", "e")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    // g1: [0,2)=1 [2,4)=2 [4,6)=3 [6,7)=3(+1−1 nets) [7,8)=2 → peak 3 first at t=4
+    assert(got("g1") == ((3L, 4L)))
+    assert(got("g2") == ((1L, 0L)))
+    // randomized cross-check against a dense timeline walk
+    val rnd = new scala.util.Random(99L)
+    val rand = (0 until 300).map { _ =>
+      val s = rnd.nextInt(500).toLong
+      ("r", s, s + 1 + rnd.nextInt(40))
+    }
+    val rgot = graft.operators.Relational
+      .maxConcurrency(rand.toDF("g", "s", "e"), "g", "s", "e")
+      .as[(String, Long, Long)].collect().head
+    val deltas = rand.flatMap { case (_, s, e) => Seq(s -> 1, e -> -1) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var cum = 0L; var peak = Long.MinValue; var at = 0L
+    deltas.foreach { case (t, d) =>
+      cum += d; if (cum > peak) { peak = cum; at = t }
+    }
+    assert((rgot._2, rgot._3) == ((peak, at)))
+  }
 }
