@@ -391,6 +391,64 @@ object MetricQueries {
       val cents = Tables.lineitem(s, dir).select(col("l_returnflag"),
         (graft.functions.Exact.dec(col("l_extendedprice")) * 100)
           .cast("long").as("v"))
+      winsorizedFrom(cents)
+    },
+
+    // Interval-union coverage per event type: total seconds with ≥1 active
+    // session (the utilization numerator) plus the observation span. The
+    // sweep's running sum rides the distributed prefix sum and the
+    // segment length (next point − this point) rides the distributed
+    // `lead` — neither touches a per-group whole-partition window.
+    QueryDef(
+      "q139_interval_coverage",
+      """WITH iv AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 AS s,
+        |    epoch_us(ts) // 1000000
+        |      + greatest(1, cast(floor(value) as bigint)) AS e
+        |  FROM events),
+        |pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
+        |net AS (SELECT event_type, t, sum(d) AS d FROM pts GROUP BY 1, 2),
+        |run AS (SELECT event_type, t,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t) AS c,
+        |    lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nt
+        |  FROM net),
+        |cov AS (SELECT event_type,
+        |    cast(sum(CASE WHEN c > 0 THEN nt - t ELSE 0 END) as bigint)
+        |      AS covered_sec
+        |  FROM run WHERE nt IS NOT NULL GROUP BY 1),
+        |sp AS (SELECT event_type, max(e) - min(s) AS span_sec
+        |  FROM iv GROUP BY 1)
+        |SELECT cov.event_type, covered_sec, span_sec
+        |FROM cov JOIN sp USING (event_type)""".stripMargin) { (s, dir) =>
+      import graft.operators.Relational
+      val iv = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("s"), col("value"))
+        .withColumn("e",
+          col("s") + greatest(lit(1L), floor(col("value")).cast("long")))
+      val pts = iv.select(col("event_type"), col("s").as("__t"), lit(1L).as("__d"))
+        .unionByName(iv.select(col("event_type"), col("e").as("__t"),
+          lit(-1L).as("__d")))
+      val net = pts.groupBy(col("event_type"), col("__t"))
+        .agg(sum(col("__d")).as("__nd"))
+      val run = Relational.leadOrderedBy(
+        Relational.prefixSumOrderedBy(net, Seq("event_type"), "__t", "__nd"),
+        Seq("event_type"), "__t", "__cum")
+      val cov = run.filter(col("__nextKey").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("__cum") > 0, col("__nextKey") - col("__t"))
+          .otherwise(lit(0L))).as("covered_sec"))
+      val sp = iv.groupBy(col("event_type"))
+        .agg((max(col("e")) - min(col("s"))).as("span_sec"))
+      cov.join(broadcast(sp), "event_type")
+    }
+  )
+
+  /** q138 tail, split out for readability: clip at the exact per-group
+    * p05/p95 from the boundary-bin grouped quantile, then one narrow
+    * clamp+aggregate pass. */
+  private def winsorizedFrom(cents: org.apache.spark.sql.DataFrame) = {
       val p05 = graft.operators.Sketches.groupedWeightedQuantile(
           cents, "l_returnflag", col("v"), lit(1L), 5)
         .withColumnRenamed("qvalue", "p05")
@@ -403,6 +461,5 @@ object MetricQueries {
         .agg(count(lit(1)).as("n"),
           sum(least(greatest(col("v"), col("p05")), col("p95")))
             .as("wsum_cents"))
-    }
-  )
+  }
 }

@@ -1107,6 +1107,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("leadOrderedBy: per-group sorted-neighbor, empty buckets skipped, null value carried") {
+    val rnd = new scala.util.Random(31L)
+    // sparse clustered keys → many empty buckets between clusters; some
+    // null values to prove the value channel never coalesces across rows
+    val rows = (0 until 300).map { i =>
+      val k = (i / 10).toLong * 1000 + i % 10 + rnd.nextInt(2)
+      (s"g${i % 3}", k, if (k % 7 == 0) None else Some(k * 2))
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "v")
+    val got = graft.operators.Relational
+      .leadOrderedBy(df, Seq("g"), "k", "v", buckets = 7)
+      .select(col("g"), col("k"), col("__nextKey"), col("__nextVal"))
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map { case (g, k, nk, nv) => (g, k) -> ((nk, nv)) }.toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zip(sorted.drop(1).map(Some(_)) :+ None).map {
+        case ((_, k, _), next) =>
+          (g, k) -> ((next.map(_._2), next.flatMap(_._3)))
+      }
+    }
+    assert(got == expect)
+  }
+
   test("maxConcurrency: sweep matches brute-force timeline; netting at shared instants") {
     // planted: g1 has 3 overlapping intervals, one ends exactly as another
     // starts (net — never 4 concurrent); g2 back-to-back singletons
