@@ -294,20 +294,23 @@ object Sketches {
     *
     * `value` and `weight` must be integral (long-valued); rows with
     * non-positive weight are ignored (they hold no probability mass).
-    * Output: one row per group, `qvalue` = the weighted p-quantile.
+    * All requested percentiles resolve in ONE three-pass run (the corpus
+    * is never rescanned per pct). Output: one row per (group, pct),
+    * `qvalue` = the weighted p-quantile.
     */
-  def groupedWeightedQuantile(df: DataFrame, group: String, value: Column,
-      weight: Column, pct: Int, bins: Int = 4096): DataFrame = {
-    require(pct >= 1 && pct <= 100)
+  def groupedWeightedQuantiles(df: DataFrame, group: String, value: Column,
+      weight: Column, pcts: Seq[Int], bins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
     val w = df.select(col(group).as("__g"), value.cast("long").as("__v"),
         weight.cast("long").as("__wt"))
       .filter(col("__wt") > 0)
     // pass 0: per-group bounds + total weight — one row per group
     val bounds = w.groupBy("__g").agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), sum(col("__wt")).as("__tw"))
-    val withW = bounds.select(col("__g"), col("__lo"),
-      expr(s"(__hi - __lo + $bins) div $bins").as("__w"),
-      expr(s"(__tw * $pct + 99) div 100").as("__rank"))
+    val withW = bounds.select(col("__g"), col("__lo"), col("__tw"),
+      expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
     val binned = w.join(broadcast(withW.select("__g", "__lo", "__w")), "__g")
       .select(col("__g"), col("__v"), col("__wt"),
         expr("(__v - __lo) div __w").as("__bin"))
@@ -317,21 +320,34 @@ object Sketches {
         Window.partitionBy(col("__g")).orderBy(col("__bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__below", col("__cum") - col("__bw"))
-    val probeBins = hist.join(
-        broadcast(withW.select(col("__g").as("__gp"), col("__rank"))),
-        col("__g") === col("__gp") &&
+    val probes = pcts.toDF("pct")
+      .crossJoin(broadcast(withW.select(col("__g"), col("__tw"))))
+      .withColumn("__rank", expr("(__tw * pct + 99) div 100"))
+      .drop("__tw")
+    val probeBins = probes.join(broadcast(hist.withColumnRenamed("__g", "__gh")),
+        col("__g") === col("__gh") &&
           col("__rank") > col("__below") && col("__rank") <= col("__cum"))
-      .select(col("__g"), col("__bin"), col("__below"), col("__rank"))
-    // pass 2: cumulate per-value weights inside the one boundary bin per group
-    binned.join(broadcast(probeBins), Seq("__g", "__bin"))
-      .groupBy("__g", "__v", "__below", "__rank")
-      .agg(sum(col("__wt")).as("__vw"))
+      .select(col("__g"), col("pct"), col("__bin"), col("__below"),
+        col("__rank"))
+    // pass 2: cumulate per-value weights inside the boundary bins (≤ one
+    // bin per (group, pct); a bin shared by several pcts cumulates once)
+    binned.join(broadcast(probeBins.select("__g", "__bin").distinct()),
+        Seq("__g", "__bin"))
+      .groupBy("__g", "__bin", "__v").agg(sum(col("__wt")).as("__vw"))
       .withColumn("__cumv", sum(col("__vw")).over(
-        Window.partitionBy(col("__g")).orderBy(col("__v"))
+        Window.partitionBy(col("__g"), col("__bin")).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(probeBins), Seq("__g", "__bin"))
       .filter(col("__below") + col("__cumv") >= col("__rank"))
-      .groupBy(col("__g"))
+      .groupBy(col("__g"), col("pct"))
       .agg(min(col("__v")).as("qvalue"))
-      .select(col("__g").as(group), col("qvalue"))
+      .select(col("__g").as(group), col("pct"), col("qvalue"))
   }
+
+  /** Single-percentile convenience over [[groupedWeightedQuantiles]]:
+    * output one row per group, (group, qvalue). */
+  def groupedWeightedQuantile(df: DataFrame, group: String, value: Column,
+      weight: Column, pct: Int, bins: Int = 4096): DataFrame =
+    groupedWeightedQuantiles(df, group, value, weight, Seq(pct), bins)
+      .drop("pct")
 }

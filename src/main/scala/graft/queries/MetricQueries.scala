@@ -449,17 +449,17 @@ object MetricQueries {
     * p05/p95 from the boundary-bin grouped quantile, then one narrow
     * clamp+aggregate pass. */
   private def winsorizedFrom(cents: org.apache.spark.sql.DataFrame) = {
-      val p05 = graft.operators.Sketches.groupedWeightedQuantile(
-          cents, "l_returnflag", col("v"), lit(1L), 5)
-        .withColumnRenamed("qvalue", "p05")
-      val p95 = graft.operators.Sketches.groupedWeightedQuantile(
-          cents, "l_returnflag", col("v"), lit(1L), 95)
-        .withColumnRenamed("qvalue", "p95")
-      cents.join(broadcast(p05), "l_returnflag")
-        .join(broadcast(p95), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(least(greatest(col("v"), col("p05")), col("p95")))
-            .as("wsum_cents"))
+    // both cut points from ONE three-pass quantile run, pivoted to a
+    // per-group (p05, p95) row that broadcasts back
+    val cuts = graft.operators.Sketches.groupedWeightedQuantiles(
+        cents, "l_returnflag", col("v"), lit(1L), Seq(5, 95))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("pct") === 5, col("qvalue"))).as("p05"),
+        min(when(col("pct") === 95, col("qvalue"))).as("p95"))
+    cents.join(broadcast(cuts), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col("v"), col("p05")), col("p95")))
+          .as("wsum_cents"))
   }
 }

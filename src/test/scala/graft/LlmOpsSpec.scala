@@ -1070,22 +1070,30 @@ class LlmOpsSpec extends SparkSpec {
       (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong, 1L + rnd.nextInt(50))
     }
     val df = rows.toDF("g", "v", "wt")
-    for (p <- Seq(1, 5, 50, 95, 100)) {
-      val got = graft.operators.Sketches
-        .groupedWeightedQuantile(df, "g", col("v"), col("wt"), p, bins = 8)
-        .as[(String, Long)].collect().toMap
-      val expect = rows.groupBy(_._1).map { case (g, rs) =>
-        val tw = rs.map(_._3).sum
-        val target = (tw * p + 99) / 100
-        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
-          .toSeq.sortBy(_._1)
-        var cum = 0L
-        g -> byV.collectFirst {
-          case (v, w) if { cum += w; cum >= target } => v
-        }.get
-      }
-      assert(got == expect, s"pct $p")
-    }
+    val pcts = Seq(1, 5, 50, 95, 100)
+    // all pcts in ONE run — neighbors often share a boundary bin at bins=8
+    val got = graft.operators.Sketches
+      .groupedWeightedQuantiles(df, "g", col("v"), col("wt"), pcts, bins = 8)
+      .as[(String, Int, Long)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val expect = (for {
+      (g, rs) <- rows.groupBy(_._1); p <- pcts
+    } yield {
+      val tw = rs.map(_._3).sum
+      val target = (tw * p + 99) / 100
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      (g, p) -> byV.collectFirst {
+        case (v, w) if { cum += w; cum >= target } => v
+      }.get
+    }).toMap
+    assert(got == expect)
+    // single-pct wrapper drops the pct column
+    val one = graft.operators.Sketches
+      .groupedWeightedQuantile(df, "g", col("v"), col("wt"), 50, bins = 8)
+      .as[(String, Long)].collect().toMap
+    assert(one == expect.collect { case ((g, 50), v) => g -> v })
   }
 
   test("prefixSumOrderedBy: per-group scanLeft with SIGNED weights") {
