@@ -407,6 +407,46 @@ object Relational {
       .drop("__b", "__nk", "__nv", "__nf")
   }
 
+  /** [[prefixSumOrderedBy]] + [[leadOrderedBy]] fused into ONE bucket
+    * decomposition — the sweep-line shape wants both (running concurrency
+    * AND segment length to the next point), and composing the two
+    * stand-alone ops re-buckets, re-windows, and re-materializes the
+    * input once each. Here the in-bucket running sum and in-bucket lead
+    * share a single Window node; the bucketed input persists because the
+    * offsets table, the firsts table, and the row-level window each
+    * consume it (at 100 TB the sweep points are an already-aggregated
+    * compact table, not the corpus). Signed `w`, keys unique per group.
+    * Adds `__cum` and `__nextKey` (null at each group's end). */
+  def sweepOrderedBy(df: DataFrame, groups: Seq[String], key: String,
+      w: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val mk = df.groupBy(gcols: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    val bucketed = df.join(broadcast(mk), groups)
+      .withColumn("__b",
+        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+      .drop("__mn", "__mk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
+    val inner = bucketed
+      .withColumn("__in", sum(col(w)).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nk", lead(col(key), 1).over(wIn))
+    val offs = bucketed.groupBy((gcols :+ col("__b")): _*)
+      .agg(sum(col(w)).as("__bw"), min(col(key)).as("__fk"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(
+          Window.partitionBy(gcols: _*).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nf", lead(col("__fk"), 1).over(
+        Window.partitionBy(gcols: _*).orderBy(col("__b"))))
+      .select((gcols :+ col("__b") :+ col("__off") :+ col("__nf")): _*)
+    inner.join(broadcast(offs), groups :+ "__b")
+      .withColumn("__cum", col("__in") + col("__off"))
+      .withColumn("__nextKey", coalesce(col("__nk"), col("__nf")))
+      .drop("__b", "__in", "__off", "__nk", "__nf")
+  }
+
   /** Peak concurrent intervals per group (sweep line): each interval
     * [start, end) decomposes into a +1 delta at `start` and a −1 at `end`,
     * deltas at one instant net together first (so a session ending exactly

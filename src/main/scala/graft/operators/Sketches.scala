@@ -306,11 +306,15 @@ object Sketches {
     val w = df.select(col(group).as("__g"), value.cast("long").as("__v"),
         weight.cast("long").as("__wt"))
       .filter(col("__wt") > 0)
-    // pass 0: per-group bounds + total weight — one row per group
+    // pass 0: per-group bounds + total weight — one row per group. The
+    // tiny frames persist: each is consumed by ≥2 downstream broadcast
+    // materializations, and without the pin every one re-runs the corpus
+    // scan behind it (measured: 5 scans → 3 at sf0.1).
     val bounds = w.groupBy("__g").agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), sum(col("__wt")).as("__tw"))
     val withW = bounds.select(col("__g"), col("__lo"), col("__tw"),
-      expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+        expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val binned = w.join(broadcast(withW.select("__g", "__lo", "__w")), "__g")
       .select(col("__g"), col("__v"), col("__wt"),
         expr("(__v - __lo) div __w").as("__bin"))
@@ -320,6 +324,7 @@ object Sketches {
         Window.partitionBy(col("__g")).orderBy(col("__bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__below", col("__cum") - col("__bw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = pcts.toDF("pct")
       .crossJoin(broadcast(withW.select(col("__g"), col("__tw"))))
       .withColumn("__rank", expr("(__tw * pct + 99) div 100"))
@@ -329,15 +334,15 @@ object Sketches {
           col("__rank") > col("__below") && col("__rank") <= col("__cum"))
       .select(col("__g"), col("pct"), col("__bin"), col("__below"),
         col("__rank"))
-    // pass 2: cumulate per-value weights inside the boundary bins (≤ one
-    // bin per (group, pct); a bin shared by several pcts cumulates once)
-    binned.join(broadcast(probeBins.select("__g", "__bin").distinct()),
-        Seq("__g", "__bin"))
-      .groupBy("__g", "__bin", "__v").agg(sum(col("__wt")).as("__vw"))
+    // pass 2: cumulate per-value weights inside the one boundary bin per
+    // (group, pct) — a single probe join; the window is bounded by the
+    // bin's value spread, never by group size
+    binned.join(broadcast(probeBins), Seq("__g", "__bin"))
+      .groupBy("__g", "pct", "__v", "__below", "__rank")
+      .agg(sum(col("__wt")).as("__vw"))
       .withColumn("__cumv", sum(col("__vw")).over(
-        Window.partitionBy(col("__g"), col("__bin")).orderBy(col("__v"))
+        Window.partitionBy(col("__g"), col("pct")).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(probeBins), Seq("__g", "__bin"))
       .filter(col("__below") + col("__cumv") >= col("__rank"))
       .groupBy(col("__g"), col("pct"))
       .agg(min(col("__v")).as("qvalue"))

@@ -432,9 +432,7 @@ object MetricQueries {
           lit(-1L).as("__d")))
       val net = pts.groupBy(col("event_type"), col("__t"))
         .agg(sum(col("__d")).as("__nd"))
-      val run = Relational.leadOrderedBy(
-        Relational.prefixSumOrderedBy(net, Seq("event_type"), "__t", "__nd"),
-        Seq("event_type"), "__t", "__cum")
+      val run = Relational.sweepOrderedBy(net, Seq("event_type"), "__t", "__nd")
       val cov = run.filter(col("__nextKey").isNotNull)
         .groupBy(col("event_type"))
         .agg(sum(when(col("__cum") > 0, col("__nextKey") - col("__t"))

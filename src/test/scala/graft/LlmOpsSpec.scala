@@ -1139,6 +1139,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sweepOrderedBy == prefixSumOrderedBy + leadOrderedBy composition") {
+    val rnd = new scala.util.Random(41L)
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 3}", i.toLong * 11 + rnd.nextInt(7), rnd.nextInt(9).toLong - 4)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "w")
+    import graft.operators.Relational
+    val fused = Relational.sweepOrderedBy(df, Seq("g"), "k", "w", buckets = 6)
+      .select(col("g"), col("k"), col("__cum"), col("__nextKey"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    val composed = Relational.leadOrderedBy(
+        Relational.prefixSumOrderedBy(df, Seq("g"), "k", "w", buckets = 6),
+        Seq("g"), "k", "__cum", buckets = 6)
+      .select(col("g"), col("k"), col("__cum"), col("__nextKey"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(fused == composed)
+  }
+
   test("maxConcurrency: sweep matches brute-force timeline; netting at shared instants") {
     // planted: g1 has 3 overlapping intervals, one ends exactly as another
     // starts (net — never 4 concurrent); g2 back-to-back singletons
