@@ -147,6 +147,7 @@ object Sketches {
     // pass 0: domain bounds + row count — one map-side-combined row
     val bounds = v.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
       count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // equi-width long bins: width = ceil((hi-lo+1)/bins) ≥ 1, pure long math
     val withW = bounds.select(col("__lo"), col("__n"),
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
@@ -158,6 +159,7 @@ object Sketches {
       .withColumn("__cum", sum(col("__bc")).over(Window.orderBy(col("__bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__below", col("__cum") - col("__bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rank of percentile p: ceil(n·p/100), integer-only (oracle: `//`)
     val probes = pcts.toDF("pct")
       .crossJoin(broadcast(bounds.select(col("__n"))))
@@ -191,6 +193,7 @@ object Sketches {
     val v = df.select(value.cast("long").as("__v"))
     val bounds = v.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
       count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withW = bounds.select(col("__lo"), col("__n"),
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
     val binned = v.crossJoin(broadcast(withW))
@@ -199,6 +202,7 @@ object Sketches {
       .withColumn("__cum", sum(col("__bc")).over(Window.orderBy(col("__bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__below", col("__cum") - col("__bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = pcts.toDF("pct")
       .crossJoin(broadcast(bounds.select(col("__n"))))
       .withColumn("__frac", expr("((__n - 1) * pct % 100) / 100.0"))
@@ -250,6 +254,7 @@ object Sketches {
     val v = df.select(col(group).as("__g"), value.cast("long").as("__v"))
     val bounds = v.groupBy("__g").agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi"), count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withW = bounds.select(col("__g"), col("__lo"), col("__n"),
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
     val binned = v.join(broadcast(withW), "__g")
@@ -259,6 +264,7 @@ object Sketches {
         Window.partitionBy(col("__g")).orderBy(col("__bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__below", col("__cum") - col("__bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = pcts.toDF("pct")
       .crossJoin(broadcast(bounds.select(col("__g"), col("__n"))))
       .withColumn("__rank", expr("(__n * pct + 99) div 100"))
