@@ -361,4 +361,53 @@ object Sketches {
       weight: Column, pct: Int, bins: Int = 4096): DataFrame =
     groupedWeightedQuantiles(df, group, value, weight, Seq(pct), bins)
       .drop("pct")
+
+  /** Budget-crossing threshold per group — the data-mixing primitive:
+    * walk each group's values in ascending order accumulating `weight`
+    * (typically tokens, best rows first via the value order), and return
+    * the value at which the running total first reaches `budget` — or the
+    * group's last value when the whole group fits. Selecting
+    * `value <= threshold` afterwards keeps a best-first prefix holding
+    * the budget plus at most one crossing row; with a tie-broken
+    * composite value the selection is exact and deterministic. Same three
+    * bounded passes as [[groupedWeightedQuantiles]], with the per-group
+    * rank target `least(budget, W)` instead of `ceil(W·p/100)`. Groups
+    * with no positive-weight row produce no threshold. */
+  def groupedWeightedBudgetThreshold(df: DataFrame, group: String,
+      value: Column, weight: Column, budget: Long,
+      bins: Int = 4096): DataFrame = {
+    require(budget >= 1)
+    val w = df.select(col(group).as("__g"), value.cast("long").as("__v"),
+        weight.cast("long").as("__wt"))
+      .filter(col("__wt") > 0)
+    val bounds = w.groupBy("__g").agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), sum(col("__wt")).as("__tw"))
+    val withW = bounds.select(col("__g"), col("__lo"),
+        expr(s"(__hi - __lo + $bins) div $bins").as("__w"),
+        expr(s"least($budget, __tw)").as("__rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binned = w.join(broadcast(withW.select("__g", "__lo", "__w")), "__g")
+      .select(col("__g"), col("__v"), col("__wt"),
+        expr("(__v - __lo) div __w").as("__bin"))
+    val hist = binned.groupBy("__g", "__bin").agg(sum(col("__wt")).as("__bw"))
+      .withColumn("__cum", sum(col("__bw")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__below", col("__cum") - col("__bw"))
+    val probeBins = hist.join(
+        broadcast(withW.select(col("__g").as("__gp"), col("__rank"))),
+        col("__g") === col("__gp") &&
+          col("__rank") > col("__below") && col("__rank") <= col("__cum"))
+      .select(col("__g"), col("__bin"), col("__below"), col("__rank"))
+    binned.join(broadcast(probeBins), Seq("__g", "__bin"))
+      .groupBy("__g", "__v", "__below", "__rank")
+      .agg(sum(col("__wt")).as("__vw"))
+      .withColumn("__cumv", sum(col("__vw")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__below") + col("__cumv") >= col("__rank"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("qvalue"))
+      .select(col("__g").as(group), col("qvalue"))
+  }
 }

@@ -440,6 +440,42 @@ object MetricQueries {
       val sp = iv.groupBy(col("event_type"))
         .agg((max(col("e")) - min(col("s"))).as("span_sec"))
       cov.join(broadcast(sp), "event_type")
+    },
+
+    // Per-source token-budget capping, best-first — the data-mixing
+    // primitive: keep each source's longest documents until a 600-token
+    // budget is reached (crossing doc included). The composite value
+    // (doc_id − n_chars·2³²) makes the best-first order total, so the
+    // budget threshold from the boundary-bin weighted-rank op selects an
+    // EXACT deterministic prefix — no per-source sort, no running state.
+    QueryDef(
+      "q140_token_budget_cap",
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS wt,
+        |    doc_id - n_chars * 4294967296 AS v
+        |  FROM documents),
+        |b AS (SELECT source, v, wt,
+        |    sum(wt) OVER (PARTITION BY source ORDER BY v) AS cw,
+        |    sum(wt) OVER (PARTITION BY source) AS tw
+        |  FROM t WHERE wt > 0),
+        |thr AS (SELECT source, min(v) AS vt FROM b
+        |  WHERE cw >= least(600, tw) GROUP BY 1)
+        |SELECT t.source, cast(count(*) as bigint) AS kept_docs,
+        |  cast(sum(wt) as bigint) AS kept_tokens
+        |FROM t JOIN thr ON t.source = thr.source AND t.v <= thr.vt
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir).select(col("source"),
+          size(ArrayOps.tokens(col("text"))).as("wt"),
+          (col("doc_id") - col("n_chars") * lit(4294967296L)).as("v"))
+      val thr = graft.operators.Sketches.groupedWeightedBudgetThreshold(
+          t, "source", col("v"), col("wt"), budget = 600L)
+        .withColumnRenamed("qvalue", "vt")
+      t.join(broadcast(thr), "source")
+        .filter(col("v") <= col("vt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("wt").cast("long")).as("kept_tokens"))
     }
   )
 

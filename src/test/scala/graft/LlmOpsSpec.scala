@@ -1139,6 +1139,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("groupedWeightedBudgetThreshold: prefix selection hits the budget exactly") {
+    val rnd = new scala.util.Random(53L)
+    // unique composite values (i distinct), weights 1..30
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 4}", i.toLong, 1L + rnd.nextInt(30))
+    }
+    val df = rows.toDF("g", "v", "wt")
+    for (budget <- Seq(1L, 40L, 300L, 1000000L)) {
+      val thr = graft.operators.Sketches
+        .groupedWeightedBudgetThreshold(df, "g", col("v"), col("wt"),
+          budget, bins = 8)
+        .as[(String, Long)].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val tw = sorted.map(_._3).sum
+        val kept = sorted.filter(_._2 <= thr(g)).map(_._3).sum
+        if (tw <= budget) assert(kept == tw, s"$g all-fit budget=$budget")
+        else {
+          // budget reached at the crossing row, never before it
+          assert(kept >= budget, s"$g under budget=$budget")
+          val prev = sorted.filter(_._2 < thr(g)).map(_._3).sum
+          assert(prev < budget, s"$g crossed early budget=$budget")
+        }
+      }
+    }
+  }
+
   test("sweepOrderedBy == prefixSumOrderedBy + leadOrderedBy composition") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 300).map { i =>
