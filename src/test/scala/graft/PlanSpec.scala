@@ -83,6 +83,32 @@ class PlanSpec extends SparkSpec {
       "whole-group row_number regression:\n" + l))
   }
 
+  test("q136/q140: weighted-rank family broadcasts probes; corpus joins never SMJ") {
+    for (q <- Seq("q136_weighted_median", "q140_token_budget_cap")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q + "\n" + p)
+      // the corpus side must meet the tiny bounds/probe tables via
+      // broadcast — a sort-merge join would shuffle-sort the corpus
+      assert(!p.contains("SortMergeJoin"),
+        s"$q corpus join regressed to SMJ:\n" + p)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+      assert(p.contains("partial_sum"), q + "\n" + p) // map-side histogram
+    }
+  }
+
+  test("q137/q139: every sweep sum/lead window is bucket-scoped") {
+    for (q <- Seq("q137_max_concurrency", "q139_interval_coverage")) {
+      val p = plan(q)
+      val wins = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, q + "\n" + p)
+      // a window spec without the bucket key means a whole event-type
+      // landed on one reducer — the exact shape these ops exist to avoid
+      wins.foreach(l => assert(l.contains("__b"),
+        s"$q window without bucket key:\n$l"))
+    }
+  }
+
   test("q70: PQ encode is a single narrow projection (no join, no exchange)") {
     val p = plan("q70_pq_codes")
     // the codebook is embedded as literals — the corpus scan must reach the
