@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist intermediates; left cached across the
+      // 140-query session they pile up (same hygiene as Bench)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
