@@ -100,6 +100,64 @@ object GraphOps {
     * rounds to keep lineage flat (3 fixed rounds here stay shallow).
     * Returns (v, r) for every node.
     */
+  /** Multi-source BFS levels over a directed edge list (`src`, `dst`):
+    * every node reachable from `seeds` (column `v`) within `maxIters`
+    * hops, labeled with its hop distance (seeds = 0). Frontier-style
+    * Pregel loop: each round is ONE hash join frontier⋈edges (shuffle
+    * keyed on `src`) + a distinct + an anti-join against the visited set
+    * — the per-round shuffle is bounded by the frontier's out-edges,
+    * never the whole graph. A node enters `visited` the first round it
+    * is reached, so its recorded level IS the minimum hop count; the
+    * anti-join keeps later sightings from re-expanding it (each vertex
+    * is expanded exactly once across the whole run — total work O(E)
+    * like sequential BFS). `visited` is localCheckpoint'ed each round to
+    * keep the lineage flat at real iteration depths; the early-stop on
+    * an empty frontier is one cheap `isEmpty` action per round. Returns
+    * (v, lvl). */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("v"), lit(0).as("lvl")).localCheckpoint()
+    var frontier = visited.select("v")
+    var i = 1
+    while (i <= maxIters && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("v") === e("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .withColumn("lvl", lit(i))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("v")
+      i += 1
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** k-core peeling, `rounds` synchronous iterations: repeatedly delete
+    * every node of degree < `k` (with all its edges) from an undirected
+    * edge list (each edge once, `a` < `b`). The fixpoint is the k-core;
+    * a fixed round count keeps the loop cross-engine-checkable and is
+    * how production peeling runs anyway (bounded passes, converged-%
+    * monitored). Each round is one combining degree count + two
+    * semi-joins (edges keep both endpoints alive) — all hash
+    * partitioned, nothing driver-side; edges localCheckpoint each round
+    * so lineage stays flat. Returns the surviving edge list. */
+  def kCoreEdges(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val deg = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e
+  }
+
   def pagerankScaled(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -627,4 +627,61 @@ object Relational {
     ffillCols.foldLeft(zeroed)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Per-group STRICT-prefix running max in ascending `key` order — for
+    * each row, `max(v)` over the rows of its group with a strictly
+    * smaller key (null when none exist) — by the same order-aligned
+    * bucket decomposition as [[prefixSumOrderedBy]]: an exclusive
+    * in-bucket window + a ≤groups·buckets-row exclusive cross-bucket
+    * offset table that broadcasts back. A
+    * `Window.partitionBy(group).orderBy(key)` would put each whole group
+    * on one reducer — this never materializes a per-group global order.
+    * Keys must be unique within their group (pre-aggregate to one row
+    * per key first — strictness is defined on keys, not rows). The
+    * dominance primitive behind 2-D skyline/Pareto pruning. Adds
+    * `__pmax` (nullable). */
+  def strictPrefixMaxOrderedBy(df: DataFrame, groups: Seq[String],
+      key: String, v: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val mk = df.groupBy(gcols: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    val bucketed = df.join(broadcast(mk), groups)
+      .withColumn("__b",
+        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+      .drop("__mn", "__mk")
+    val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inner = bucketed.withColumn("__in", max(col(v)).over(wIn))
+    val offs = bucketed.groupBy((gcols :+ col("__b")): _*)
+      .agg(max(col(v)).as("__bm"))
+      .withColumn("__off",
+        max(col("__bm")).over(Window.partitionBy(gcols: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select((gcols :+ col("__b") :+ col("__off")): _*)
+    // greatest() skips nulls: null only when neither an in-bucket
+    // predecessor nor a preceding bucket exists — the group's key minimum
+    inner.join(broadcast(offs), groups :+ "__b")
+      .withColumn("__pmax", greatest(col("__in"), col("__off")))
+      .drop("__b", "__in", "__off")
+  }
+
+  /** Per-group 2-D Pareto frontier: the rows not STRICTLY dominated on
+    * (minimize `key`, maximize `v`) — q dominates p iff q.key ≤ p.key,
+    * q.v ≥ p.v, and they differ in at least one coordinate; equal points
+    * never dominate each other. Two bounded passes, no quadratic
+    * dominance join and no global sort: (1) a combining `max(v)` per
+    * (group, key) — any row below its key's best is dominated at equal
+    * key; (2) [[strictPrefixMaxOrderedBy]] over the per-key bests — a
+    * survivor is on the frontier iff every strictly-cheaper key has a
+    * strictly smaller best `v` (the classic sorted-staircase test,
+    * distributed). Output: one row per frontier point
+    * (groups..., key, v). `key` integral, `v` orderable, both non-null. */
+  def paretoFrontier2d(df: DataFrame, groups: Seq[String], key: String,
+      v: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val best = df.groupBy((gcols :+ col(key)): _*).agg(max(col(v)).as(v))
+    strictPrefixMaxOrderedBy(best, groups, key, v, buckets)
+      .filter(col("__pmax").isNull || col("__pmax") < col(v))
+      .drop("__pmax")
+  }
 }

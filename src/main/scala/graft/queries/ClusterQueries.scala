@@ -499,6 +499,79 @@ object ClusterQueries {
         .unionByName(e0.select(col("c").as("src"), col("s").as("dst")))
       graft.operators.GraphOps.pagerankScaled(edges, 3, 1000000000000L)
         .select(col("v").as("node"), col("r").as("pr"))
+    },
+
+    // Frontier BFS: hop distance from a fixed supplier seed set (every
+    // 7th key — non-empty at every SF) over the
+    // (closed, tagged-id) supplier↔customer trade graph of q118 — the
+    // reachability/expansion primitive (contamination spread, link-graph
+    // crawl depth). Each round joins only the FRONTIER against the edge
+    // list and anti-joins the visited set, so a vertex expands exactly
+    // once; the oracle is a recursive CTE (UNION-deduped path search,
+    // min(level) outside — DuckDB's recursive term can't aggregate).
+    QueryDef(
+      "q141_bfs_levels",
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM e0
+        |          UNION ALL SELECT c, s FROM e0),
+        |seeds AS (SELECT s_suppkey * 2 AS v FROM supplier WHERE s_suppkey % 7 = 1),
+        |reach AS (
+        |  SELECT v, 0 AS lvl FROM seeds
+        |  UNION
+        |  SELECT e.dst AS v, r.lvl + 1 AS lvl
+        |  FROM reach r JOIN edges e ON e.src = r.v
+        |  WHERE r.lvl < 3)
+        |SELECT v AS node, cast(min(lvl) as int) AS lvl
+        |FROM reach GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s"),
+          (col("o_custkey") * 2 + 1).as("c"))
+        .distinct()
+      val edges = e0.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(e0.select(col("c").as("src"), col("s").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 7 === 1)
+        .select((col("s_suppkey") * 2).as("v"))
+      graft.operators.GraphOps.bfsLevels(edges, seeds, 3)
+        .select(col("v").as("node"), col("lvl"))
+    },
+
+    // k-core peeling (3 synchronous rounds, k=3) over q94's support-2
+    // part-co-occurrence graph: the standard dense-subgraph projection
+    // (spam/fraud rings, dedup-cluster cores). Every round is one
+    // combining degree count + two semi-joins; the oracle unrolls the
+    // rounds as CTE pairs since each round re-aggregates degrees.
+    QueryDef(
+      "q142_kcore",
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d1 AS (SELECT v, count(*) AS d FROM
+        |        (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |e1 AS (SELECT e.a, e.b FROM e0 e
+        |       JOIN d1 x ON e.a = x.v AND x.d >= 3
+        |       JOIN d1 y ON e.b = y.v AND y.d >= 3),
+        |d2 AS (SELECT v, count(*) AS d FROM
+        |        (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |e2 AS (SELECT e.a, e.b FROM e1 e
+        |       JOIN d2 x ON e.a = x.v AND x.d >= 3
+        |       JOIN d2 y ON e.b = y.v AND y.d >= 3),
+        |d3 AS (SELECT v, count(*) AS d FROM
+        |        (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |e3 AS (SELECT e.a, e.b FROM e2 e
+        |       JOIN d3 x ON e.a = x.v AND x.d >= 3
+        |       JOIN d3 y ON e.b = y.v AND y.d >= 3)
+        |SELECT a, b FROM e3""".stripMargin) { (s, dir) =>
+      val edges = graft.operators.GraphOps.cooccurrenceEdges(
+        Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"),
+        minSupport = 2L)
+      graft.operators.GraphOps.kCoreEdges(edges, 3L, 3)
     }
   )
 }

@@ -476,6 +476,52 @@ object MetricQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("wt").cast("long")).as("kept_tokens"))
+    },
+
+    // Per-segment Gini concentration of (non-negative) account balances —
+    // the inequality/imbalance audit for source contribution, label
+    // balance, revenue concentration. G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
+    // needs each row's ascending rank WITHIN its segment: that rank is a
+    // prefix COUNT in (cents, custkey) order, taken from the bucket-
+    // decomposed prefix sum with weight 1 — never a per-segment global
+    // sort. All sums are exact integers (< 2^53, so the one double
+    // expression at the end is bit-identical across engines).
+    QueryDef(
+      "q146_gini",
+      """WITH c AS (SELECT c_mktsegment,
+        |             cast(round(c_acctbal * 100) as bigint) AS cents,
+        |             c_custkey
+        |           FROM customer WHERE c_acctbal >= 0),
+        |r AS (SELECT c_mktsegment, cents,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY cents, c_custkey) AS rk
+        |      FROM c),
+        |a AS (SELECT c_mktsegment, cast(count(*) as bigint) AS n,
+        |        cast(sum(cents) as bigint) AS sum_cents,
+        |        cast(sum(rk * cents) as bigint) AS s
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n, sum_cents,
+        |  (2.0 * s) / nullif(cast(n * sum_cents as double), 0.0)
+        |    - (cast(n as double) + 1.0) / cast(n as double) AS gini
+        |FROM a""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .filter(col("c_acctbal") >= 0)
+        .select(col("c_mktsegment"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+          col("c_custkey"))
+        // composite makes the order key unique per segment: custkey
+        // stays below the 10^7 stride at every tested SF (~1.5M at
+        // sf=1; a 100 TB run would widen the stride or hash-fold)
+        .withColumn("__k", col("cents") * lit(10000000L) + col("c_custkey"))
+        .withColumn("__one", lit(1L))
+      val ranked = graft.operators.Relational
+        .prefixSumOrderedBy(c, Seq("c_mktsegment"), "__k", "__one")
+      ranked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("__cum") * col("cents")).as("s"))
+        .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+          expr("(2.0 * s) / nullif(cast(n * sum_cents as double), 0.0)" +
+            " - (cast(n as double) + 1.0) / cast(n as double)").as("gini"))
     }
   )
 

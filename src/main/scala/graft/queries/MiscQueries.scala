@@ -622,6 +622,71 @@ object MiscQueries {
         .select(col("user_id"), col("num"), col("den"),
           (col("num").cast("double") /
             nullif(col("den").cast("double"), lit(0.0))).as("twap"))
+    },
+
+    // 2-D Pareto frontier per brand (minimize price, maximize size) — the
+    // skyline operator, done as two bounded passes (per-key best + a
+    // bucket-decomposed strict-prefix max) instead of the quadratic
+    // dominance self-join the NOT EXISTS oracle spells out. Prices keyed
+    // as cents so the ordering axis is integral.
+    QueryDef(
+      "q143_pareto_frontier",
+      """WITH p AS (SELECT p_brand,
+        |             cast(round(p_retailprice * 100) as bigint) AS cents,
+        |             p_size
+        |           FROM part),
+        |f AS (SELECT DISTINCT p_brand, cents, p_size FROM p a
+        |      WHERE NOT EXISTS (
+        |        SELECT 1 FROM p b
+        |        WHERE b.p_brand = a.p_brand
+        |          AND b.cents <= a.cents AND b.p_size >= a.p_size
+        |          AND (b.cents < a.cents OR b.p_size > a.p_size)))
+        |SELECT f.p_brand, f.cents, f.p_size, cast(count(*) as bigint) AS n_parts
+        |FROM f JOIN p ON p.p_brand = f.p_brand AND p.cents = f.cents
+        |              AND p.p_size = f.p_size
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_brand"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("cents"),
+        col("p_size"))
+      graft.operators.Relational
+        .paretoFrontier2d(p, Seq("p_brand"), "cents", "p_size")
+        .join(p, Seq("p_brand", "cents", "p_size"))
+        .groupBy("p_brand", "cents", "p_size")
+        .agg(count(lit(1)).as("n_parts"))
+    },
+
+    // First-order Markov transitions over each user's event sequence:
+    // (from→to) counts and the transition probability as a scaled
+    // integer (exact across engines — no float accumulation). The
+    // successor comes from a lead() hash-partitioned on user_id — high-
+    // cardinality partitioning, bounded per-user rows, never a global
+    // sort. The sequence-mining/session-model primitive.
+    QueryDef(
+      "q144_event_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type, next_type AS to_type
+        |      FROM s WHERE next_type IS NOT NULL),
+        |f AS (SELECT from_type, cast(count(*) as bigint) AS n_from
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT from_type, to_type, cast(count(*) as bigint) AS n
+        |      FROM p GROUP BY 1, 2)
+        |SELECT t.from_type, t.to_type, t.n, f.n_from,
+        |       (t.n * 1000000000) // f.n_from AS p_e9
+        |FROM t JOIN f USING (from_type)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      val fromCnt = pairs.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+      pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .join(fromCnt, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000000) div n_from").as("p_e9"))
     }
   )
 }

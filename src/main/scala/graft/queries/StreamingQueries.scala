@@ -81,6 +81,19 @@ object StreamingQueries {
         "q100_ssj_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     },
 
+    // Streaming keyed distinct: dropDuplicatesWithinWatermark on
+    // (user_id, event_type) — a key with real duplicates, so the state
+    // store genuinely suppresses repeats (the event_id variant had
+    // nothing to drop). Key-only projection ⇒ deterministic; with the
+    // delay spanning the backlog it equals batch DISTINCT.
+    QueryDef(
+      "q145_stream_distinct",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      Streams.runStreamingDistinctKeys(s, dir,
+        "q145_sdk_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        Seq("user_id", "event_type"), "3650 days")
+    },
+
     // F3 — fit-on-train label index, encode the test split.
     QueryDef(
       "q41_onehot_index",

@@ -125,6 +125,37 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming keyed distinct via `dropDuplicatesWithinWatermark` on a
+    * key with REAL duplicates (unlike the unique event_id): the first
+    * arrival per key emits, later ones inside the watermark delay are
+    * suppressed. Which physical row wins is arrival-order dependent, so
+    * only the KEY columns are emitted — that projection is deterministic
+    * and equals batch DISTINCT whenever every duplicate lands within the
+    * delay (here the delay spans the whole bounded backlog; on an
+    * unbounded stream the delay is the late-data horizon and the state
+    * store evicts keys as the watermark passes — state is bounded by the
+    * horizon, not the stream's history).
+    */
+  def runStreamingDistinctKeys(spark: SparkSession, dir: String,
+      queryName: String, keys: Seq[String], delay: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val dedup = readEventsStream(spark, dir)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(keys.map(col): _*)
+      val q = dedup.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Watermarked stream-stream interval join: each click pairs with the
     * same user's purchases landing in [click, click + `withinHours`h] —
     * the attribution join every event pipeline runs. Both sides carry

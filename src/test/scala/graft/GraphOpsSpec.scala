@@ -120,4 +120,87 @@ class GraphOpsSpec extends SparkSpec {
     // leaves are symmetric: identical ranks, exactly
     assert(leaves.map(ranks).distinct.size == 1)
   }
+
+  test("bfsLevels: hop distances on a planted path + branch; iteration cap") {
+    // 1→2→3→4→5 path, 2→6 branch, 9 isolated-from-seed; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (9L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val got = GraphOps.bfsLevels(edges, seeds, 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3, 5L -> 4))
+    // cap stops expansion: maxIters=2 never reaches 4 or 5
+    val capped = GraphOps.bfsLevels(edges, seeds, 2)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2))
+    // an isolated seed still reports level 0
+    val iso = GraphOps.bfsLevels(edges, Seq(42L).toDF("v"), 3)
+      .as[(Long, Int)].collect().toMap
+    assert(iso == Map(42L -> 0))
+  }
+
+  test("bfsLevels matches brute-force BFS on pseudo-random graphs") {
+    val rnd = new scala.util.Random(61L)
+    (0 until 3).foreach { trial =>
+      val n = 40
+      val dir = (0 until 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 7L)
+      val adj = dir.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      // sequential frontier BFS
+      var visited = seeds.map(_ -> 0).toMap
+      var frontier = seeds
+      var lvl = 0
+      while (frontier.nonEmpty && lvl < 5) {
+        lvl += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).distinct
+          .filterNot(visited.contains)
+        visited = visited ++ next.map(_ -> lvl)
+        frontier = next
+      }
+      val got = GraphOps.bfsLevels(dir.toDF("src", "dst"),
+          seeds.toDF("v"), 5)
+        .as[(Long, Int)].collect().toMap
+      assert(got == visited, s"trial $trial")
+    }
+  }
+
+  test("kCoreEdges: planted K4 survives peeling that strips the tail") {
+    // K4 on {1,2,3,4} (degree 3 each) + a pendant path 4–5–6: after one
+    // k=3 round the path is gone, the clique intact; extra rounds no-op
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    (1 to 3).foreach { rounds =>
+      val got = GraphOps.kCoreEdges(edges, 3L, rounds)
+        .as[(Long, Long)].collect().toSet
+      assert(got == k4.toSet, s"rounds=$rounds")
+    }
+    // k=4: only node 4 reaches degree 4, no edge keeps both ends
+    assert(GraphOps.kCoreEdges(edges, 4L, 3).count() == 0L)
+  }
+
+  test("kCoreEdges matches brute-force synchronous peeling") {
+    val rnd = new scala.util.Random(97L)
+    (0 until 3).foreach { trial =>
+      val n = 30
+      val und = (0 until 120).map { _ =>
+        val (x, y) = (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+        (math.min(x, y), math.max(x, y))
+      }.distinct.filter(e => e._1 != e._2)
+      def peel(es: Seq[(Long, Long)], k: Long): Seq[(Long, Long)] = {
+        val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+          .map { case (v, occ) => v -> occ.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        es.filter(e => keep(e._1) && keep(e._2))
+      }
+      (1 to 3).foreach { rounds =>
+        val expect = (1 to rounds)
+          .foldLeft(und: Seq[(Long, Long)])((es, _) => peel(es, 3L)).toSet
+        val got = GraphOps.kCoreEdges(und.toDF("a", "b"), 3L, rounds)
+          .as[(Long, Long)].collect().toSet
+        assert(got == expect, s"trial $trial rounds=$rounds")
+      }
+    }
+  }
 }

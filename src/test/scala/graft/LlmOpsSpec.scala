@@ -1166,6 +1166,54 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("strictPrefixMaxOrderedBy: exclusive per-group running max, null at each minimum") {
+    val rnd = new scala.util.Random(83L)
+    // clustered keys → empty buckets; values deliberately non-monotone
+    val rows = (0 until 300).map { i =>
+      val k = (i / 12).toLong * 500 + i % 12
+      (s"g${i % 3}", k, rnd.nextInt(1000).toLong)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "v")
+    val got = graft.operators.Relational
+      .strictPrefixMaxOrderedBy(df, Seq("g"), "k", "v", buckets = 7)
+      .select(col("g"), col("k"), col("__pmax"))
+      .as[(String, Long, Option[Long])].collect()
+      .map { case (g, k, m) => (g, k) -> m }.toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, k, _) =>
+        val before = rs.filter(_._2 < k).map(_._3)
+        (g, k) -> (if (before.isEmpty) None else Some(before.max))
+      }
+    }
+    assert(got == expect)
+  }
+
+  test("paretoFrontier2d matches brute-force strict dominance; ties kept") {
+    import graft.operators.Relational
+    // planted: (2,5) dominated by (0,5) at equal v; duplicate point
+    // (1,6)x2 survives as ONE frontier row; (9,2) dominated at equal key
+    val planted = Seq(("a", 0L, 5L), ("a", 2L, 5L), ("a", 1L, 6L),
+      ("a", 1L, 6L), ("a", 9L, 9L), ("a", 9L, 2L))
+    val gotP = Relational.paretoFrontier2d(planted.toDF("g", "k", "v"),
+        Seq("g"), "k", "v", buckets = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotP == Set(("a", 0L, 5L), ("a", 1L, 6L), ("a", 9L, 9L)))
+    val rnd = new scala.util.Random(19L)
+    (0 until 3).foreach { trial =>
+      val rows = (0 until 250).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val got = Relational.paretoFrontier2d(rows.toDF("g", "k", "v"),
+          Seq("g"), "k", "v", buckets = 5)
+        .as[(String, Long, Long)].collect().toSet
+      val expect = rows.distinct.filter { case (g, k, v) =>
+        !rows.exists { case (g2, k2, v2) =>
+          g2 == g && k2 <= k && v2 >= v && (k2 < k || v2 > v)
+        }
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("sweepOrderedBy == prefixSumOrderedBy + leadOrderedBy composition") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 300).map { i =>

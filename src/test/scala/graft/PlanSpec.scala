@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q143/q146: prefix-max/rank windows bucket-scoped; offsets broadcast") {
+    for (q <- Seq("q143_pareto_frontier", "q146_gini")) {
+      val p = plan(q)
+      val wins = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, q + "\n" + p)
+      // a window spec without the bucket key means a whole group's order
+      // landed on one reducer — the decomposition these ops exist for
+      wins.foreach(l => assert(l.contains("__b"),
+        s"$q window without bucket key:\n$l"))
+      assert(p.contains("BroadcastHashJoin"), q + "\n" + p)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+    }
+  }
+
   test("q70: PQ encode is a single narrow projection (no join, no exchange)") {
     val p = plan("q70_pq_codes")
     // the codebook is embedded as literals — the corpus scan must reach the
