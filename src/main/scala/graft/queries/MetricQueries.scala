@@ -522,6 +522,53 @@ object MetricQueries {
         .select(col("c_mktsegment"), col("n"), col("sum_cents"),
           expr("(2.0 * s) / nullif(cast(n * sum_cents as double), 0.0)" +
             " - (cast(n as double) + 1.0) / cast(n as double)").as("gini"))
+    },
+
+    // Quantile normalization: each source's doc-length distribution is
+    // mapped onto the GLOBAL length distribution (norm_len = the global
+    // value at the ceil(r·N/n_s)-th order statistic) — the cross-source
+    // calibration step before mixing corpora (batch-effect removal in
+    // expression data, length-matched sampling here). Both rank sides
+    // come from the bucket-decomposed prefix COUNT — the global ordering
+    // is ONE group, exactly the case a row_number() window would
+    // serialize onto a single reducer — and the rank→value lookup is a
+    // hash join on the integer rank. r·N stays under 2^63 up to ~3e9
+    // docs; past that the CDF would bin first (same two-pass histogram
+    // as the quantile family).
+    QueryDef(
+      "q148_quantile_norm",
+      """WITH d AS (SELECT source, doc_id, n_chars AS len FROM documents),
+        |g AS (SELECT len, row_number() OVER (ORDER BY len, doc_id) AS gr FROM d),
+        |s AS (SELECT source, len, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS r,
+        |        count(*) OVER (PARTITION BY source) AS ns
+        |      FROM d),
+        |n AS (SELECT cast(count(*) as bigint) AS nn FROM d)
+        |SELECT s.source, g.len AS norm_len, cast(count(*) as bigint) AS n_docs
+        |FROM s CROSS JOIN n
+        |JOIN g ON g.gr = (s.r * n.nn + s.ns - 1) // s.ns
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars").as("len"))
+        // composite key makes the order unique: doc_id < 10^7 stride at
+        // every tested SF (~6M at sf=1; wider stride or hash-fold beyond)
+        .withColumn("__k", col("len") * lit(10000000L) + col("doc_id"))
+        .withColumn("__one", lit(1L))
+        .withColumn("__g", lit(0))
+      val nTot = d.count()
+      val perSrc = graft.operators.Relational
+        .prefixSumOrderedBy(d, Seq("source"), "__k", "__one")
+        .withColumnRenamed("__cum", "r")
+      val ns = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      val global = graft.operators.Relational
+        .prefixSumOrderedBy(d, Seq("__g"), "__k", "__one")
+        .select(col("__cum").as("gr"), col("len").as("norm_len"))
+      perSrc.join(broadcast(ns), "source")
+        .select(col("source"),
+          expr(s"(r * ${nTot}L + ns - 1) div ns").as("gr"))
+        .join(global, "gr")
+        .groupBy("source", "norm_len")
+        .agg(count(lit(1)).as("n_docs"))
     }
   )
 

@@ -687,6 +687,71 @@ object MiscQueries {
         .join(fromCnt, "from_type")
         .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
           expr("(n * 1000000000) div n_from").as("p_e9"))
+    },
+
+    // Weekly cohort retention matrix: users bucketed by first-seen week,
+    // counted in every later week they return — the engagement/decay
+    // audit every event warehouse runs. Three combining aggregates and
+    // one hash join on user_id (high-cardinality key, never a window):
+    // first-seen is a min-agg, activity weeks a map-side distinct, the
+    // matrix a count per (cohort, offset). Week offsets stay exact
+    // integers (datediff of Monday-truncated dates div 7).
+    QueryDef(
+      "q147_retention",
+      """WITH f AS (SELECT user_id, cast(date_trunc('week', min(ts)) as date) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id,
+        |        cast(date_trunc('week', e.ts) as date) AS aw
+        |      FROM events e)
+        |SELECT f.cohort,
+        |       cast(date_diff('day', f.cohort, a.aw) // 7 as int) AS wk,
+        |       cast(count(*) as bigint) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("fts"))
+        .select(col("user_id"),
+          date_trunc("week", col("fts")).cast("date").as("cohort"))
+      val act = ev
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("aw"))
+        .distinct()
+      act.join(first, "user_id")
+        .select(col("cohort"),
+          expr("cast(datediff(aw, cohort) div 7 as int)").as("wk"))
+        .groupBy("cohort", "wk")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands classic (login streaks, SLA uptime runs). The
+    // island label is (epoch day − per-user row_number): constant within
+    // a consecutive run, and the window partitions on the
+    // high-cardinality user_id with bounded rows per user — the safe
+    // window shape (contrast: the ordered-primitive family exists for
+    // windows over FEW groups).
+    QueryDef(
+      "q149_max_streak",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             cast(date_trunc('day', ts) as date) AS day
+        |           FROM events),
+        |i AS (SELECT user_id,
+        |        date_diff('day', DATE '2020-01-01', day)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |      FROM d),
+        |r AS (SELECT user_id, isl, cast(count(*) as bigint) AS run
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, max(run) AS max_streak
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      d.withColumn("isl",
+          datediff(col("day"), to_date(lit("2020-01-01")))
+            - row_number().over(w))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("run"))
+        .groupBy("user_id").agg(max(col("run")).as("max_streak"))
     }
   )
 }
