@@ -125,9 +125,11 @@ object GraphOps {
         .select(col("dst").as("v")).distinct()
         .join(visited.select("v"), Seq("v"), "left_anti")
         .withColumn("lvl", lit(i))
-        .localCheckpoint()
+      // ONE materialization per round: the frontier re-reads the new
+      // level out of the checkpointed union instead of checkpointing
+      // `next` separately (which would write ~the same rows twice)
       visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select("v")
+      frontier = visited.filter(col("lvl") === i).select("v")
       i += 1
     }
     e.unpersist()
