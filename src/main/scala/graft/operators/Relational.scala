@@ -499,6 +499,32 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Interval×interval OVERLAP join (`a.lo ≤ b.hi AND b.lo ≤ a.hi`) —
+    * the temporal/genomic pairing [[binnedIntervalJoin]] can't express
+    * (that one joins points to intervals). Same bin decomposition: both
+    * sides replicate onto the `binWidth`-sized bins they cover and meet
+    * in a hash equi-join on (`keys`..., bin) + residual overlap filter.
+    * An overlapping pair shares EVERY bin covering its intersection, so
+    * the pair is kept only in the bin of `greatest(a.lo, b.lo)` — exact
+    * dedup with no distinct (no re-shuffle of the matched pairs).
+    * Replication factor = ceil(span/binWidth)+1 per row: size binWidth
+    * near the typical interval span. Bounds must be integral and
+    * column names disjoint across the two sides. */
+  def binnedOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      keys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        expr(s"cast($lo as bigint) div $binWidth"),
+        expr(s"cast($hi as bigint) div $binWidth"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), keys :+ "__bin")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") ===
+        expr(s"greatest(cast($lLo as bigint), cast($rLo as bigint)) div $binWidth"))
+      .drop("__bin")
+  }
+
   /** Skew-busting salted join: join `big` (skewed on `key`) against `small`
     * by replicating `small` `saltFactor` times and deterministically
     * scattering each big-side row across the salt range. AQE's skew-join

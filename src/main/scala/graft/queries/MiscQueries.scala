@@ -752,6 +752,104 @@ object MiscQueries {
             - row_number().over(w))
         .groupBy("user_id", "isl").agg(count(lit(1)).as("run"))
         .groupBy("user_id").agg(max(col("run")).as("max_streak"))
+    },
+
+    // Interval×interval overlap join: each click/purchase event expands to
+    // a variable-length activity interval (duration derived from its
+    // value, exact cents arithmetic) and pairs with the same user's
+    // overlapping intervals of the other type — the temporal-join shape
+    // point-in-interval (q82/q128) can't express. The binned operator
+    // replicates each interval onto the 10-minute bins it covers and
+    // dedups by first-overlap-bin, so the oracle's theta join becomes a
+    // hash equi-join on (user, bin). Overlap micros sum exactly (bigint).
+    QueryDef(
+      "q150_interval_overlap_join",
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(cast(ts as timestamp)) AS lo,
+        |             epoch_us(cast(ts as timestamp))
+        |               + (cast(cast(value as decimal(18,4)) * 100 as bigint)
+        |                  % 1800 + 60) * 1000000 AS hi
+        |           FROM events),
+        |c AS (SELECT user_id, lo AS c_lo, hi AS c_hi FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, lo AS p_lo, hi AS p_hi FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, cast(count(*) as bigint) AS n_pairs,
+        |       cast(sum(least(c_hi, p_hi) - greatest(c_lo, p_lo)) as bigint)
+        |         AS overlap_us
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |              AND c_lo <= p_hi AND p_lo <= c_hi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) +
+            ((Exact.dec(col("value")) * 100).cast("long") % 1800 + 60)
+              * 1000000L).as("hi"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("lo").as("c_lo"), col("hi").as("c_hi"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("lo").as("p_lo"), col("hi").as("p_hi"))
+      graft.operators.Relational
+        .binnedOverlapJoin(c, "c_lo", "c_hi", p, "p_lo", "p_hi",
+          Seq("user_id"), 600000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("c_hi"), col("p_hi"))
+            - greatest(col("c_lo"), col("p_lo"))).as("overlap_us"))
+    },
+
+    // Compaction planner: pack doc_id-ordered files into ~1 MB output
+    // bins by EXCLUSIVE running size div target — the small-file
+    // compaction pass every lakehouse table needs. The running sum is the
+    // bucket-decomposed prefix sum over ONE global group (never a
+    // single-reducer window); the plan emits one row per output bin.
+    QueryDef(
+      "q151_compaction_bins",
+      """WITH c AS (SELECT doc_id, n_chars,
+        |        sum(n_chars) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM documents)
+        |SELECT cast((cum - n_chars) // 1000000 as bigint) AS bin,
+        |       cast(count(*) as bigint) AS n_files,
+        |       cast(sum(n_chars) as bigint) AS bytes
+        |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("__g", lit(0))
+      graft.operators.Relational
+        .prefixSumOrderedBy(d, Seq("__g"), "doc_id", "n_chars")
+        .select(expr("(__cum - n_chars) div 1000000").as("bin"),
+          col("n_chars"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"))
+    },
+
+    // Trailing 7-day distinct users per day (rolling WAU): each (user,
+    // active day) projects onto the 7 days it keeps the user "active in
+    // the trailing week", then a distinct + count per day. Replication is
+    // bounded by the window length — the EXACT shape; the mergeable-HLL
+    // register path (q133) is the approximate one when the window or
+    // cardinality explodes. A range-frame distinct window can't do this
+    // (count distinct isn't frame-mergeable).
+    QueryDef(
+      "q152_trailing_wau",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             cast(date_trunc('day', ts) as date) AS day
+        |           FROM events),
+        |t AS (SELECT DISTINCT user_id, day + CAST(o AS INT) AS tday
+        |      FROM d CROSS JOIN (SELECT unnest(range(7)) AS o))
+        |SELECT tday, cast(count(*) as bigint) AS wau
+        |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), date_add(col("day"), col("o")).as("tday"))
+        .distinct()
+        .groupBy("tday")
+        .agg(count(lit(1)).as("wau"))
     }
   )
 }

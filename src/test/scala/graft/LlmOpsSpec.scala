@@ -1214,6 +1214,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("binnedOverlapJoin == brute-force overlap theta join, each pair once") {
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(53L)
+    (0 until 3).foreach { trial =>
+      // spans from 0 (degenerate point) to 40 — several times binWidth,
+      // so rows replicate across many bins and the first-bin dedup works
+      val ls = (0 until 120).map { i =>
+        val lo = rnd.nextInt(200).toLong
+        (i.toLong, rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(41))
+      }
+      val rs = (0 until 120).map { i =>
+        val lo = rnd.nextInt(200).toLong
+        (i.toLong, rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(41))
+      }
+      val got = Relational.binnedOverlapJoin(
+          ls.toDF("lid", "k", "l_lo", "l_hi"), "l_lo", "l_hi",
+          rs.toDF("rid", "k", "r_lo", "r_hi"), "r_lo", "r_hi",
+          Seq("k"), binWidth = 12L)
+        .select(col("lid"), col("rid"))
+        .as[(Long, Long)].collect().toSeq
+      val expect = for {
+        (li, lk, llo, lhi) <- ls
+        (ri, rk, rlo, rhi) <- rs
+        if lk == rk && llo <= rhi && rlo <= lhi
+      } yield (li, ri)
+      // multiset equality: duplicates would mean a pair met in >1 bin
+      assert(got.sorted == expect.sorted, s"trial $trial")
+    }
+  }
+
   test("sweepOrderedBy == prefixSumOrderedBy + leadOrderedBy composition") {
     val rnd = new scala.util.Random(41L)
     val rows = (0 until 300).map { i =>

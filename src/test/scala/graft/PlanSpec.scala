@@ -112,7 +112,8 @@ class PlanSpec extends SparkSpec {
   test("q143/q146/q148: prefix-max/rank windows bucket-scoped; offsets broadcast") {
     // q148 is the single-group case: the GLOBAL ordering would be one
     // reducer under a plain row_number() — the bucket key must appear
-    for (q <- Seq("q143_pareto_frontier", "q146_gini", "q148_quantile_norm")) {
+    for (q <- Seq("q143_pareto_frontier", "q146_gini", "q148_quantile_norm",
+        "q151_compaction_bins")) {
       val p = plan(q)
       val wins = p.linesIterator
         .filter(_.contains("windowspecdefinition")).toSeq
