@@ -850,6 +850,108 @@ object MiscQueries {
         .distinct()
         .groupBy("tday")
         .agg(count(lit(1)).as("wau"))
+    },
+
+    // Merkle-style bucket-digest sync: two table versions (q87's planted
+    // edit/drop/append) compare by ORDER-INDEPENDENT per-bucket digests
+    // (sum of per-row hashes mod 2^31) — the anti-entropy primitive that
+    // finds which of B buckets differ while shipping only B digest rows,
+    // not the table (at 100 TB: compare 2×4096 digests, re-sync only
+    // differing buckets; q87's per-key diff then runs inside those).
+    // Digest sums stay exact under ~4e9 rows/bucket.
+    QueryDef(
+      "q153_merkle_bucket_diff", {
+        val h = graft.functions.XHash.bucketHashSql(
+          "mrk", "cast(doc_id as varchar)", "text")
+        s"""WITH old AS (SELECT doc_id %% 256 AS bucket,
+           |               ($h %% 2147483648) AS rh
+           |             FROM documents),
+           |newv AS (
+           |  SELECT doc_id, CASE WHEN doc_id %% 7 = 0 THEN text || ' edited'
+           |                      ELSE text END AS text
+           |  FROM documents WHERE doc_id %% 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, 'appended doc' FROM documents
+           |  WHERE doc_id %% 10 = 3),
+           |nw AS (SELECT doc_id %% 256 AS bucket, ($h %% 2147483648) AS rh
+           |       FROM newv),
+           |od AS (SELECT bucket, cast(sum(rh) as bigint) AS dg,
+           |         cast(count(*) as bigint) AS n FROM old GROUP BY 1),
+           |nd AS (SELECT bucket, cast(sum(rh) as bigint) AS dg,
+           |         cast(count(*) as bigint) AS n FROM nw GROUP BY 1)
+           |SELECT coalesce(od.bucket, nd.bucket) AS bucket,
+           |       coalesce(od.n, 0) AS old_n, coalesce(nd.n, 0) AS new_n
+           |FROM od FULL OUTER JOIN nd ON od.bucket = nd.bucket
+           |WHERE od.dg IS DISTINCT FROM nd.dg""".stripMargin
+          .replace("%%", "%")
+      }) { (s, dir) =>
+      import graft.functions.XHash
+      def digests(df: org.apache.spark.sql.DataFrame) = df
+        .select(pmod(col("doc_id"), lit(256L)).as("bucket"),
+          pmod(XHash.bucketHash("mrk", col("doc_id"), col("text")),
+            lit(2147483648L)).as("rh"))
+        .groupBy("bucket")
+        .agg(sum(col("rh")).as("dg"), count(lit(1)).as("n"))
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val newv = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            lit("appended doc").as("text")))
+      val od = digests(base)
+      val nd = digests(newv)
+      od.select(col("bucket"), col("dg").as("odg"), col("n").as("old_n"))
+        .join(nd.select(col("bucket"), col("dg").as("ndg"),
+          col("n").as("new_n")), Seq("bucket"), "full_outer")
+        .filter(not(col("odg") <=> col("ndg")))
+        .select(col("bucket"), coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n"))
+    },
+
+    // Incremental aggregate maintenance: a per-customer (count, revenue)
+    // aggregate kept current under a CDC batch (drop every 17th order,
+    // +10.00 on every 11th, append a copy of every 23rd) by MERGING the
+    // stored base aggregate with SIGNED delta partials — one full outer
+    // join on the group key; the 100-TB base fact table is never
+    // rescanned (here base partials are computed once from v0 to make
+    // the query self-contained; in production they ARE the stored MV).
+    // Oracle recomputes from the updated table — merge algebra == rescan.
+    QueryDef(
+      "q155_ivm_merge",
+      """WITH v0 AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |              cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint)
+        |                AS cents
+        |            FROM orders),
+        |v1 AS (SELECT k, c,
+        |         cents + CASE WHEN k % 11 = 0 THEN 1000 ELSE 0 END AS cents
+        |       FROM v0 WHERE k % 17 <> 0
+        |       UNION ALL
+        |       SELECT k + 10000000, c, cents + 500 FROM v0 WHERE k % 23 = 0)
+        |SELECT c AS custkey, cast(count(*) as bigint) AS n,
+        |       cast(sum(cents) as bigint) AS cents
+        |FROM v1 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val v0 = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        (Exact.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val base = v0.groupBy("c")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      // signed delta partials, derived map-side from the CDC batch alone
+      val delta = v0.filter(col("k") % 17 === 0)
+        .select(col("c"), lit(-1L).as("dn"), (-col("cents")).as("dsc"))
+        .unionByName(v0.filter(col("k") % 11 === 0 && col("k") % 17 =!= 0)
+          .select(col("c"), lit(0L).as("dn"), lit(1000L).as("dsc")))
+        .unionByName(v0.filter(col("k") % 23 === 0)
+          .select(col("c"), lit(1L).as("dn"), (col("cents") + 500).as("dsc")))
+        .groupBy("c").agg(sum(col("dn")).as("dn"), sum(col("dsc")).as("dsc"))
+      base.join(delta, Seq("c"), "full_outer")
+        .select(col("c").as("custkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sc"), lit(0L)) + coalesce(col("dsc"), lit(0L)))
+            .as("cents"))
+        .filter(col("n") > 0)
     }
   )
 }

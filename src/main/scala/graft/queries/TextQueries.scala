@@ -813,6 +813,53 @@ object TextQueries {
           concat(lit("boiler plate for "), col("source"),
             lit(" subscribe now thanks bye "), col("text")).as("t"))
       TextOps.removeFrequentLines(planted, "doc_id", "t", 8, 10L)
+    },
+
+    // Weighted cosine between source unigram distributions — q123's
+    // set-Jaccard upgraded to frequency-weighted similarity (the corpus-
+    // mixing / source-redundancy signal). The shuffle carries only the
+    // (source, token) count table, never the corpus; the dot product is
+    // an exact integer sum over the token-keyed self-join, norms are
+    // per-source scalars that broadcast, and the only doubles are two
+    // correctly-rounded sqrts and one divide. c·c sums stay under 2^63
+    // to ~1e9-token vocabularies; past that, fold counts to a 2^31 cap
+    // first (cosine is scale-invariant).
+    QueryDef(
+      "q154_source_cosine",
+      """WITH t AS (SELECT source, unnest(
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, cast(count(*) as bigint) AS c
+        |      FROM t GROUP BY 1, 2),
+        |nrm AS (SELECT source, cast(sum(c * c) as bigint) AS ss FROM c GROUP BY 1),
+        |d AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             cast(sum(a.c * b.c) as bigint) AS dot
+        |      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, dot,
+        |  cast(dot as double)
+        |    / (sqrt(cast(na.ss as double)) * sqrt(cast(nb.ss as double))) AS cosine
+        |FROM d
+        |JOIN nrm na ON na.source = src_a
+        |JOIN nrm nb ON nb.source = src_b""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .select(col("source"), explode(ArrayOps.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nrm = c.groupBy("source").agg(sum(col("c") * col("c")).as("ss"))
+      val d = c.select(col("source").as("src_a"), col("tok"), col("c").as("ca"))
+        .join(c.select(col("source").as("src_b"), col("tok"), col("c").as("cb")),
+          Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(sum(col("ca") * col("cb")).as("dot"))
+      d.join(broadcast(nrm.select(col("source").as("src_a"), col("ss").as("na"))),
+          Seq("src_a"))
+        .join(broadcast(nrm.select(col("source").as("src_b"), col("ss").as("nb"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cosine"))
     }
   )
 }
