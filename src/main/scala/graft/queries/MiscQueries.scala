@@ -952,6 +952,137 @@ object MiscQueries {
           (coalesce(col("sc"), lit(0L)) + coalesce(col("dsc"), lit(0L)))
             .as("cents"))
         .filter(col("n") > 0)
+    },
+
+    // Hourly OHLC bars (open/high/low/close/volume) per event type — the
+    // time-bucketed downsampling every metrics/market pipeline runs. One
+    // combining aggregate per (type, hour); open/close resolve by joining
+    // the min/max COMPOSITE key (in-hour micros ⊙ event_id — total order,
+    // so ties at the same microsecond break deterministically) back to
+    // the value table. The key packs into one bigint (event_id < the 1e7
+    // stride through sf≈1; wider stride beyond). All values exact cents.
+    QueryDef(
+      "q156_ohlc_bars",
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(cast(ts as timestamp)) AS us,
+        |             cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents,
+        |             event_id
+        |           FROM events),
+        |k AS (SELECT event_type, us // 3600000000 AS hr,
+        |        (us % 3600000000) * 10000000 + event_id AS key, cents FROM e),
+        |a AS (SELECT event_type, hr, min(key) AS ok, max(key) AS ck,
+        |        max(cents) AS high_cents, min(cents) AS low_cents,
+        |        cast(count(*) as bigint) AS n
+        |      FROM k GROUP BY 1, 2)
+        |SELECT a.event_type, cast(a.hr as bigint) AS hr, o.cents AS open_cents,
+        |       a.high_cents, a.low_cents, c.cents AS close_cents, a.n
+        |FROM a
+        |JOIN k o ON o.event_type = a.event_type AND o.hr = a.hr AND o.key = a.ok
+        |JOIN k c ON c.event_type = a.event_type AND c.hr = a.hr AND c.key = a.ck
+        |""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val k = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          (Exact.dec(col("value")) * 100).cast("long").as("cents"),
+          col("event_id"))
+        .select(col("event_type"), expr("us div 3600000000").as("hr"),
+          expr("(us % 3600000000) * 10000000 + event_id").as("key"),
+          col("cents"))
+      val a = k.groupBy("event_type", "hr")
+        .agg(min(col("key")).as("ok"), max(col("key")).as("ck"),
+          max(col("cents")).as("high_cents"), min(col("cents")).as("low_cents"),
+          count(lit(1)).as("n"))
+      a.join(k.select(col("event_type"), col("hr"), col("key").as("ok"),
+          col("cents").as("open_cents")), Seq("event_type", "hr", "ok"))
+        .join(k.select(col("event_type"), col("hr"), col("key").as("ck"),
+          col("cents").as("close_cents")), Seq("event_type", "hr", "ck"))
+        .select(col("event_type"), col("hr"), col("open_cents"),
+          col("high_cents"), col("low_cents"), col("close_cents"), col("n"))
+    },
+
+    // Time-series resample + linear interpolation: each event type's value
+    // series re-sampled onto an hourly grid, v(t) lerped between the
+    // neighboring readings (exact integer arithmetic in seconds×cents —
+    // no float accumulation; edges extend flat). Both as-of directions
+    // come from strictPrefixMaxOrderedBy over the readings∪grid stack
+    // (forward pass keyed on 2·us / 2·t+1, backward on the negation) —
+    // the distributed as-of for FEW groups, where q51's per-user window
+    // would put a whole 200k-row type on one reducer. Lookups join the
+    // recovered neighbor timestamp back to the value table by hash.
+    QueryDef(
+      "q157_lerp_resample",
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(cast(ts as timestamp)) AS us,
+        |             cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |           FROM events),
+        |r AS (SELECT event_type, us, min(cents) AS cents FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(us) // 3600000000 AS h0,
+        |             max(us) // 3600000000 AS h1 FROM r GROUP BY 1),
+        |g AS (SELECT event_type, unnest(range(h0, h1 + 1)) * 3600000000 AS t
+        |      FROM b),
+        |st AS (SELECT event_type, us * 2 AS k, us, 1 AS is_r FROM r
+        |       UNION ALL SELECT event_type, t * 2 + 1, t, 0 FROM g),
+        |w AS (SELECT event_type, us, is_r,
+        |        max(CASE WHEN is_r = 1 THEN us END) OVER (
+        |          PARTITION BY event_type ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus,
+        |        min(CASE WHEN is_r = 1 THEN us END) OVER (
+        |          PARTITION BY event_type ORDER BY k DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nus
+        |      FROM st)
+        |SELECT w.event_type, w.us // 1000000 AS t_s,
+        |  CASE WHEN w.pus IS NULL THEN nv.cents
+        |       WHEN w.nus IS NULL THEN pv.cents
+        |       WHEN w.nus // 1000000 = w.pus // 1000000 THEN pv.cents
+        |       ELSE (pv.cents * (w.nus // 1000000 - w.us // 1000000)
+        |             + nv.cents * (w.us // 1000000 - w.pus // 1000000))
+        |            // (w.nus // 1000000 - w.pus // 1000000) END AS v_cents
+        |FROM w
+        |LEFT JOIN r pv ON pv.event_type = w.event_type AND pv.us = w.pus
+        |LEFT JOIN r nv ON nv.event_type = w.event_type AND nv.us = w.nus
+        |WHERE w.is_r = 0""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      import graft.operators.Relational
+      val r = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          (Exact.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("event_type", "us").agg(min(col("cents")).as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = r.groupBy("event_type")
+        .agg(expr("min(us) div 3600000000").as("h0"),
+          expr("max(us) div 3600000000").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+        .select(col("event_type"), (col("hr") * 3600000000L).as("t"))
+      val stack = r.select(col("event_type"), (col("us") * 2).as("key"),
+          col("us").as("v"))
+        .unionByName(g.select(col("event_type"), (col("t") * 2 + 1).as("key"),
+          lit(null).cast("long").as("v")))
+      val prevs = Relational
+        .strictPrefixMaxOrderedBy(stack, Seq("event_type"), "key", "v")
+        .filter(col("v").isNull)
+        .select(col("event_type"), expr("(key - 1) div 2").as("t"),
+          col("__pmax").as("pus"))
+      val nexts = Relational.strictPrefixMaxOrderedBy(
+          stack.select(col("event_type"), (-col("key")).as("key"),
+            (-col("v")).as("v")),
+          Seq("event_type"), "key", "v")
+        .filter(col("v").isNull)
+        .select(col("event_type"), expr("(-key - 1) div 2").as("t"),
+          (-col("__pmax")).as("nus"))
+      prevs.join(nexts, Seq("event_type", "t"))
+        .join(r.select(col("event_type"), col("us").as("pus"),
+          col("cents").as("pc")), Seq("event_type", "pus"), "left")
+        .join(r.select(col("event_type"), col("us").as("nus"),
+          col("cents").as("nc")), Seq("event_type", "nus"), "left")
+        .select(col("event_type"), expr("t div 1000000").as("t_s"),
+          expr("""CASE WHEN pus IS NULL THEN nc
+                 |     WHEN nus IS NULL THEN pc
+                 |     WHEN nus div 1000000 = pus div 1000000 THEN pc
+                 |     ELSE (pc * (nus div 1000000 - t div 1000000)
+                 |           + nc * (t div 1000000 - pus div 1000000))
+                 |          div (nus div 1000000 - pus div 1000000)
+                 |END""".stripMargin).as("v_cents"))
     }
   )
 }

@@ -113,7 +113,7 @@ class PlanSpec extends SparkSpec {
     // q148 is the single-group case: the GLOBAL ordering would be one
     // reducer under a plain row_number() — the bucket key must appear
     for (q <- Seq("q143_pareto_frontier", "q146_gini", "q148_quantile_norm",
-        "q151_compaction_bins")) {
+        "q151_compaction_bins", "q157_lerp_resample")) {
       val p = plan(q)
       val wins = p.linesIterator
         .filter(_.contains("windowspecdefinition")).toSeq
