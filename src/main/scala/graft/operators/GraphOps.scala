@@ -160,6 +160,30 @@ object GraphOps {
     e
   }
 
+  /** Bellman-Ford SSSP, `rounds` synchronous min-plus relaxations over a
+    * weighted directed edge list (`src`, `dst`, `w` ≥ 0): shortest
+    * known distance from the `seeds` (column `v`, distance 0) within
+    * `rounds` hops. Each round is ONE dist⋈edges hash join + a combining
+    * `min` per destination + a `min` merge with the standing distances —
+    * the weighted generalization of [[bfsLevels]] (min-plus semiring
+    * instead of hop counting; no frontier short-circuit because a longer
+    * path can still be cheaper). Distances localCheckpoint per round.
+    * Returns (v, d). */
+  def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("v").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   def pagerankScaled(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -572,6 +572,52 @@ object ClusterQueries {
         Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"),
         minSupport = 2L)
       graft.operators.GraphOps.kCoreEdges(edges, 3L, 3)
+    },
+
+    // Weighted SSSP (3 Bellman-Ford rounds) over the trade graph, edge
+    // weight = the pair's best shipping latency in days — q141's BFS
+    // upgraded to the min-plus semiring (cheapest multi-hop route, not
+    // fewest hops; no frontier short-circuit since a longer path can
+    // still be cheaper). One join + two combining mins per round; the
+    // oracle unrolls the rounds as relax/merge CTE pairs. Integer days
+    // throughout.
+    QueryDef(
+      "q158_sssp",
+      """WITH p AS (SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c,
+        |             min(greatest(0, date_diff('day', o_orderdate, l_shipdate))) AS w
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |e AS (SELECT s AS src, c AS dst, w FROM p
+        |      UNION ALL SELECT c, s, w FROM p),
+        |d0 AS (SELECT s_suppkey * 2 AS v, cast(0 as bigint) AS d
+        |       FROM supplier WHERE s_suppkey % 7 = 1),
+        |r1 AS (SELECT e.dst AS v, min(d0.d + e.w) AS d
+        |       FROM d0 JOIN e ON e.src = d0.v GROUP BY 1),
+        |d1 AS (SELECT v, min(d) AS d FROM
+        |        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+        |r2 AS (SELECT e.dst AS v, min(d1.d + e.w) AS d
+        |       FROM d1 JOIN e ON e.src = d1.v GROUP BY 1),
+        |d2 AS (SELECT v, min(d) AS d FROM
+        |        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+        |r3 AS (SELECT e.dst AS v, min(d2.d + e.w) AS d
+        |       FROM d2 JOIN e ON e.src = d2.v GROUP BY 1),
+        |d3 AS (SELECT v, min(d) AS d FROM
+        |        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+        |SELECT v AS node, cast(d as bigint) AS dist FROM d3""".stripMargin) {
+      (s, dir) =>
+      val p = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_suppkey") * 2).as("s"),
+          (col("o_custkey") * 2 + 1).as("c"))
+        .agg(min(greatest(lit(0L),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))).as("w"))
+      val edges = p.select(col("s").as("src"), col("c").as("dst"), col("w"))
+        .unionByName(p.select(col("c").as("src"), col("s").as("dst"), col("w")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 7 === 1)
+        .select((col("s_suppkey") * 2).as("v"))
+      graft.operators.GraphOps.ssspRounds(edges, seeds, 3)
+        .select(col("v").as("node"), col("d").as("dist"))
     }
   )
 }

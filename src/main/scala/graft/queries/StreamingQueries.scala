@@ -94,6 +94,36 @@ object StreamingQueries {
         Seq("user_id", "event_type"), "3650 days")
     },
 
+    // Native session_window aggregation (30-minute gap) — certifies
+    // Spark's built-in session operator (merging-session hash aggregate)
+    // against the classic gaps-and-islands formulation. end = last event
+    // + gap by session_window's definition, replayed in the oracle.
+    QueryDef(
+      "q159_session_window",
+      """WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS us FROM events),
+        |x AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                  > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id, min(us) AS start_us,
+        |       max(us) + 1800000000 AS end_us,
+        |       cast(count(*) as bigint) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n"))
+    },
+
     // F3 — fit-on-train label index, encode the test split.
     QueryDef(
       "q41_onehot_index",

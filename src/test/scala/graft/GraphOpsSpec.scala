@@ -166,6 +166,40 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("ssspRounds: planted cheap detour beats the direct hop; == brute force") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — needs 2 rounds to win
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("v")
+    val r1 = GraphOps.ssspRounds(edges, seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0, 2L -> 2, 3L -> 10))
+    val r3 = GraphOps.ssspRounds(edges, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0, 2L -> 2, 3L -> 5, 4L -> 6))
+    val rnd = new scala.util.Random(29L)
+    (0 until 3).foreach { trial =>
+      val n = 25
+      val es = (0 until 100).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      def relax(d: Map[Long, Long]): Map[Long, Long] = {
+        val cand = es.flatMap { case (s, t, w) =>
+          d.get(s).map(ds => (t, ds + w))
+        }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+        cand.foldLeft(d) { case (acc, (v, nd)) =>
+          acc.updated(v, math.min(acc.getOrElse(v, Long.MaxValue), nd))
+        }
+      }
+      val expect = (1 to 3).foldLeft(Map(0L -> 0L, 5L -> 0L))((d, _) => relax(d))
+      val got = GraphOps.ssspRounds(
+          es.toDF("src", "dst", "w"), Seq(0L, 5L).toDF("v"), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("kCoreEdges: planted K4 survives peeling that strips the tail") {
     // K4 on {1,2,3,4} (degree 3 each) + a pendant path 4–5–6: after one
     // k=3 round the path is gone, the clique intact; extra rounds no-op
