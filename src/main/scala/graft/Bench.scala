@@ -48,10 +48,22 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query times rounded to ms: keeps the one-line JSON ~3× shorter
+    // (a byte-limited tail capture truncated the r6 line mid-map, losing
+    // 100 of 159 per-query times); sub-ms digits are noise anyway.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Recovery channels for truncated captures: one short line per query
+    // immediately before the final JSON (a tail keeps the end of output),
+    // plus the full JSON persisted to a file in the repo.
+    results.foreach { case (k, v) => println(f"[bench] $k $v%.3f") }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

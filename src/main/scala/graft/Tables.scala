@@ -23,11 +23,14 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads only as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-    * builders). Normalize to a microsecond TimestampType column here so all
-    * downstream operators see a real timestamp; DuckDB's TIMESTAMP is also
-    * microsecond, so `cast(ts as timestamp)` on the oracle side matches.
+  /** `events.ts` has shipped in two physical flavours across driver test-data
+    * generations: TIMESTAMP(NANOS) — which Spark reads only as a long under
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in our session builders)
+    * — and timestamp[us] — which Spark reads as TIMESTAMP_NTZ. Normalize both
+    * to a microsecond session-TZ TimestampType column here so all downstream
+    * operators (`unix_micros`, windows, watermarks) see one type; the session
+    * is pinned UTC (GraftSession/Verify) so the NTZ→TZ cast is exact, and
+    * DuckDB's TIMESTAMP is also microsecond, so the oracle side matches.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
@@ -40,6 +43,11 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session ⇒ wall-clock == instant; the cast relabels, no shift.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

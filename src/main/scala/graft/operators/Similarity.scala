@@ -189,20 +189,27 @@ object Similarity {
     val cells = ivfAssign(df, id, vec, centroids)
     val c = broadcast(centroids.select(
       col(id).as("__cid"), col(vec).as("__cvec")))
+    // norms hoist out of the candidate loop: cosine(q, c) would fold THREE
+    // dot products per candidate pair; computing ‖q‖ once per probe row and
+    // ‖c‖ once per corpus row leaves one fold + one divide per candidate.
+    // Bit-identical: dot/(qn·cn) is the same IEEE op order cosine() uses.
     val q = df.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("__qn", norm(col("q_vec")))
     val wp = Window.partitionBy("q_id").orderBy(col("__dist").asc, col("__cid").asc)
     val probes = q.crossJoin(c)
       .withColumn("__dist", l2sq(col("q_vec"), col("__cvec")))
       .withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("__cid").as("cell"))
+      .select(col("q_id"), col("q_vec"), col("__qn"), col("__cid").as("cell"))
     val corpus = df.select(col(id).as("n_id"), col(vec).as("c_vec"))
+      .withColumn("__cn", norm(col("c_vec")))
       .join(cells.select(col(id).as("n_id"), col("cell")), Seq("n_id"))
     val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("n_id").asc)
     corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("__sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("__sim",
+        dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
@@ -242,17 +249,46 @@ object Similarity {
     * clustering granularity k, never corpus²). The self-join
     * hash-partitions on cell id and the corpus+cells frame is persisted so
     * assignment runs once, not three times. Returns kept rows (id, cell).
+    *
+    * `maxCell` guards the quadratic term against a HOT cell (a centroid set
+    * that under-fits one dense region): any cell above the bound is
+    * deterministically sharded by `xxhash64(id) mod ceil(|cell|/maxCell)`
+    * and the pairwise check runs within a shard only — in-cell cost drops
+    * from |cell|² to ~|cell|·maxCell. Sharding is the paper's own
+    * cluster-size-cap approximation: cross-shard near-dups in an oversized
+    * cell are missed (recall knob, like k itself). The default never
+    * triggers at certification scale, so the oracle needs no shard
+    * replication; size it so maxCell² pairwise cosines fit one task at
+    * production scale.
     */
   def semanticDedup(df: DataFrame, id: String, vec: String,
-      centroids: DataFrame, minCosine: Double): DataFrame = {
+      centroids: DataFrame, minCosine: Double,
+      maxCell: Int = 1 << 14): DataFrame = {
+    require(maxCell >= 1, "semanticDedup: maxCell must be >= 1")
+    // row norm rides in the persisted frame: the quadratic in-cell check
+    // then folds ONE dot per pair instead of cosine()'s three (same IEEE
+    // op order — dot/(na·nb) — so the threshold test is bit-identical)
     val cells = df.select(col(id), col(vec))
       .join(ivfAssign(df, id, vec, centroids), Seq(id))
+      .withColumn("__nrm", norm(col(vec)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = cells.select(col("cell"), col(id).as("a_id"), col(vec).as("a_v"))
-      .join(cells.select(col("cell"), col(id).as("b_id"), col(vec).as("b_v")),
-        Seq("cell"))
+    // cell sizes are ≤ |centroids| rows after the map-side combine; the
+    // shard count rides back on a broadcast join, never a shuffle of cells
+    val sizes = cells.groupBy("cell")
+      .agg(count(lit(1)).as("__cn"))
+      .select(col("cell"),
+        expr(s"(__cn + ${maxCell.toLong - 1}) div ${maxCell.toLong}")
+          .as("__shards"))
+    val sharded = cells.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__shard", pmod(xxhash64(col(id)), col("__shards")))
+    val dups = sharded.select(col("cell"), col("__shard"),
+        col(id).as("a_id"), col(vec).as("a_v"), col("__nrm").as("a_n"))
+      .join(sharded.select(col("cell"), col("__shard"),
+        col(id).as("b_id"), col(vec).as("b_v"), col("__nrm").as("b_n")),
+        Seq("cell", "__shard"))
       .filter(col("b_id") < col("a_id"))
-      .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))
+        >= minCosine)
       .select(col("a_id").as(id)).distinct()
     cells.join(dups, Seq(id), "left_anti").select(col(id), col("cell"))
   }

@@ -151,8 +151,13 @@ object Sketches {
     // equi-width long bins: width = ceil((hi-lo+1)/bins) ≥ 1, pure long math
     val withW = bounds.select(col("__lo"), col("__n"),
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
+    // `binned` feeds BOTH pass 1 (histogram) and pass 2 (boundary-bin rank);
+    // unpinned, each pass re-runs the scan + binning (r6 bench: 18.8 s at
+    // sf0.1, 3 scans). Two narrow longs per row, MEMORY_AND_DISK: at 100 TB
+    // it spills or evicts and the two-scan structure stays correct.
     val binned = v.crossJoin(broadcast(withW))
       .select(col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: the histogram is ≤`bins` rows after the map-side combine; the
     // unpartitioned cum-sum window over it is bounded by `bins`, never by n
     val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__bc"))
@@ -198,6 +203,7 @@ object Sketches {
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
     val binned = v.crossJoin(broadcast(withW))
       .select(col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // see histogramQuantiles
     val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__bc"))
       .withColumn("__cum", sum(col("__bc")).over(Window.orderBy(col("__bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -259,6 +265,7 @@ object Sketches {
       expr(s"(__hi - __lo + $bins) div $bins").as("__w"))
     val binned = v.join(broadcast(withW), "__g")
       .select(col("__g"), col("__v"), expr("(__v - __lo) div __w").as("__bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // see histogramQuantiles
     val hist = binned.groupBy("__g", "__bin").agg(count(lit(1)).as("__bc"))
       .withColumn("__cum", sum(col("__bc")).over(
         Window.partitionBy(col("__g")).orderBy(col("__bin"))
@@ -324,6 +331,7 @@ object Sketches {
     val binned = w.join(broadcast(withW.select("__g", "__lo", "__w")), "__g")
       .select(col("__g"), col("__v"), col("__wt"),
         expr("(__v - __lo) div __w").as("__bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // see histogramQuantiles
     // pass 1: weight histogram, shuffle ≤ groups·bins after map-side combine
     val hist = binned.groupBy("__g", "__bin").agg(sum(col("__wt")).as("__bw"))
       .withColumn("__cum", sum(col("__bw")).over(

@@ -270,9 +270,14 @@ object TextOps {
       nTokens: Column, ctxLen: Long, seed: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ctxLen > 0, s"ctxLen must be positive: $ctxLen")
+    // Both passes consume `rows`, and `nTokens` typically hides the full
+    // tokenizer (regex over every document) — unpinned, pass 2 re-tokenizes
+    // the corpus (r6 bench: 8.4 s at sf0.1 vs 0.5 warm). Four narrow longs
+    // per row; MEMORY_AND_DISK spills/evicts safely at 100 TB.
     val rows = docs.select(col(id), nTokens.cast("long").as("__t"))
       .withColumn("__h", XHash.bucketHash(seed, col(id).cast("string")))
       .withColumn("__b", shiftright(col("__h"), 48))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: bucket histogram + exclusive prefix sum. The cumsum window is
     // deliberately unpartitioned — it runs over the ≤4096-row histogram,
     // not the data (same trick as Relational.stratifiedSample).

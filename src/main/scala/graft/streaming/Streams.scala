@@ -16,24 +16,34 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events table's file schema under nanosAsLong (ts arrives as
-    * nanosecond long; normalized to a micros timestamp here). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events file's `ts` has shipped in two physical flavours across
+    * driver test-data generations: TIMESTAMP(NANOS) — a long under
+    * nanosAsLong — and timestamp[us] — TIMESTAMP_NTZ. A streaming file
+    * source needs a declared schema, so probe the actual footer with one
+    * batch read instead of hard-coding either flavour (the hard-coded
+    * nanos assumption put every event in 1970 when the data regenerated
+    * as micros). One driver-side footer read per query — not a hot path.
+    */
+  def probeEventsSchema(spark: SparkSession, file: String): StructType =
+    spark.read.parquet(file).schema
+
+  /** Normalize the probed `ts` to a microsecond session-TZ TimestampType —
+    * same two cases as Tables.events (integral `div 1000` for nanos longs;
+    * exact NTZ→TZ relabel cast under the pinned-UTC session for micros).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+    normalizeTs(spark.readStream
+      .schema(probeEventsSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integral div: long `/` promotes to double, which cannot represent
-      // nanosecond epochs exactly (see Tables.events)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
 
   /** Tumbling-window count/sum per event type with a watermark — the
     * canonical incremental aggregate. Runs the whole backlog with
@@ -218,22 +228,39 @@ object Streams {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val maxNanos = spark.read.schema(eventsSchema)
-        .parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+      val srcFile = s"$dir/events.parquet"
+      val fileSchema = probeEventsSchema(spark, srcFile)
+      val tsIsNanosLong = fileSchema("ts").dataType == LongType
+      val maxMicros = normalizeTs(spark.read.schema(fileSchema).parquet(srcFile))
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
       val stage = Files.createTempDirectory("graft_louter_")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
+      Files.copy(Paths.get(srcFile),
         stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(stage.resolve("events.parquet"),
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 3 * 3600000L))
-      // sentinel k: one click + one purchase at maxTs + k days, user -1
+      // sentinel k: one click + one purchase at maxTs + k days, user -1 —
+      // written in the SOURCE file's physical ts unit so the stream's
+      // declared schema reads both real and sentinel files uniformly
       (1 to 2).foreach { k =>
         val tmp = Files.createTempDirectory("graft_sentinel_")
         import spark.implicits._
-        Seq((-1L, maxNanos + k * 86400L * 1000000000L, -1L, "click", 0.0, "{}"),
-          (-1L, maxNanos + k * 86400L * 1000000000L, -1L, "purchase", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val sentMicros = maxMicros + k * 86400L * 1000000L
+        val base =
+          if (tsIsNanosLong)
+            Seq((-1L, sentMicros * 1000L, -1L, "click", 0.0, "{}"),
+              (-1L, sentMicros * 1000L, -1L, "purchase", 0.0, "{}"))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          else {
+            // LocalDateTime encodes as TIMESTAMP_NTZ, matching timestamp[us]
+            val ldt = java.time.LocalDateTime.ofEpochSecond(
+              sentMicros / 1000000L, ((sentMicros % 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+            Seq((-1L, ldt, -1L, "click", 0.0, "{}"),
+              (-1L, ldt, -1L, "purchase", 0.0, "{}"))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          }
+        base.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
           .findFirst().get()
         val dst = stage.resolve(s"events_zsentinel$k.parquet")
@@ -244,12 +271,11 @@ object Streams {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() - (3 - k) * 3600000L))
       }
-      def side(): DataFrame = spark.readStream
-        .schema(eventsSchema)
+      def side(): DataFrame = normalizeTs(spark.readStream
+        .schema(fileSchema)
         .option("pathGlobFilter", "events*.parquet")
         .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(stage.toString))
       val clicks = side()
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),

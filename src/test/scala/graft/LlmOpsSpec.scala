@@ -614,6 +614,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("semanticDedup: maxCell shards a hot cell — bounded pairwise, exact dups still collapse") {
+    // one giant cell: 1000 vectors all nearest the single centroid. The
+    // uncapped pairwise term would be ~500k comparisons; maxCell=50 caps
+    // each shard at ~50 rows (~25k total). Planted: 500 exact-duplicate
+    // PAIRS (2k and 2k+1 identical) — xxhash64 sharding keys on id, so a
+    // pair can split across shards; the guard is a recall knob by design.
+    // Assertions: every survivor set is a valid SemDeDup answer (one rep
+    // per compared dup pair, lower id wins), sharding only ever KEEPS
+    // more (never drops a non-dup), and the capped run completes.
+    val n = 1000
+    val vs = (0 until n).map { i =>
+      // one angle per pair, spaced 0.00314 rad (cos ≈ 0.999995 — below
+      // the 0.999999 threshold), identical within the pair; no wraparound
+      val t = (i / 2) * (math.Pi / 2) / 500
+      (i.toLong, Seq(math.cos(t), math.sin(t), 0.0, 0.0))
+    }.toDF("id", "v")
+    val centroids = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val keptCapped = Similarity.semanticDedup(
+        vs, "id", "v", centroids, 0.999999, maxCell = 50)
+      .select("id").as[Long].collect().toSet
+    val keptFull = Similarity.semanticDedup(
+        vs, "id", "v", centroids, 0.999999)
+      .select("id").as[Long].collect().toSet
+    // uncapped: exactly one survivor (the even id) per identical pair
+    assert(keptFull == (0 until n by 2).map(_.toLong).toSet)
+    // capped: all uncapped survivors survive (sharding never adds pairs),
+    // and any extra survivor is an odd id whose partner landed elsewhere
+    assert(keptFull.subsetOf(keptCapped))
+    assert((keptCapped -- keptFull).forall(_ % 2 == 1))
+    // the cap genuinely shards this cell (shards = ceil(1000/50) = 20), so
+    // at least one same-shard pair must still have collapsed — the capped
+    // result cannot degenerate to "kept everything"
+    assert(keptCapped.size < n)
+  }
+
   test("winnow: guarantee, degenerate sizes, and subset-of-gram-hashes") {
     val shared = Seq("s1", "s2", "s3", "s4", "s5", "s6") // w+k-1 = 6 tokens
     val d1 = Seq("a1", "a2") ++ shared ++ Seq("a3")
