@@ -54,8 +54,14 @@ import scala.collection.mutable
   * the geometry). Contradictory double-marked closures fail the parse
   * and degrade to identity passthrough.
   *
-  * Documented boundaries (vs RDKit): pseudo-asymmetric
-  * (r/s) centers are cleaned rather than kept; allene axial stereo is
+  * Pseudo-asymmetric (r/s) centers are KEPT like RDKit keeps them: the
+  * stereo-descriptor refinement splits enantiomorphic branches into
+  * distinct rank classes, so the dependent center's neighbors no longer
+  * tie and its flag survives cleaning — the two meso diastereomers of
+  * pentane-2,3,4-triol canonicalize distinctly while the chiral pair
+  * cleans C3 (SmilesSpec locks this).
+  *
+  * Documented boundaries (vs RDKit): allene axial stereo is
   * dropped; aromatization covers 5/6-rings only (no tropylium/azulene
   * 7-rings), and a kekulé assignment of a large fused polycycle in which
   * no 5/6-ring reaches 4n+2 even iteratively stays kekulized.
@@ -618,7 +624,9 @@ object Smiles {
     *    convergence is NOT a stereocenter (two automorphically equivalent
     *    substituents — `O[C@H]1CCCC1`): its flag is dropped, mirroring
     *    RDKit's AssignStereochemistry cleanup. Pseudo-asymmetric (r/s)
-    *    centers are cleaned too — documented boundary.
+    *    centers are NOT in that class: the descriptor refinement has by
+    *    then split their enantiomorphic branches into different ranks, so
+    *    the flag survives — kept, like RDKit keeps r/s.
     *
     * Classic limitation: non-automorphic ties in pathological regular
     * graphs — not observed on chemical graphs in the spec corpus.

@@ -30,6 +30,10 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     "C[C@H](N)O", "N[C@@H](C)C(=O)O", "O[C@H]1CCCC1", "C[C@H]1CCCO1",
     "[C@](F)(Cl)(Br)I", "CC[S@](=O)C",
     "C[C@H](O)[C@H](O)C", "C[C@H](O)[C@@H](O)C",
+    // pentane-2,3,4-triol: pseudo-asymmetric C3 (meso forms keep r/s;
+    // chiral form cleans C3)
+    "C[C@H](O)[C@@H](O)[C@H](O)C", "C[C@H](O)[C@H](O)[C@H](O)C",
+    "C[C@H](O)[C@@H](O)[C@@H](O)C",
     // E/Z: simple trans/cis, trisubstituted, conjugated diene, styrene-like
     "F/C=C/F", "C/C=C\\C", "C/C(F)=C/Br", "C/C=C/C=C/C",
     "c1ccccc1/C=C/C")
@@ -214,6 +218,36 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     // atom-map stripping preserves configuration identity
     assert(Smiles.canonicalNoMaps("C[C@H:2](N)O")
       == Smiles.canonicalNoMaps("C[C@@H](O)N"))
+  }
+
+  test("pseudo-asymmetric (r/s) centers: kept on meso forms, cleaned on chiral") {
+    def c(s: String) = Smiles.canonical(s).get
+    // pentane-2,3,4-triol has 4 stereoisomers: two meso diastereomers
+    // (C2/C4 = R+S; distinguished ONLY by the pseudo-asymmetric C3, which
+    // RDKit keeps as r/s) and one chiral enantiomer pair (C2/C4 same
+    // config; C3's branches are then homomorphic — flag cleaned).
+    val meso1 = c("C[C@H](O)[C@@H](O)[C@H](O)C")
+    val meso2 = c("C[C@H](O)[C@H](O)[C@H](O)C")
+    val chi1 = c("C[C@H](O)[C@@H](O)[C@@H](O)C")
+    val chi2 = c("C[C@@H](O)[C@@H](O)[C@H](O)C")
+    // meso forms: achiral — the full-mirror writing is the SAME molecule
+    assert(meso1 == c("C[C@@H](O)[C@H](O)[C@@H](O)C"))
+    assert(meso2 == c("C[C@@H](O)[C@@H](O)[C@@H](O)C"))
+    // the two meso diastereomers differ ONLY at C3 — keeping the
+    // pseudo-asymmetric flag is what separates them
+    assert(meso1 != meso2)
+    assert(meso1.count(_ == '@') == 4 || meso1.count(_ == '@') == 3,
+      s"C3's flag must survive in $meso1")
+    assert(meso1.replace("@@", "@").count(_ == '@') == 3,
+      s"three flagged centers expected in $meso1")
+    // chiral forms: C3 cleaned (two flagged centers), enantiomers distinct
+    assert(chi1.replace("@@", "@").count(_ == '@') == 2,
+      s"C3 must be cleaned in $chi1")
+    assert(chi1 != chi2)
+    // meso vs chiral never merge
+    assert(Set(meso1, meso2).intersect(Set(chi1, chi2)).isEmpty)
+    // idempotence through the kept pseudo-asymmetric flag
+    assert(c(meso1) == meso1 && c(meso2) == meso2)
     // amino acid with both bracket-H and stereo through the full pipeline
     assert(c("N[C@@H](C)C(=O)O") == c("C(=O)(O)[C@H](C)N"))
   }
