@@ -183,9 +183,16 @@ object Similarity {
     * write executed once, not per query). Probing >1 cell is the standard
     * recall fix for queries near cell boundaries. Returns (q_id, n_id,
     * rank) with deterministic (cosine desc, id) ranking.
+    *
+    * `negLabel`: hard-negative mining mode — candidates must carry a
+    * DIFFERENT value of this column than the query (contrastive-training
+    * mining: the most similar wrong-label neighbors are the hard
+    * negatives; Robinson et al. 2021, arXiv:2010.04592). Same plan shape,
+    * one extra small column through the broadcast.
     */
   def ivfSearch(df: DataFrame, id: String, vec: String, centroids: DataFrame,
-      nprobe: Int, k: Int, queryPred: Column): DataFrame = {
+      nprobe: Int, k: Int, queryPred: Column,
+      negLabel: Option[String] = None): DataFrame = {
     val cells = ivfAssign(df, id, vec, centroids)
     val c = broadcast(centroids.select(
       col(id).as("__cid"), col(vec).as("__cvec")))
@@ -193,21 +200,28 @@ object Similarity {
     // dot products per candidate pair; computing ‖q‖ once per probe row and
     // ‖c‖ once per corpus row leaves one fold + one divide per candidate.
     // Bit-identical: dot/(qn·cn) is the same IEEE op order cosine() uses.
+    val qCols = Seq(col(id).as("q_id"), col(vec).as("q_vec")) ++
+      negLabel.map(lc => col(lc).as("__qlbl"))
     val q = df.filter(queryPred)
-      .select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .select(qCols: _*)
       .withColumn("__qn", norm(col("q_vec")))
     val wp = Window.partitionBy("q_id").orderBy(col("__dist").asc, col("__cid").asc)
+    val probeCols = Seq(col("q_id"), col("q_vec"), col("__qn"),
+      col("__cid").as("cell")) ++ negLabel.map(_ => col("__qlbl"))
     val probes = q.crossJoin(c)
       .withColumn("__dist", l2sq(col("q_vec"), col("__cvec")))
       .withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("__qn"), col("__cid").as("cell"))
-    val corpus = df.select(col(id).as("n_id"), col(vec).as("c_vec"))
+      .select(probeCols: _*)
+    val corpusCols = Seq(col(id).as("n_id"), col(vec).as("c_vec")) ++
+      negLabel.map(lc => col(lc).as("__nlbl"))
+    val corpus = df.select(corpusCols: _*)
       .withColumn("__cn", norm(col("c_vec")))
       .join(cells.select(col(id).as("n_id"), col("cell")), Seq("n_id"))
     val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("n_id").asc)
-    corpus.join(broadcast(probes), Seq("cell"))
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
+    negLabel.fold(cand)(_ => cand.filter(col("__nlbl") =!= col("__qlbl")))
       .withColumn("__sim",
         dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))

@@ -298,6 +298,79 @@ object TextOps {
         expr(s"tok_offset div ${ctxLen}L").as("chunk_id"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683 §3.1.4):
+    * mask deterministic token spans, replace each span with one numbered
+    * sentinel in the input, and emit the target as sentinel-prefixed masked
+    * spans — the denoising-pretraining pair generator.
+    *
+    * The randomness is re-specified as a hash phase (the engine's
+    * seeded-random discipline): with phase h = hash(seed, id) mod `period`,
+    * position p is masked iff (p+h) mod period < `spanLen` — fixed-length
+    * spans every `period` tokens (corruption rate spanLen/period), offset
+    * differently per document, reproducible across engines and cluster
+    * sizes. A document beginning mid-span (p=0 masked, phase≠0) starts a
+    * clipped span there.
+    *
+    * Pure Column expression (HOFs over the token array) — map-only, no
+    * shuffle, scan speed at 100 TB. Returns struct(n_spans, input_text,
+    * target_text); interleaving input sentinels with target spans
+    * reconstructs the original (LlmOpsSpec locks the round-trip).
+    */
+  def spanCorrupt(toks: Column, idKey: Column, seed: String = "t5",
+      period: Int = 10, spanLen: Int = 3): Column = {
+    require(period > spanLen && spanLen > 0,
+      s"need 0 < spanLen < period: $spanLen/$period")
+    val h = pmod(XHash.bucketHash(seed, idKey.cast("string")), lit(period.toLong))
+    val n = size(toks)
+    val pos = when(n > lit(0), sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    def phase(p: Column): Column = pmod(p + h, lit(period.toLong))
+    val starts = filter(pos, p =>
+      phase(p) === 0 || (p === 0 && phase(p) < spanLen))
+    def sentinel(j: Column): Column =
+      concat(lit("<extra_id_"), j.cast("string"), lit(">"))
+    val inputArr = filter(
+      transform(pos, p =>
+        when(phase(p) >= spanLen, element_at(toks, p + 1))
+          .when(array_position(starts, p) > 0,
+            sentinel(array_position(starts, p) - 1))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    val targetArr = flatten(transform(starts, (p, j) =>
+      concat(array(sentinel(j)),
+        slice(toks, p + 1, (lit(spanLen.toLong) - phase(p)).cast("int")))))
+    struct(
+      size(starts).cast("long").as("n_spans"),
+      array_join(inputArr, " ").as("input_text"),
+      array_join(targetArr, " ").as("target_text"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, arXiv:2207.14255):
+    * split the token sequence at two deterministic cut points and emit the
+    * PSM (prefix–suffix–middle) reordering `prefix <SUF> suffix <MID>
+    * middle` — the infilling-pretraining rewrite for code models. Cuts are
+    * hash-derived (uniform over the n+1 gap positions, second cut uniform
+    * past the first), so the transform is reproducible across engines and
+    * partitionings. Map-only narrow projection; returns struct(n_prefix,
+    * n_middle, n_suffix, fim_text).
+    */
+  def fimSplit(toks: Column, idKey: Column, seed: String = "fim"): Column = {
+    val n = size(toks).cast("long")
+    val c1 = pmod(XHash.bucketHash(seed + "1", idKey.cast("string")), n + 1)
+    val c2 = c1 + pmod(XHash.bucketHash(seed + "2", idKey.cast("string")),
+      n - c1 + 1)
+    val prefix = slice(toks, lit(1), c1.cast("int"))
+    val middle = slice(toks, (c1 + 1).cast("int"), (c2 - c1).cast("int"))
+    val suffix = slice(toks, (c2 + 1).cast("int"), (n - c2).cast("int"))
+    struct(
+      c1.as("n_prefix"),
+      (c2 - c1).as("n_middle"),
+      (n - c2).as("n_suffix"),
+      array_join(
+        concat(prefix, array(lit("<SUF>")), suffix, array(lit("<MID>")), middle),
+        " ").as("fim_text"))
+  }
+
   /** Per-document sliding-window chunking with overlap — the RAG-indexing /
     * long-context-eval counterpart of [[packChunks]] (that one concatenates
     * across documents; this one windows WITHIN each document, preserving

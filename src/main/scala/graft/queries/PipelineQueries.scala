@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, XHash}
+import graft.operators.{Relational, Similarity, TextOps}
+
+/** Pretraining-pair generation and batch-assembly operators — the
+  * objective-construction tail of an LLM data pipeline (span corruption,
+  * fill-in-middle, length-bucketed batching, hard-negative mining).
+  */
+object PipelineQueries {
+
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Mirrors EmbeddingQueries' sequential-fold kernels. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> (cast($a[i] as double) - cast($b[i] as double))
+       |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // T5 span corruption: deterministic hash-phase spans (period 10,
+    // length 3 → 30% corruption), numbered sentinels, input/target pair.
+    // The oracle replays the identical phase arithmetic with list HOFs;
+    // both sides are map-only narrow projections.
+    QueryDef(
+      "q160_span_corruption",
+      s"""$toksCte,
+         |c AS (SELECT doc_id, toks,
+         |        ${XHash.bucketHashSql("t5", "cast(doc_id as varchar)")} % 10 AS h
+         |      FROM t),
+         |s AS (SELECT doc_id, toks, h,
+         |        list_filter(range(0, len(toks)), p ->
+         |          (p + h) % 10 = 0 OR (p = 0 AND (p + h) % 10 < 3)) AS st
+         |      FROM c)
+         |SELECT doc_id, cast(len(st) as bigint) AS n_spans,
+         |  array_to_string(list_filter(list_transform(range(0, len(toks)), p ->
+         |    CASE WHEN (p + h) % 10 >= 3 THEN toks[cast(p + 1 as int)]
+         |         WHEN list_position(st, p) > 0
+         |           THEN '<extra_id_' || (list_position(st, p) - 1) || '>'
+         |         ELSE NULL END), x -> x IS NOT NULL), ' ') AS input_text,
+         |  array_to_string(flatten(list_transform(st, p ->
+         |    list_concat(['<extra_id_' || (list_position(st, p) - 1) || '>'],
+         |      toks[cast(p + 1 as int) : cast(p + 3 - ((p + h) % 10) as int)]))),
+         |    ' ') AS target_text
+         |FROM s""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.spanCorrupt(
+            ArrayOps.tokens(col("text")), col("doc_id")).as("sc"))
+        .select(col("doc_id"), col("sc.n_spans").as("n_spans"),
+          col("sc.input_text").as("input_text"),
+          col("sc.target_text").as("target_text"))
+    },
+
+    // Fill-in-middle (PSM) rewrite: two hash-derived cuts, emit
+    // `prefix <SUF> suffix <MID> middle` + the three segment lengths.
+    QueryDef(
+      "q161_fim_transform",
+      s"""$toksCte,
+         |c AS (SELECT doc_id, toks,
+         |        ${XHash.bucketHashSql("fim1", "cast(doc_id as varchar)")}
+         |          % (len(toks) + 1) AS c1
+         |      FROM t),
+         |d AS (SELECT doc_id, toks, c1,
+         |        c1 + ${XHash.bucketHashSql("fim2", "cast(doc_id as varchar)")}
+         |          % (len(toks) - c1 + 1) AS c2
+         |      FROM c)
+         |SELECT doc_id,
+         |  cast(c1 as bigint) AS n_prefix,
+         |  cast(c2 - c1 as bigint) AS n_middle,
+         |  cast(len(toks) - c2 as bigint) AS n_suffix,
+         |  array_to_string(list_concat(list_concat(list_concat(list_concat(
+         |    toks[1 : cast(c1 as int)], ['<SUF>']),
+         |    toks[cast(c2 + 1 as int) : cast(len(toks) as int)]),
+         |    ['<MID>']),
+         |    toks[cast(c1 + 1 as int) : cast(c2 as int)]), ' ') AS fim_text
+         |FROM d""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.fimSplit(ArrayOps.tokens(col("text")), col("doc_id")).as("f"))
+        .select(col("doc_id"), col("f.n_prefix").as("n_prefix"),
+          col("f.n_middle").as("n_middle"), col("f.n_suffix").as("n_suffix"),
+          col("f.fim_text").as("fim_text"))
+    },
+
+    // Length-bucketed batch assembly: bucket by token count div 32,
+    // hash-shuffled deterministic order within bucket, batch of 8. The
+    // 0-based in-bucket rank comes from the bucket-decomposed per-group
+    // prefix sum — a bucket holding most of the corpus never funnels
+    // through one reducer (the row_number the oracle spells out would).
+    // Order key = (hash mod 2^30)·2^25 + (doc_id mod 2^25): ~2^55 so the
+    // prefix-sum primitive's internal ·buckets arithmetic stays in int64;
+    // collisions need both components equal (~2^-55 per pair).
+    QueryDef(
+      "q162_length_bucket_batches",
+      s"""$toksCte,
+         |o AS (SELECT doc_id, len(toks) // 32 AS bucket,
+         |        (${XHash.bucketHashSql("batch", "cast(doc_id as varchar)")}
+         |          % 1073741824) * 33554432 + (doc_id % 33554432) AS k
+         |      FROM t)
+         |SELECT doc_id, bucket,
+         |  (row_number() OVER (PARTITION BY bucket ORDER BY k) - 1) // 8
+         |    AS batch_id,
+         |  (row_number() OVER (PARTITION BY bucket ORDER BY k) - 1) % 8 AS pos
+         |FROM o""".stripMargin) { (s, dir) =>
+      val o = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (size(ArrayOps.tokens(col("text"))).cast("long")).as("__ntok"))
+        .select(col("doc_id"), expr("__ntok div 32").as("bucket"),
+          (pmod(XHash.bucketHash("batch", col("doc_id").cast("string")),
+            lit(1073741824L)) * 33554432L
+            + pmod(col("doc_id"), lit(33554432L))).as("k"))
+        .withColumn("__one", lit(1L))
+      Relational.prefixSumOrderedBy(o, Seq("bucket"), "k", "__one")
+        .select(col("doc_id"), col("bucket"),
+          expr("(__cum - 1) div 8").as("batch_id"),
+          expr("(__cum - 1) % 8").as("pos"))
+    },
+
+    // Hard-negative mining: q62's IVF probe flow with a label-inequality
+    // gate — per query, the top-3 most cosine-similar WRONG-label
+    // neighbors in the probed cells (the contrastive-training pairs).
+    QueryDef(
+      "q163_hard_negatives",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT q_id, cell FROM (
+         |  SELECT q.q_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${l2Sql("q.q_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM q CROSS JOIN c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, ce.vec_id AS n_id
+         |         FROM probe p JOIN cells ce USING (cell)
+         |         JOIN embeddings ne2 ON ne2.vec_id = ce.vec_id
+         |         JOIN q q2 ON q2.q_id = p.q_id
+         |         WHERE ce.vec_id <> p.q_id AND ne2.label <> q2.q_label)
+         |SELECT q_id, n_id, cast(rank as int) AS rank FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY ${cosSql("qe.embedding", "ne.embedding")} DESC, cand.n_id) AS rank
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |  JOIN embeddings ne ON ne.vec_id = cand.n_id)
+         |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), nprobe = 2, k = 3,
+          queryPred = col("vec_id") % 100 === 0, negLabel = Some("label"))
+        .select(col("q_id"), col("n_id"), col("rank").cast("int"))
+    }
+  )
+}

@@ -649,6 +649,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(keptCapped.size < n)
   }
 
+  test("spanCorrupt: interleaving input sentinels with target spans reconstructs the doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w"),
+      (2L, "x"), (3L, "p q r"), (4L, ""),
+      (5L, (1 to 47).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        split(col("text"), "\\s+").as("raw"),
+        TextOps.spanCorrupt(graft.functions.ArrayOps.tokens(col("text")),
+          col("doc_id")).as("sc"))
+      .select(col("doc_id"), col("raw"),
+        col("sc.n_spans"), col("sc.input_text"), col("sc.target_text"))
+      .as[(Long, Seq[String], Long, String, String)].collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, raw, nSpans, input, target) =>
+      val toks = raw.filter(_.nonEmpty)
+      // parse target into span -> tokens
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(j) => cur = j.toInt; spans(cur) = Vector.empty
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.size == nSpans, s"doc $id: span count")
+      // splice spans back over the input sentinels
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(j) => spans(j.toInt)
+        case tok => Seq(tok)
+      }.toSeq
+      assert(rebuilt == toks, s"doc $id: round-trip failed")
+      // spans are never longer than spanLen and never empty
+      assert(spans.values.forall(s => s.nonEmpty && s.size <= 3), s"doc $id")
+    }
+  }
+
+  test("fimSplit: PSM segments reconstruct the doc; lengths partition n") {
+    val docs = Seq((10L, "a b c d e f g h i"), (11L, "solo"), (12L, ""),
+      (13L, (1 to 29).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.ArrayOps.tokens(col("text")).as("toks"),
+        TextOps.fimSplit(graft.functions.ArrayOps.tokens(col("text")),
+          col("doc_id")).as("f"))
+      .select(col("doc_id"), col("toks"), col("f.n_prefix"),
+        col("f.n_middle"), col("f.n_suffix"), col("f.fim_text"))
+      .as[(Long, Seq[String], Long, Long, Long, String)].collect()
+    out.foreach { case (id, toks, np, nm, ns, fim) =>
+      assert(np + nm + ns == toks.length, s"doc $id: lengths must partition")
+      assert(np >= 0 && nm >= 0 && ns >= 0, s"doc $id")
+      val parts = fim.split(" ").filter(_.nonEmpty).toSeq
+      val sufAt = parts.indexOf("<SUF>")
+      val midAt = parts.indexOf("<MID>")
+      assert(sufAt == np && midAt == np + 1 + ns, s"doc $id: marker positions")
+      val prefix = parts.slice(0, sufAt)
+      val suffix = parts.slice(sufAt + 1, midAt)
+      val middle = parts.drop(midAt + 1)
+      assert(prefix ++ middle ++ suffix == toks, s"doc $id: PSM round-trip")
+    }
+  }
+
   test("winnow: guarantee, degenerate sizes, and subset-of-gram-hashes") {
     val shared = Seq("s1", "s2", "s3", "s4", "s5", "s6") // w+k-1 = 6 tokens
     val d1 = Seq("a1", "a2") ++ shared ++ Seq("a3")
