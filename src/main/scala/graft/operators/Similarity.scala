@@ -307,6 +307,62 @@ object Similarity {
     cells.join(dups, Seq(id), "left_anti").select(col(id), col("cell"))
   }
 
+  /** Margin-based cross-side nearest-neighbor mining (Artetxe & Schwenk
+    * 2019, arXiv:1811.01136): score candidate pairs by the RATIO margin
+    * `cos(x,y) / ((S_x + S_y)/2)` where S_x is the mean cosine of x's `k`
+    * nearest opposite-side neighbors (symmetrically S_y) — the hubness
+    * correction raw cosine thresholds lack — and return each A-side
+    * vector's best B-side partner by margin. The bitext-mining /
+    * cross-source alignment primitive of multilingual data pipelines.
+    *
+    * Scale shape: candidates (and the k-NN statistics) are confined to
+    * the vector's IVF cell — one cell-keyed self-join on the persisted
+    * corpus+cells frame, the SemDeDup discipline, never corpus². Means
+    * fold the rank-sorted sims left-to-right from a 0.0 accumulator, so
+    * the double arithmetic is cross-engine reproducible. Norms hoist out
+    * of the pairwise loop as in [[ivfSearch]]. Returns (a_id, b_id,
+    * margin), one row per A-side vector with ≥1 candidate.
+    */
+  def marginMining(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame, sideA: Column, k: Int): DataFrame = {
+    require(k >= 1, "marginMining: k must be >= 1")
+    val cells = df.select(col(id), col(vec), sideA.as("__sa"))
+      .join(ivfAssign(df, id, vec, centroids), Seq(id))
+      .withColumn("__nrm", norm(col(vec)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = cells.filter(col("__sa"))
+      .select(col("cell"), col(id).as("a_id"), col(vec).as("a_v"),
+        col("__nrm").as("a_n"))
+      .join(cells.filter(!col("__sa"))
+        .select(col("cell"), col(id).as("b_id"), col(vec).as("b_v"),
+          col("__nrm").as("b_n")), Seq("cell"))
+      .withColumn("sim",
+        dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mean of the top-k sims, folded in rank order (deterministic double
+    // sum; ties rank by the partner id)
+    def topMean(keyCol: String, tieCol: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col("sim").desc, col(tieCol))
+      sims.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(keyCol)
+        .agg(sort_array(collect_list(struct(col("__rn"), col("sim"))))
+          .as("__l"))
+        .select(col(keyCol),
+          (aggregate(col("__l"), lit(0.0),
+            (acc, x) => acc + x.getField("sim")) / size(col("__l"))).as("__s"))
+    }
+    val wM = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
+    sims.join(topMean("a_id", "b_id").withColumnRenamed("__s", "__sx"), "a_id")
+      .join(topMean("b_id", "a_id").withColumnRenamed("__s", "__sy"), "b_id")
+      .withColumn("margin",
+        col("sim") / ((col("__sx") + col("__sy")) / 2))
+      .withColumn("__r", row_number().over(wM))
+      .filter(col("__r") === 1)
+      .select(col("a_id"), col("b_id"), col("margin"))
+  }
+
   /** Product-quantization encode: split each vector into `m` equal
     * subspaces and store, per subspace, the id of the nearest codebook
     * centroid (L2, ties → lowest id). With the codebook trained offline

@@ -170,6 +170,72 @@ object PipelineQueries {
           e.filter(col("vec_id") < 8), nprobe = 2, k = 3,
           queryPred = col("vec_id") % 100 === 0, negLabel = Some("label"))
         .select(col("q_id"), col("n_id"), col("rank").cast("int"))
+    },
+
+    // Margin-based cross-side mining (ratio margin, k=4): even labels are
+    // side A, odd labels side B; candidates + k-NN statistics confined to
+    // the vector's IVF cell; each A vector reports its best B partner.
+    // Doubles stay deterministic: one fold per cosine (norms hoisted),
+    // top-k means fold rank-sorted from a 0.0 accumulator on BOTH engines
+    // (list_prepend reproduces Spark's aggregate-with-init exactly).
+    QueryDef(
+      "q165_margin_mining",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 8),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |           ${cosSql("a.embedding", "b.embedding")} AS sim
+         |         FROM embeddings a
+         |         JOIN cells ca ON ca.vec_id = a.vec_id
+         |         JOIN cells cb ON cb.cell = ca.cell
+         |         JOIN embeddings b ON b.vec_id = cb.vec_id
+         |         WHERE a.label % 2 = 0 AND b.label % 2 <> 0),
+         |ra AS (SELECT a_id, b_id, sim, row_number() OVER (
+         |         PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM sims),
+         |sx AS (SELECT a_id,
+         |         list_reduce(list_prepend(cast(0.0 as double),
+         |           list(sim ORDER BY rn)), (x, y) -> x + y) / count(*) AS s
+         |       FROM ra WHERE rn <= 4 GROUP BY a_id),
+         |rb AS (SELECT a_id, b_id, sim, row_number() OVER (
+         |         PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn FROM sims),
+         |sy AS (SELECT b_id,
+         |         list_reduce(list_prepend(cast(0.0 as double),
+         |           list(sim ORDER BY rn)), (x, y) -> x + y) / count(*) AS s
+         |       FROM rb WHERE rn <= 4 GROUP BY b_id)
+         |SELECT a_id, b_id, margin FROM (
+         |  SELECT m.a_id, m.b_id,
+         |    m.sim / ((sx.s + sy.s) / 2) AS margin,
+         |    row_number() OVER (PARTITION BY m.a_id
+         |      ORDER BY m.sim / ((sx.s + sy.s) / 2) DESC, m.b_id) AS r
+         |  FROM sims m
+         |  JOIN sx ON sx.a_id = m.a_id
+         |  JOIN sy ON sy.b_id = m.b_id)
+         |WHERE r = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMining(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), sideA = col("label") % 2 === 0, k = 4)
+    },
+
+    // Skew-safe exact distinct count: two-stage salted NDV — stage 1
+    // counts distinct users within (type, salt-of-user) so a hot event
+    // type spreads over 16 reducers; stage 2 sums the disjoint partials
+    // (same user ⇒ same salt, so partials never overlap). Equals the
+    // single-stage COUNT(DISTINCT) the oracle runs — which Spark would
+    // execute as one exchange keyed on the hot type alone.
+    QueryDef(
+      "q166_skew_safe_ndv",
+      """SELECT event_type, cast(count(DISTINCT user_id) as bigint) AS ndv
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          pmod(xxhash64(col("user_id")), lit(16L)).as("__salt"))
+        .agg(count_distinct(col("user_id")).as("__pn"))
+        .groupBy("event_type")
+        .agg(sum(col("__pn")).as("ndv"))
     }
   )
 }

@@ -124,6 +124,39 @@ object StreamingQueries {
           col("n"))
     },
 
+    // Custom-state streaming sessionization (flatMapGroupsWithState):
+    // the explicit-GroupState companion to q159's built-in session_window.
+    // AvailableNow delivers the whole backlog as one micro-batch, so every
+    // session a later event closes emits; each user's final session stays
+    // open in state (unbounded-stream semantics). The oracle is therefore
+    // gaps-and-islands MINUS each user's last session — certifying the
+    // state logic without pretending open sessions are closed.
+    QueryDef(
+      "q164_stream_sessions",
+      """WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS us FROM events),
+        |x AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                  > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x),
+        |s AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |             cast(count(*) as bigint) AS n
+        |      FROM g GROUP BY user_id, sid),
+        |last AS (SELECT user_id, max(sid) AS msid FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.start_us, s.end_us, s.n
+        |FROM s JOIN last ON s.user_id = last.user_id AND s.sid < last.msid""".stripMargin) { (s, dir) =>
+      Streams.runStreamingSessions(s, dir,
+          "q164_ss_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+          gapMinutes = 30)
+        .select(col("user_id"), col("startMicros").as("start_us"),
+          col("endMicros").as("end_us"), col("n").cast("long").as("n"))
+    },
+
     // F3 — fit-on-train label index, encode the test split.
     QueryDef(
       "q41_onehot_index",

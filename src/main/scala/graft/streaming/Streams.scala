@@ -415,6 +415,37 @@ object Streams {
     }
   }
 
+  /** Run [[sessionizeStreaming]] over the events backlog with AvailableNow
+    * into a memory table — the certification harness for the custom-state
+    * path. The single-file backlog arrives as ONE micro-batch, so each
+    * user's events reach one flatMapGroupsWithState call in full: every
+    * session that a LATER event closes is emitted; the final (still-open)
+    * session per user stays in state, exactly the unbounded-stream
+    * semantics. The batch oracle is therefore gaps-and-islands MINUS each
+    * user's last session — certified, not fudged: open sessions are
+    * pending by definition until more data or a timeout flushes them.
+    */
+  def runStreamingSessions(spark: SparkSession, dir: String,
+      queryName: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val evs = readEventsStream(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+        .as[Ev]
+      val q = sessionizeStreaming(evs, gapMinutes).toDF()
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming flavour of [[sessionize]] with explicit GroupState — used
     * with `readEventsStream(...).as[Ev]` in a streaming query. Emits closed
     * sessions on processing-time timeout.
