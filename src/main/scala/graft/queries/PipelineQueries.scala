@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ArrayOps, XHash}
-import graft.operators.{Relational, Similarity, TextOps}
+import graft.operators.{Relational, Similarity, Sketches, TextOps}
 
 /** Pretraining-pair generation and batch-assembly operators — the
   * objective-construction tail of an LLM data pipeline (span corruption,
@@ -236,6 +236,105 @@ object PipelineQueries {
         .agg(count_distinct(col("user_id")).as("__pn"))
         .groupBy("event_type")
         .agg(sum(col("__pn")).as("ndv"))
+    },
+
+    // Padding-waste audit over q162's batch assembly: per length bucket,
+    // padded slots = Σ_batches (batch_size·max_len − Σ len) — the metric
+    // that justifies length bucketing (vs one global bucket the waste is
+    // the corpus-max padding). Exact integer arithmetic end to end.
+    QueryDef(
+      "q167_padding_waste",
+      s"""$toksCte,
+         |o AS (SELECT doc_id, cast(len(toks) as bigint) AS ntok,
+         |        len(toks) // 32 AS bucket,
+         |        (${XHash.bucketHashSql("batch", "cast(doc_id as varchar)")}
+         |          % 1073741824) * 33554432 + (doc_id % 33554432) AS k
+         |      FROM t),
+         |b AS (SELECT doc_id, ntok, bucket,
+         |        (row_number() OVER (PARTITION BY bucket ORDER BY k) - 1) // 8
+         |          AS batch_id
+         |      FROM o),
+         |pb AS (SELECT bucket, batch_id,
+         |         cast(count(*) as bigint) AS n_docs,
+         |         max(ntok) AS mx, sum(ntok) AS real
+         |       FROM b GROUP BY bucket, batch_id)
+         |SELECT bucket, cast(count(*) as bigint) AS n_batches,
+         |  cast(sum(n_docs * mx - real) as bigint) AS padded_tokens,
+         |  cast(sum(real) as bigint) AS real_tokens
+         |FROM pb GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val o = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (size(ArrayOps.tokens(col("text"))).cast("long")).as("ntok"))
+        .select(col("doc_id"), col("ntok"), expr("ntok div 32").as("bucket"),
+          (pmod(XHash.bucketHash("batch", col("doc_id").cast("string")),
+            lit(1073741824L)) * 33554432L
+            + pmod(col("doc_id"), lit(33554432L))).as("k"))
+        .withColumn("__one", lit(1L))
+      Relational.prefixSumOrderedBy(o, Seq("bucket"), "k", "__one")
+        .select(col("bucket"), col("ntok"),
+          expr("(__cum - 1) div 8").as("batch_id"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), max(col("ntok")).as("mx"),
+          sum(col("ntok")).as("real"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_docs") * col("mx") - col("real")).as("padded_tokens"),
+          sum(col("real")).as("real_tokens"))
+    },
+
+    // Deterministic class balancing: undersample every label to the
+    // minority class size, selection by hash rank WITHIN the label — the
+    // label-skew fix for classifier training sets. The in-label rank is
+    // the bucket-decomposed per-group prefix sum (a majority label never
+    // funnels one reducer); the same composite key discipline as q162.
+    QueryDef(
+      "q168_class_balance",
+      s"""WITH o AS (SELECT vec_id, label,
+         |        (${XHash.bucketHashSql("bal", "cast(vec_id as varchar)")}
+         |          % 1073741824) * 33554432 + (vec_id % 33554432) AS k
+         |      FROM embeddings),
+         |m AS (SELECT min(c) AS mc FROM (
+         |        SELECT label, count(*) AS c FROM o GROUP BY label)),
+         |r AS (SELECT vec_id, label,
+         |        row_number() OVER (PARTITION BY label ORDER BY k) AS rn
+         |      FROM o)
+         |SELECT vec_id, label FROM r, m WHERE rn <= mc""".stripMargin) { (s, dir) =>
+      val o = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          (pmod(XHash.bucketHash("bal", col("vec_id").cast("string")),
+            lit(1073741824L)) * 33554432L
+            + pmod(col("vec_id"), lit(33554432L))).as("k"))
+        .withColumn("__one", lit(1L))
+      val ranked = Relational.prefixSumOrderedBy(o, Seq("label"), "k", "__one")
+      val mc = ranked.groupBy("label").agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("mc"))
+      ranked.crossJoin(broadcast(mc))
+        .filter(col("__cum") <= col("mc"))
+        .select(col("vec_id"), col("label"))
+    },
+
+    // Per-source quality-percentile gate: keep documents at or above
+    // their source's p70 length score — quality pruning with a per-source
+    // bar, thresholds from the sort-free grouped quantile family (never a
+    // per-source sort), broadcast back over the scan.
+    QueryDef(
+      "q169_source_quality_filter",
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM documents),
+        |thr AS (SELECT source, n_chars AS qv FROM r
+        |        WHERE rn = (n * 70 + 99) // 100)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN thr ON thr.source = d.source
+        |WHERE d.n_chars >= thr.qv""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val thr = Sketches.groupedHistogramQuantiles(
+          docs, "source", col("n_chars"), Seq(70))
+        .select(col("source"), col("qvalue").as("qv"))
+      docs.join(broadcast(thr), Seq("source"))
+        .filter(col("n_chars") >= col("qv"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
     }
   )
 }

@@ -127,6 +127,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q162/q167/q168: batch-assembly rank windows bucket-scoped") {
+    // the in-bucket/in-label rank rides the decomposed prefix sum — a
+    // dominant length bucket or majority label must never put its whole
+    // ordering on one reducer
+    for (q <- Seq("q162_length_bucket_batches", "q167_padding_waste",
+        "q168_class_balance")) {
+      val p = plan(q)
+      val wins = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, q + "\n" + p)
+      wins.foreach(l => assert(l.contains("__b"),
+        s"$q window without bucket key:\n$l"))
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+    }
+  }
+
+  test("q166: salted NDV spreads the hot key before the final combine") {
+    val p = plan("q166_skew_safe_ndv")
+    // stage-1 exchange must key on (event_type, salt), never event_type
+    // alone; the final exchange then carries ≤ types·16 partial rows.
+    // Catalyst folds the salt alias into _groupingexpression — assert the
+    // xxhash64 projection exists and an exchange keys on the derived
+    // grouping column
+    assert(p.contains("xxhash64(user_id"), p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.exists(l =>
+      l.contains("_groupingexpression") || l.contains("__salt")),
+      "no exchange keyed on the salt:\n" + p)
+  }
+
   test("q70: PQ encode is a single narrow projection (no join, no exchange)") {
     val p = plan("q70_pq_codes")
     // the codebook is embedded as literals — the corpus scan must reach the
