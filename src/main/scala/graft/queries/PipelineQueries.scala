@@ -335,6 +335,62 @@ object PipelineQueries {
       docs.join(broadcast(thr), Seq("source"))
         .filter(col("n_chars") >= col("qv"))
         .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // Domain-affinity scoring (the DSIR/importance-upsampling shape, Xie
+    // et al. 2023 arXiv:2302.03169, with exact integer feature weights
+    // instead of log-ratios): build the target domain's top-100 bigram
+    // frequency dictionary (src0 here), score every document by the
+    // multiset inner product of its bigrams with the dictionary, zero
+    // for no overlap. Dict is bounded (top-k) → broadcast; scoring is
+    // one broadcast join + combining sum over the corpus.
+    QueryDef(
+      "q170_domain_affinity",
+      s"""$toksCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS g FROM t),
+         |d AS (SELECT g, cnt FROM (
+         |  SELECT bg.g, count(*) AS cnt,
+         |    row_number() OVER (ORDER BY count(*) DESC, bg.g) AS rk
+         |  FROM bg JOIN documents dd ON dd.doc_id = bg.doc_id
+         |  WHERE dd.source = 'src0' GROUP BY bg.g) WHERE rk <= 100),
+         |sc AS (SELECT bg.doc_id, sum(d.cnt) AS score
+         |       FROM bg JOIN d ON d.g = bg.g GROUP BY bg.doc_id)
+         |SELECT t.doc_id, cast(coalesce(sc.score, 0) as bigint) AS score
+         |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bg = docs.select(col("doc_id"), col("source"),
+        explode(TextOps.ngrams(ArrayOps.tokens(col("text")), 2)).as("g"))
+      val dict = bg.filter(col("source") === "src0")
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc)
+        .limit(100)
+      val scores = bg.join(broadcast(dict), Seq("g"))
+        .groupBy("doc_id").agg(sum(col("cnt")).as("score"))
+      docs.select(col("doc_id"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+    },
+
+    // Idempotent streaming upsert sink, certified end-to-end: the
+    // Complete-mode per-type aggregate lands in a parquet table
+    // partitioned by the key with dynamic partition overwrite; the query
+    // runs the stream to a scratch dir and returns the READ-BACK table —
+    // so the oracle checks what the sink durably wrote, not what the
+    // stream computed. Cents are exact (per-row decimal→long before the
+    // sum).
+    QueryDef(
+      "q171_stream_upsert_sink",
+      """SELECT event_type, cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(cast(value as decimal(18,4)) * 100 as bigint)) as bigint)
+        |    AS cents
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_upsert_q171_").toString
+      graft.streaming.Streams.runAggUpsertSink(
+        s, dir, s"$root/out", s"$root/ckpt")
+      s.read.parquet(s"$root/out")
+        .select(col("event_type"), col("n"), col("cents"))
     }
   )
 }
