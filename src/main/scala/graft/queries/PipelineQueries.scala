@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{ArrayOps, XHash}
-import graft.operators.{Relational, Similarity, Sketches, TextOps}
+import graft.operators.{Multimodal, Relational, Similarity, Sketches, TextOps}
 
 /** Pretraining-pair generation and batch-assembly operators — the
   * objective-construction tail of an LLM data pipeline (span corruption,
@@ -391,6 +391,48 @@ object PipelineQueries {
         s, dir, s"$root/out", s"$root/ckpt")
       s.read.parquet(s"$root/out")
         .select(col("event_type"), col("n"), col("cents"))
+    },
+
+    // Video fingerprint dedup: the full multimodal chain — real MP4 box
+    // walk for the frame count, every 3rd frame sampled, REAL PNG decode +
+    // perceptual hash per sampled frame, per-video signature = the frame
+    // hashes in sample order, dedup groups by signature. The oracle
+    // replays the closed forms certified by q78 (stts sample count) and
+    // q99 (split-PNG aHash), composed over the sampled index set — so the
+    // decode path is checked end-to-end, not stubbed. UDFs stay confined
+    // to byte decoding; grouping is one combining aggregate.
+    QueryDef(
+      "q172_video_sig_dedup",
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+        |v AS (SELECT doc_id, (1 + bl % 3) * (bl % 7 + 2) AS ns FROM b),
+        |s AS (SELECT doc_id,
+        |        array_to_string(list_transform(
+        |          list_transform(range(0, (ns + 2) // 3), i -> i * 3),
+        |          f -> cast((256 - (1 << cast((doc_id + f) % 7 + 1 as int)))
+        |               * 282578800148737 as varchar)), ':') AS sig
+        |      FROM v)
+        |SELECT sig, cast(count(*) as bigint) AS n_docs, min(doc_id) AS rep
+        |FROM s GROUP BY sig""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("blen", length(col("text").cast("binary")).cast("int"))
+        .withColumn("mp4", Multimodal.synthMp4(
+          lit(600) + col("blen") % 5 * 100, (col("blen") * 3L).cast("long"),
+          lit(1) + col("blen") % 3, col("blen") % 7 + 2, col("doc_id")))
+        .withColumn("ns",
+          Multimodal.videoInfo(col("mp4")).getField("nSamples").cast("int"))
+        .select(col("doc_id"),
+          explode(Multimodal.sampleFrameIdx(col("ns"), 3)).as("f"))
+        .withColumn("payload", Multimodal.synthSplitPng(lit(64), lit(56),
+          (((col("doc_id") + col("f")) % 7 + 1) * 8).cast("int"),
+          col("doc_id") * 31 + col("f")))
+        .withColumn("h", Multimodal.averageHash(col("payload"), 8, 7))
+      d.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
+        .select(col("doc_id"), array_join(
+          transform(col("fh"), x => x.getField("h").cast("string")), ":")
+          .as("sig"))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
     }
   )
 }
