@@ -433,6 +433,49 @@ object PipelineQueries {
           .as("sig"))
         .groupBy("sig")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+    },
+
+    // Kolmogorov-Smirnov drift statistic between two corpus halves
+    // (sources src0-src9 vs the rest) over the length distribution — the
+    // train/test distribution-shift gate, with NO transcendentals:
+    // D = max|F1 − F2| computed as max|n2·cum1 − n1·cum2| over exact
+    // integer cumulative counts (one double division at the very end).
+    // The cumulative counts ride the bucket-decomposed global prefix sum
+    // — value domain never sorts through one reducer. Integer products
+    // stay in int64 to ~3e9 rows per side; past that, bin values first
+    // (the q148 caveat).
+    QueryDef(
+      "q173_ks_drift",
+      """WITH x AS (SELECT n_chars AS v,
+        |        CASE WHEN cast(substr(source, 4) as int) < 10
+        |             THEN 1 ELSE 0 END AS s1
+        |      FROM documents),
+        |g AS (SELECT v, sum(s1) AS c1, sum(1 - s1) AS c2 FROM x GROUP BY v),
+        |c AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+        |             sum(c2) OVER (ORDER BY v) AS cum2 FROM g),
+        |t AS (SELECT sum(s1) AS n1, count(*) - sum(s1) AS n2 FROM x)
+        |SELECT cast(n1 as bigint) AS n1, cast(n2 as bigint) AS n2,
+        |  cast(max(abs(n2 * cum1 - n1 * cum2)) as bigint) AS d_num,
+        |  cast(max(abs(n2 * cum1 - n1 * cum2)) as double) / (n1 * n2) AS d
+        |FROM c, t GROUP BY n1, n2""".stripMargin) { (s, dir) =>
+      val x = Tables.documents(s, dir)
+        .select(col("n_chars").as("v"),
+          when(expr("cast(substring(source, 4) as int)") < 10, 1L)
+            .otherwise(0L).as("s1"))
+      val g = x.groupBy("v")
+        .agg(sum(col("s1")).as("c1"), sum(lit(1L) - col("s1")).as("c2"))
+      val withCum1 = Relational.prefixSumOrdered(g, "v", "c1")
+        .withColumnRenamed("__cum", "cum1")
+      val withCum2 = Relational.prefixSumOrdered(withCum1, "v", "c2")
+        .withColumnRenamed("__cum", "cum2")
+      val tot = x.agg(sum(col("s1")).as("n1"),
+        (count(lit(1)) - sum(col("s1"))).as("n2"))
+      withCum2.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dn"))
+        .groupBy("n1", "n2").agg(max(col("dn")).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") / (col("n1") * col("n2"))).as("d"))
     }
   )
 }
