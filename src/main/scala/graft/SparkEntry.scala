@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalQueries.defs ++ CleanerQueries.defs ++
       DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs ++
       StreamingQueries.defs ++ MetricQueries.defs ++ ClusterQueries.defs ++
-      MiscQueries.defs ++ ExtendedQueries.defs ++ PipelineQueries.defs
+      MiscQueries.defs ++ ExtendedQueries.defs ++ PipelineQueries.defs ++
+      WarehouseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.{ArrayOps, Exact, XHash}
+import graft.operators.{Relational, Similarity, Sketches}
+
+/** Warehouse-maintenance operators a production lakehouse pipeline runs
+  * around the analytics proper: changelog compaction (CDC apply / MERGE
+  * INTO semantics), SCD2 dimension builds, cross-engine table-content
+  * certification, ordered changepoint detection, and margin-based
+  * embedding pair mining (the bitext-mining shape).
+  */
+object WarehouseQueries {
+
+  /** DuckDB sequential dot product (mirrors EmbeddingQueries.dotSql —
+    * left-fold in double, matching VecKernels' fold order exactly). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Changelog compaction (CDC apply): events form a changelog keyed by
+    // user_id; 'error' rows are DELETE tombstones, everything else an
+    // UPSERT. Final state = the op with the largest (ts, event_id), users
+    // whose last op is a tombstone drop out. ONE combining aggregate —
+    // max(struct) has map-side partials, so however hot a key's changelog
+    // is, only one partial row per partition shuffles (the MERGE-INTO
+    // compaction shape at 100 TB; no window, no per-key reducer).
+    QueryDef(
+      "q174_cdc_apply",
+      """WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS us,
+        |             event_id, event_type,
+        |             cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |           FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY us DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id) AS n_del
+        |      FROM e)
+        |SELECT user_id, us AS last_us, cents AS last_cents,
+        |       cast(n_ops as bigint) AS n_ops, cast(n_del as bigint) AS n_deletes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"),
+          (Exact.dec(col("value")) * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(
+          // lexicographic max == "ORDER BY us DESC, event_id DESC LIMIT 1";
+          // event_id is unique so later struct fields never break ties
+          max(struct(col("us"), col("event_id"), col("event_type"),
+            col("cents"))).as("last"),
+          count(lit(1)).as("n_ops"),
+          count(when(col("event_type") === "error", 1)).as("n_deletes"))
+        .filter(col("last.event_type") =!= "error")
+        .select(col("user_id"), col("last.us").as("last_us"),
+          col("last.cents").as("last_cents"), col("n_ops"), col("n_deletes"))
+    },
+
+    // SCD2 dimension build: collapse each user's event stream into
+    // validity intervals of their current event_type — a new interval
+    // opens at every type change, [valid_from, valid_to) with NULL end on
+    // the current row. Windows partition by user_id (cardinality grows
+    // with the data, per-user history stays bounded — the same shape the
+    // sessionizer's oracle uses; never a low-cardinality partition key).
+    QueryDef(
+      "q175_scd2_intervals",
+      """WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS us,
+        |             event_id, event_type
+        |           FROM events),
+        |x AS (SELECT *,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY us, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT * FROM x WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS status, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |    AS is_current
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+    },
+
+    // Cross-engine table-content certification: per source, an
+    // order-independent checksum over every row's full content — the audit
+    // primitive behind "did the migration/compaction change any byte?"
+    // (exactly this repo's own correctness gate, exposed as an operator).
+    // Row hash is the shared 60-bit md5 (bit-identical in both engines);
+    // the sum aggregates in decimal(38,0) so it is exact to ~1e19 rows of
+    // 60-bit hashes — no int64 overflow at any realistic scale — and the
+    // xor/min/max channels catch compensating-sum collisions. Map-side
+    // combine everywhere; shuffle ≤ #sources rows.
+    QueryDef(
+      "q176_content_checksum",
+      s"""WITH d AS (SELECT source,
+         |    ${XHash.bucketHashSql("chk", "cast(doc_id as varchar)", "text",
+                "lang", "cast(n_chars as varchar)")} AS h
+         |  FROM documents)
+         |SELECT source, cast(count(*) as bigint) AS n_rows,
+         |  cast(sum(cast(h as decimal(38,0))) as decimal(38,0)) AS checksum_sum,
+         |  bit_xor(h) AS checksum_xor, min(h) AS min_h, max(h) AS max_h
+         |FROM d GROUP BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          XHash.bucketHash("chk", col("doc_id").cast("string"), col("text"),
+            col("lang"), col("n_chars").cast("string")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+            .as("checksum_sum"),
+          expr("bit_xor(h)").as("checksum_xor"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    },
+
+    // CUSUM changepoint per event_type: the arrival-order index k that
+    // maximizes |n·S_k − k·S_n| over exact integer cents — the classic
+    // mean-shift detector, transcendental-free like q173's KS statistic.
+    // Both the rank k and the running sum S_k ride the per-group
+    // bucket-decomposed prefix sum (no per-type single-reducer window —
+    // event_type has 5 values); the per-type totals broadcast back.
+    // Integer products stay in int64 to ~3e9 rows per type; past that,
+    // pre-aggregate per time bin first (the q148/q173 caveat).
+    QueryDef(
+      "q177_cusum_changepoint",
+      """WITH e AS (SELECT event_type, event_id,
+        |             cast(cast(value as decimal(18,4)) * 100 as bigint) AS c
+        |           FROM events),
+        |x AS (SELECT event_type, event_id,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY event_id) AS s_k,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY event_id) AS k
+        |      FROM e),
+        |t AS (SELECT event_type, sum(c) AS s_tot, count(*) AS n
+        |      FROM e GROUP BY event_type),
+        |d AS (SELECT x.event_type, event_id, n, s_tot,
+        |        abs(n * s_k - k * s_tot) AS dn
+        |      FROM x JOIN t USING (event_type))
+        |SELECT event_type, cast(n as bigint) AS n,
+        |  cast(s_tot as bigint) AS s_total_cents,
+        |  event_id AS cut_event_id, cast(dn as bigint) AS d_num
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY dn DESC, event_id) = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (Exact.dec(col("value")) * 100).cast("long").as("c"))
+        .withColumn("__one", lit(1L))
+      val withS = Relational
+        .prefixSumOrderedBy(e, Seq("event_type"), "event_id", "c")
+        .withColumnRenamed("__cum", "s_k")
+      val withK = Relational
+        .prefixSumOrderedBy(withS, Seq("event_type"), "event_id", "__one")
+        .withColumnRenamed("__cum", "k")
+      val tot = e.groupBy("event_type")
+        .agg(sum(col("c")).as("s_tot"), count(lit(1)).as("n"))
+      withK.join(broadcast(tot), "event_type")
+        .withColumn("dn", abs(col("n") * col("s_k") - col("k") * col("s_tot")))
+        .groupBy("event_type")
+        .agg(min(col("n")).as("n"), min(col("s_tot")).as("s_total_cents"),
+          // lexicographic max == "ORDER BY dn DESC, event_id ASC LIMIT 1"
+          max(struct(col("dn"), (-col("event_id")).as("neg"))).as("best"))
+        .select(col("event_type"), col("n"), col("s_total_cents"),
+          (-col("best.neg")).as("cut_event_id"), col("best.dn").as("d_num"))
+    },
+
+    // Margin-based embedding pair mining (the bitext-mining criterion,
+    // Artetxe & Schwenk): split the corpus into two halves, and for each
+    // left vector take its best right-side cosine match, keeping pairs
+    // whose margin over the runner-up clears a threshold — absolute margin
+    // (best − second), so no cross-engine division drift beyond the shared
+    // fold-ordered doubles. This is the certified exact baseline (the
+    // left side broadcasts, corpus scans once, per-query top-2 under AQE);
+    // at 100 TB the candidate step swaps to the IVF/LSH bucketing the ANN
+    // family already provides — identical margin math over fewer pairs.
+    QueryDef(
+      "q178_margin_mining",
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_vec
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim
+         |      FROM a CROSS JOIN b),
+         |r AS (SELECT a_id, b_id, sim,
+         |        row_number() OVER (PARTITION BY a_id
+         |                           ORDER BY sim DESC, b_id) AS rn
+         |      FROM p),
+         |m AS (SELECT a_id,
+         |        max(CASE WHEN rn = 1 THEN b_id END) AS b_best,
+         |        max(CASE WHEN rn = 1 THEN sim END) AS cos_best,
+         |        max(CASE WHEN rn = 1 THEN sim END)
+         |          - max(CASE WHEN rn = 2 THEN sim END) AS margin
+         |      FROM r WHERE rn <= 2 GROUP BY a_id)
+         |SELECT a_id, b_best, cos_best, margin
+         |FROM m WHERE margin >= 0.02""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val top2 = b.crossJoin(broadcast(a))
+        .withColumn("sim", Similarity.cosine(col("a_vec"), col("b_vec")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))))
+        .filter(col("rn") <= 2)
+      top2.groupBy("a_id")
+        .agg(max(when(col("rn") === 1, col("b_id"))).as("b_best"),
+          max(when(col("rn") === 1, col("sim"))).as("cos_best"),
+          (max(when(col("rn") === 1, col("sim")))
+            - max(when(col("rn") === 2, col("sim")))).as("margin"))
+        .filter(col("margin") >= 0.02)
+        .select(col("a_id"), col("b_best"), col("cos_best"), col("margin"))
+    },
+
+    // Asymmetric containment near-dup (PPJoin-style): 5-token shingles,
+    // candidates blocked on RARE shingles only (2 ≤ df ≤ 10 — a frequent
+    // shingle joined to itself is the quadratic blowup), then the EXACT
+    // intersection is counted for just the candidate pairs. Containment
+    // |A∩B| / min(|A|,|B|) ≥ ½ catches quote/subset inclusion that
+    // resemblance (Jaccard, q30) structurally under-scores when one doc
+    // embeds inside a larger one. Integer counts only — the ½ threshold
+    // is `2·n_inter ≥ min`, no division.
+    QueryDef(
+      "q179_containment_dedup",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t5 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+        |s AS (SELECT DISTINCT doc_id,
+        |        array_to_string(toks[p + 1 : p + 5], ' ') AS sh
+        |      FROM t5, unnest(range(0, len(toks) - 4)) u(p)),
+        |df AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
+        |inv AS (SELECT doc_id, sh FROM s
+        |        WHERE sh IN (SELECT sh FROM df WHERE c BETWEEN 2 AND 10)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+        |na AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        |inter AS (SELECT a_id, b_id, count(*) AS n_inter
+        |          FROM cand
+        |          JOIN s sa ON sa.doc_id = a_id
+        |          JOIN s sb ON sb.doc_id = b_id AND sa.sh = sb.sh
+        |          GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, cast(n_inter as bigint) AS n_inter,
+        |       cast(x.n as bigint) AS n_a, cast(y.n as bigint) AS n_b
+        |FROM inter JOIN na x ON x.doc_id = a_id JOIN na y ON y.doc_id = b_id
+        |WHERE 2 * n_inter >= least(x.n, y.n)""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 5)," +
+            " p -> array_join(slice(toks, p + 1, 5), ' '))")).as("sh"))
+        .distinct()
+        // feeds the df counts, the inverted index, AND the per-pair
+        // intersection probe — unpinned, each consumer re-tokenizes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 10)).select("sh")
+      val inv = sh.join(rare, "sh")
+      val cand = inv.select(col("sh"), col("doc_id").as("a_id"))
+        .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(na.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+        .join(na.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+        .filter(lit(2) * col("n_inter") >= least(col("n_a"), col("n_b")))
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"), col("n_b"))
+    },
+
+    // RFM segmentation: per-user recency/frequency/monetary over purchase
+    // events, each scored 1–5 against its own exact quintile thresholds
+    // from the sort-free two-pass histogram (never an ntile window over
+    // the full user table — that is a single-reducer global sort). The
+    // three 1-row threshold frames broadcast back over the per-user
+    // aggregate; all comparisons are exact integers (us / counts / cents).
+    QueryDef(
+      "q180_rfm_segments",
+      """WITH p AS (SELECT user_id,
+        |    max(epoch_us(cast(ts as timestamp))) AS r,
+        |    cast(count(*) as bigint) AS f,
+        |    cast(sum(cast(cast(value as decimal(18,4)) * 100 as bigint))
+        |      as bigint) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |n AS (SELECT count(*) AS cnt FROM p),
+        |tr AS (SELECT max(CASE WHEN rn = (cnt*20+99)//100 THEN v END) AS r20,
+        |         max(CASE WHEN rn = (cnt*40+99)//100 THEN v END) AS r40,
+        |         max(CASE WHEN rn = (cnt*60+99)//100 THEN v END) AS r60,
+        |         max(CASE WHEN rn = (cnt*80+99)//100 THEN v END) AS r80
+        |       FROM (SELECT r AS v, row_number() OVER (ORDER BY r) AS rn, cnt
+        |             FROM p, n)),
+        |tf AS (SELECT max(CASE WHEN rn = (cnt*20+99)//100 THEN v END) AS f20,
+        |         max(CASE WHEN rn = (cnt*40+99)//100 THEN v END) AS f40,
+        |         max(CASE WHEN rn = (cnt*60+99)//100 THEN v END) AS f60,
+        |         max(CASE WHEN rn = (cnt*80+99)//100 THEN v END) AS f80
+        |       FROM (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn, cnt
+        |             FROM p, n)),
+        |tm AS (SELECT max(CASE WHEN rn = (cnt*20+99)//100 THEN v END) AS m20,
+        |         max(CASE WHEN rn = (cnt*40+99)//100 THEN v END) AS m40,
+        |         max(CASE WHEN rn = (cnt*60+99)//100 THEN v END) AS m60,
+        |         max(CASE WHEN rn = (cnt*80+99)//100 THEN v END) AS m80
+        |       FROM (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn, cnt
+        |             FROM p, n)),
+        |sc AS (SELECT user_id,
+        |    cast(1 + (r > r20)::int + (r > r40)::int + (r > r60)::int
+        |           + (r > r80)::int as int) AS r_score,
+        |    cast(1 + (f > f20)::int + (f > f40)::int + (f > f60)::int
+        |           + (f > f80)::int as int) AS f_score,
+        |    cast(1 + (m > m20)::int + (m > m40)::int + (m > m60)::int
+        |           + (m > m80)::int as int) AS m_score
+        |  FROM p, tr, tf, tm)
+        |SELECT user_id, r_score, f_score, m_score,
+        |  cast(r_score as varchar) || cast(f_score as varchar)
+        |    || cast(m_score as varchar) AS segment
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("r"),
+          count(lit(1)).as("f"),
+          sum((Exact.dec(col("value")) * 100).cast("long")).as("m"))
+        // three quantile passes + the scoring pass all consume it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def thr(v: String): org.apache.spark.sql.DataFrame =
+        Sketches.histogramQuantiles(u, col(v), Seq(20, 40, 60, 80))
+          .groupBy()
+          .agg(max(when(col("pct") === 20, col("qvalue"))).as(s"${v}20"),
+            max(when(col("pct") === 40, col("qvalue"))).as(s"${v}40"),
+            max(when(col("pct") === 60, col("qvalue"))).as(s"${v}60"),
+            max(when(col("pct") === 80, col("qvalue"))).as(s"${v}80"))
+      def score(v: String): org.apache.spark.sql.Column =
+        (lit(1) + (col(v) > col(s"${v}20")).cast("int")
+          + (col(v) > col(s"${v}40")).cast("int")
+          + (col(v) > col(s"${v}60")).cast("int")
+          + (col(v) > col(s"${v}80")).cast("int")).cast("int")
+      u.crossJoin(broadcast(thr("r"))).crossJoin(broadcast(thr("f")))
+        .crossJoin(broadcast(thr("m")))
+        .select(col("user_id"), score("r").as("r_score"),
+          score("f").as("f_score"), score("m").as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+    },
+
+    // Seasonal-naive forecast error: per event_type, hourly arrival counts
+    // scored against the count 24 h earlier (seasonal) and 1 h earlier
+    // (naive) — the baseline error any forecasting pipeline gates against.
+    // Both lags are plain equi-joins on (type, hour), NOT lag windows: the
+    // hour axis shuffles by key like any join, no per-type ordering ever
+    // lands on one reducer, and missing hours fall out of the join instead
+    // of needing gap-fill. Pure integer counts and sums.
+    QueryDef(
+      "q181_seasonal_naive_error",
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(cast(ts as timestamp)) // 3600000000 AS hr,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, hr)
+        |SELECT a.event_type,
+        |  cast(count(*) as bigint) AS n_hours,
+        |  cast(count(s.c) as bigint) AS n_seasonal,
+        |  cast(sum(abs(a.c - s.c)) as bigint) AS sae_seasonal,
+        |  cast(count(nv.c) as bigint) AS n_naive,
+        |  cast(sum(abs(a.c - nv.c)) as bigint) AS sae_naive
+        |FROM h a
+        |LEFT JOIN h s ON s.event_type = a.event_type AND s.hr = a.hr - 24
+        |LEFT JOIN h nv ON nv.event_type = a.event_type AND nv.hr = a.hr - 1
+        |GROUP BY a.event_type""".stripMargin) { (s, dir) =>
+      val h = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("hr", expr("us div 3600000000"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+        // one aggregate feeds three join legs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seas = h.select(col("event_type"), (col("hr") + 24).as("hr"),
+        col("c").as("cs"))
+      val nv = h.select(col("event_type"), (col("hr") + 1).as("hr"),
+        col("c").as("cn"))
+      h.join(seas, Seq("event_type", "hr"), "left")
+        .join(nv, Seq("event_type", "hr"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          count(col("cs")).as("n_seasonal"),
+          sum(abs(col("c") - col("cs"))).as("sae_seasonal"),
+          count(col("cn")).as("n_naive"),
+          sum(abs(col("c") - col("cn"))).as("sae_naive"))
+    }
+  )
+}

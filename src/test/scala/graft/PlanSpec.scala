@@ -342,6 +342,59 @@ class PlanSpec extends SparkSpec {
       "offset lookup regressed to a when-chain:\n" + p)
   }
 
+  test("q174: CDC compaction is one combining aggregate, never a window") {
+    val p = plan("q174_cdc_apply")
+    // max(struct) + counts must partial-aggregate map-side so a hot key's
+    // changelog collapses before the shuffle; a row_number formulation
+    // would funnel each key's full history through one reducer
+    assert(!p.contains("Window"), "CDC apply regressed to a window:\n" + p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q176: checksum partial-aggregates; shuffle carries only per-source rows") {
+    val p = plan("q176_content_checksum")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("q177: changepoint totals broadcast; prefix windows bucket-scoped") {
+    val p = plan("q177_cusum_changepoint")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val wins = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // the row-level running sums must ride (event_type, __b) buckets; the
+    // only __b-free windows are over the ≤groups·buckets offsets table
+    assert(wins.exists(_.contains("__b")), p)
+  }
+
+  test("q178: margin mining broadcasts the query side (no cartesian)") {
+    val p = plan("q178_margin_mining")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q179: containment joins are equi-joins (no cartesian, no SMJ on pairs)") {
+    val p = plan("q179_containment_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q180: quintile thresholds broadcast over the user aggregate") {
+    val p = plan("q180_rfm_segments")
+    assert(p.contains("BroadcastExchange"), p)
+    // scoring must never sort the user table globally (no ntile window)
+    assert(!p.contains("windowspecdefinition(user_id"), p)
+  }
+
+  test("q181: seasonal lags are equi-joins, not per-type order windows") {
+    val p = plan("q181_seasonal_naive_error")
+    assert(!p.contains("Window"), "lag regressed to a window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
