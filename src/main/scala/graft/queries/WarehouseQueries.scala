@@ -25,6 +25,11 @@ object WarehouseQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> (cast($a[i] as double) - cast($b[i] as double))
+       |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Changelog compaction (CDC apply): events form a changelog keyed by
@@ -407,6 +412,130 @@ object WarehouseQueries {
           sum(abs(col("c") - col("cs"))).as("sae_seasonal"),
           count(col("cn")).as("n_naive"),
           sum(abs(col("c") - col("cn"))).as("sae_naive"))
+    },
+
+    // Benford first-digit profile over order totals — the fraud/data-entry
+    // anomaly screen. Digit counts are exact integers; each digit's
+    // observed fraction is one double division, and the expected Benford
+    // mass log10(1+1/d) is a shared hard-coded literal (transcendentals
+    // are out of certified scope — the CONSTANTS are public to the last
+    // digit, so both engines compare against identical doubles).
+    QueryDef(
+      "q182_benford_profile",
+      """WITH d AS (SELECT substr(cast(cast(cast(o_totalprice as decimal(18,4))
+        |                 * 100 as bigint) as varchar), 1, 1) AS digit
+        |           FROM orders),
+        |c AS (SELECT digit, count(*) AS n_d FROM d GROUP BY digit),
+        |n AS (SELECT count(*) AS n FROM d),
+        |e AS (SELECT * FROM (VALUES ('1', 3.010299956639812e-1),
+        |        ('2', 1.7609125905568124e-1), ('3', 1.2493873660829993e-1),
+        |        ('4', 9.691001300805642e-2), ('5', 7.918124604762482e-2),
+        |        ('6', 6.694678963061322e-2), ('7', 5.799194697768673e-2),
+        |        ('8', 5.115252244738129e-2), ('9', 4.575749056067514e-2))
+        |      AS t(digit, expected))
+        |SELECT c.digit, cast(n_d as bigint) AS n_d,
+        |  cast(n_d as double) / n AS frac, expected,
+        |  abs(cast(n_d as double) / n - expected) AS dev
+        |FROM c JOIN e USING (digit), n""".stripMargin) { (s, dir) =>
+      val digits = Tables.orders(s, dir)
+        .select(substring((Exact.dec(col("o_totalprice")) * 100)
+          .cast("long").cast("string"), 1, 1).as("digit"))
+      val expected = Seq("1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+        "3" -> 0.12493873660829993, "4" -> 0.09691001300805642,
+        "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+        "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+        "9" -> 0.04575749056067514)
+      val e = s.createDataFrame(expected.map(x => (x._1, x._2)))
+        .toDF("digit", "expected")
+      val n = digits.agg(count(lit(1)).as("n"))
+      digits.groupBy("digit").agg(count(lit(1)).as("n_d"))
+        .join(broadcast(e), "digit").crossJoin(broadcast(n))
+        .select(col("digit"), col("n_d"),
+          (col("n_d").cast("double") / col("n")).as("frac"), col("expected"),
+          abs(col("n_d").cast("double") / col("n") - col("expected"))
+            .as("dev"))
+    },
+
+    // Reciprocal-rank fusion of two retrieval rankings (cosine and L2 over
+    // the same candidates) — the standard hybrid-retrieval combiner
+    // (Cormack et al. 2009): RRF(d) = Σ 1/(60 + rank_i(d)). Ranks are
+    // exact integers from the shared fold-ordered kernels, so the two
+    // divisions + one sum per candidate are bit-identical across engines
+    // (fixed operand order — never a float sum over a variable set). The
+    // query side broadcasts; one corpus scan computes both metrics.
+    QueryDef(
+      "q183_rrf_fusion",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS c_vec FROM embeddings),
+         |p AS (SELECT q_id, n_id, ${cosSql("q_vec", "c_vec")} AS sim,
+         |        ${l2Sql("q_vec", "c_vec")} AS dsq
+         |      FROM q CROSS JOIN c WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |                           ORDER BY sim DESC, n_id) AS rc,
+         |        row_number() OVER (PARTITION BY q_id
+         |                           ORDER BY dsq, n_id) AS rl
+         |      FROM p),
+         |f AS (SELECT q_id, n_id, rc, rl,
+         |        1.0 / (60 + rc) + 1.0 / (60 + rl) AS rrf
+         |      FROM r)
+         |SELECT q_id, n_id, cast(rc as bigint) AS rank_cos,
+         |       cast(rl as bigint) AS rank_l2, rrf,
+         |       cast(rank as int) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY rrf DESC, n_id) AS rank FROM f)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_vec"))
+      val p = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", Similarity.cosine(col("q_vec"), col("c_vec")))
+        .withColumn("dsq", Similarity.l2sq(col("q_vec"), col("c_vec")))
+      val r = p
+        .withColumn("rc", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+        .withColumn("rl", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("dsq"), col("n_id"))))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60) + col("rc")) + lit(1.0) / (lit(60) + col("rl")))
+      r.withColumn("rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("rc").cast("long").as("rank_cos"),
+          col("rl").cast("long").as("rank_l2"), col("rrf"),
+          col("rank").cast("int"))
+    },
+
+    // Stratified k-fold assignment: every label's members spread evenly
+    // over k=5 folds by in-label hash rank mod k — the cross-validation
+    // splitter whose folds stay label-balanced by construction (plain
+    // hash-mod splitting leaves minority-label folds unbalanced). The
+    // in-label rank rides the bucket-decomposed per-group prefix sum with
+    // q168's composite-key discipline (hash·2^25 + id — unique, and a
+    // majority label never funnels one reducer); deterministic, so the
+    // same row lands in the same fold on every engine and cluster size.
+    QueryDef(
+      "q184_stratified_kfold",
+      s"""WITH o AS (SELECT vec_id, label,
+         |        (${XHash.bucketHashSql("fold", "cast(vec_id as varchar)")}
+         |          % 1073741824) * 33554432 + (vec_id % 33554432) AS k
+         |      FROM embeddings),
+         |r AS (SELECT vec_id, label,
+         |        row_number() OVER (PARTITION BY label ORDER BY k) AS rn
+         |      FROM o)
+         |SELECT vec_id, label, cast((rn - 1) % 5 as int) AS fold
+         |FROM r""".stripMargin) { (s, dir) =>
+      val o = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          (pmod(XHash.bucketHash("fold", col("vec_id").cast("string")),
+            lit(1073741824L)) * 33554432L
+            + pmod(col("vec_id"), lit(33554432L))).as("k"))
+        .withColumn("__one", lit(1L))
+      Relational.prefixSumOrderedBy(o, Seq("label"), "k", "__one")
+        .select(col("vec_id"), col("label"),
+          ((col("__cum") - 1) % 5).cast("int").as("fold"))
     }
   )
 }

@@ -395,6 +395,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182: Benford expected-mass and total frames broadcast") {
+    val p = plan("q182_benford_profile")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q183: RRF computes both metrics on ONE broadcast pass") {
+    val p = plan("q183_rrf_fusion")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one corpus scan feeds both rankings — a second scan would double
+    // the candidate generation (formatted explain prints each node twice:
+    // once in the tree, once in the detail section)
+    assert(p.linesIterator.count(_.trim.matches(
+      raw"\(\d+\) BroadcastNestedLoopJoin.*")) == 1, p)
+  }
+
+  test("q184: k-fold in-label rank windows are bucket-scoped") {
+    val p = plan("q184_stratified_kfold")
+    val wins = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty, p)
+    wins.foreach(l => assert(l.contains("__b"),
+      "k-fold window without bucket key:\n" + l))
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
