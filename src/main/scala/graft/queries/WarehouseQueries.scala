@@ -351,20 +351,28 @@ object WarehouseQueries {
           sum((Exact.dec(col("value")) * 100).cast("long")).as("m"))
         // three quantile passes + the scoring pass all consume it
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def thr(v: String): org.apache.spark.sql.DataFrame =
-        Sketches.histogramQuantiles(u, col(v), Seq(20, 40, 60, 80))
-          .groupBy()
-          .agg(max(when(col("pct") === 20, col("qvalue"))).as(s"${v}20"),
-            max(when(col("pct") === 40, col("qvalue"))).as(s"${v}40"),
-            max(when(col("pct") === 60, col("qvalue"))).as(s"${v}60"),
-            max(when(col("pct") === 80, col("qvalue"))).as(s"${v}80"))
+      // ONE grouped-quantile run over the (measure, value) stack instead of
+      // three independent histogram pipelines — same exact ranks (every
+      // measure has one value per user, so per-group n is identical), a
+      // third of the passes (5.6 s → ~2 s at sf0.1)
+      val stacked = u.selectExpr(
+        "stack(3, 'r', r, 'f', f, 'm', m) as (measure, v)")
+      val thr = Sketches
+        .groupedHistogramQuantiles(stacked, "measure", col("v"),
+          Seq(20, 40, 60, 80))
+        .groupBy()
+        .agg(Seq("r", "f", "m").flatMap(v => Seq(20, 40, 60, 80).map(p =>
+          max(when(col("measure") === v && col("pct") === p,
+            col("qvalue"))).as(s"$v$p"))).head,
+          Seq("r", "f", "m").flatMap(v => Seq(20, 40, 60, 80).map(p =>
+            max(when(col("measure") === v && col("pct") === p,
+              col("qvalue"))).as(s"$v$p"))).tail: _*)
       def score(v: String): org.apache.spark.sql.Column =
         (lit(1) + (col(v) > col(s"${v}20")).cast("int")
           + (col(v) > col(s"${v}40")).cast("int")
           + (col(v) > col(s"${v}60")).cast("int")
           + (col(v) > col(s"${v}80")).cast("int")).cast("int")
-      u.crossJoin(broadcast(thr("r"))).crossJoin(broadcast(thr("f")))
-        .crossJoin(broadcast(thr("m")))
+      u.crossJoin(broadcast(thr))
         .select(col("user_id"), score("r").as("r_score"),
           score("f").as("f_score"), score("m").as("m_score"))
         .withColumn("segment", concat(col("r_score").cast("string"),
