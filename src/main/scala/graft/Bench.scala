@@ -37,7 +37,16 @@ object Bench {
     // query would silently reshuffle execution order between rounds and
     // shift JIT/GC warm-up attribution onto different queries — sorted
     // order keeps per-query numbers comparable round over round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for local per-query
+    // adjudication runs (the driver never sets it — full sweep)
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(ps) =>
+          val pref = ps.split(',').toSeq; name => pref.exists(name.startsWith)
+        case None => _ => true
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -59,6 +68,8 @@ object Bench {
     // immediately before the final JSON (a tail keeps the end of output),
     // plus the full JSON persisted to a file in the repo.
     results.foreach { case (k, v) => println(f"[bench] $k $v%.3f") }
+    // a filtered adjudication run must not clobber the full snapshot
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) { println(line); spark.stop(); return }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -213,6 +213,31 @@ object StreamingQueries {
         li.filter(col("split") === "train"),
         li.filter(col("split") === "test"),
         "l_returnflag", "l_linestatus", 3)
+    },
+
+    // Late-data drop audit: the windowed aggregate re-run with the backlog
+    // ARRIVING OUT OF ORDER (stragglers one micro-batch behind), certifying
+    // Spark's late-row rule — a row is dropped iff its window end ≤ the
+    // watermark committed before its batch (max on-time ts − 1 h). The
+    // oracle replays that rule arithmetically: on-time rows always count;
+    // straggler (event_id % 11 = 0) rows count only in windows still open
+    // at the straggler batch's watermark.
+    QueryDef(
+      "q185_stream_late_audit",
+      """WITH e AS (SELECT event_id,
+        |             epoch_us(cast(ts as timestamp)) AS us, event_type
+        |           FROM events),
+        |w AS (SELECT max(us) - 3600000000 AS wm FROM e
+        |      WHERE event_id % 11 <> 0),
+        |k AS (SELECT event_type, (us // 21600000000) * 21600000000 AS ws
+        |      FROM e, w
+        |      WHERE event_id % 11 <> 0
+        |         OR (us // 21600000000) * 21600000000 + 21600000000 > wm)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, cast(count(*) as bigint) AS cnt
+        |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Streams.runLateAudit(s, dir,
+        "q185_late_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     }
   )
 }

@@ -343,6 +343,97 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Late-data drop audit: certify EXACTLY which rows a watermarked
+    * windowed aggregate discards when data arrives out of order. The
+    * harness stages the backlog as an on-time file (event_id % 11 ≠ 0),
+    * an ADVANCER batch (one sentinel-type row at the on-time max ts),
+    * then the straggler file (% 11 = 0), pacing one file per micro-batch.
+    * The advancer batch matters: state eviction for closed windows runs at
+    * the END of the batch AFTER the watermark stat was collected, so
+    * without it the stragglers would merge into still-resident state and
+    * nothing would ever drop (measured: 0 drops without the advancer, the
+    * correct 902/910 with it at sf0.01). With it, the stragglers face
+    * already-evicted windows and Spark drops a late row iff its WINDOW
+    * END ≤ watermark = max(on-time ts) − delay — the precise semantics
+    * this query certifies cross-engine (the batch oracle replays the rule
+    * arithmetically). Two far-future sentinel batches then flush the
+    * surviving windows (Append-mode emission is a state eviction using
+    * the PREVIOUS batch's watermark — same two-step as the left-outer
+    * join harness). Window 6 h, delay 1 h. (Spark's watermark is held in
+    * MILLISECONDS — floor(maxUs/1000) − 3600000 — vs the oracle's
+    * microsecond subtraction; window ends are hour-aligned, so the sub-ms
+    * difference can never flip a window.)
+    */
+  def runLateAudit(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    import java.nio.file.Files
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val srcFile = s"$dir/events.parquet"
+      val fileSchema = probeEventsSchema(spark, srcFile)
+      val tsIsNanosLong = fileSchema("ts").dataType == LongType
+      val raw = spark.read.schema(fileSchema).parquet(srcFile)
+      // the watermark the stragglers face comes from the ON-TIME max only
+      val maxMicros = normalizeTs(raw).filter(col("event_id") % 11 =!= 0)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val stage = Files.createTempDirectory("graft_late_")
+      def writeStaged(df: DataFrame, name: String, ageHours: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_late_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = stage.resolve(name)
+        Files.move(part, dst)
+        // the file source paces oldest-mtime-first
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageHours * 3600000L))
+      }
+      def sentinelDf(sentMicros: Long): DataFrame = {
+        import spark.implicits._
+        if (tsIsNanosLong)
+          Seq((-1L, sentMicros * 1000L, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        else {
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            sentMicros / 1000000L, ((sentMicros % 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          Seq((-1L, ldt, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+      }
+      writeStaged(raw.filter(col("event_id") % 11 =!= 0), "e_0ontime.parquet", 6)
+      writeStaged(sentinelDf(maxMicros), "e_1advance.parquet", 5)
+      writeStaged(raw.filter(col("event_id") % 11 === 0), "e_2late.parquet", 4)
+      writeStaged(sentinelDf(maxMicros + 86400L * 1000000L),
+        "e_3sentinel1.parquet", 3)
+      writeStaged(sentinelDf(maxMicros + 2 * 86400L * 1000000L),
+        "e_4sentinel2.parquet", 2)
+      val agg = normalizeTs(spark.readStream
+          .schema(fileSchema)
+          .option("pathGlobFilter", "e_*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("cnt"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // sentinel filter stays out of the streaming plan (see the left-outer
+      // harness: pushdown would prune the sentinel files from the scan)
+      spark.table(queryName).filter(col("event_type") =!= "sentinel")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Idempotent keyed upsert sink via foreachBatch: the Complete-mode
     * per-type aggregate lands in a parquet table PARTITIONED BY the key
     * with dynamic partition overwrite — each micro-batch replaces exactly

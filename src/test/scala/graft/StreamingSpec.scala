@@ -136,4 +136,22 @@ class StreamingSpec extends SparkSpec {
     val emitted = spark.table("spec_sessions").as[Streams.Session].collect()
     assert(emitted.length == 1 && emitted(0).n == 2)
   }
+
+  test("late audit actually drops stragglers (and keeps the open-window ones)") {
+    val out = Streams.runLateAudit(spark, sf0001, "spec_late")
+    val total = out.agg(sum(col("cnt"))).head().getLong(0)
+    val all = Tables.events(spark, sf0001).count()
+    // batch replay of the certified rule: stragglers survive iff their
+    // window is still open at the watermark the advancer batch committed
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val wm = ev.filter(col("event_id") % 11 =!= 0)
+      .agg(max(col("us"))).head().getLong(0) - 3600000000L
+    val expected = ev.filter(col("event_id") % 11 =!= 0 ||
+      expr("us div 21600000000") * 21600000000L + 21600000000L > wm).count()
+    // if nothing dropped the audit is vacuous (the pre-advancer harness
+    // failure mode); and the kept count must equal the rule's prediction
+    assert(total < all, s"no straggler was dropped ($total of $all)")
+    assert(total == expected, s"drop rule mismatch ($total vs $expected)")
+  }
 }
