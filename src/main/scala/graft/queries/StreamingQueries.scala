@@ -238,6 +238,31 @@ object StreamingQueries {
         |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Streams.runLateAudit(s, dir,
         "q185_late_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
+    // Late-data drop audit for the stream-stream interval join: purchases
+    // straggling one micro-batch behind (event_id % 13 = 0) are dropped by
+    // RAW EVENT TIME (p_ts ≤ max on-time ts − 1 h) — a different rule from
+    // q185's aggregation drop (window end), which is exactly why both
+    // audits exist. The oracle is the batch interval join minus the
+    // filtered stragglers.
+    QueryDef(
+      "q186_stream_join_late_audit",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(cast(ts as timestamp)) AS us
+        |           FROM events),
+        |w AS (SELECT max(us) - 3600000000 AS wm FROM e
+        |      WHERE NOT (event_type = 'purchase' AND event_id % 13 = 0)),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, us FROM e, w
+        |      WHERE event_type = 'purchase'
+        |        AND (event_id % 13 <> 0 OR us > wm))
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM c JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.us >= c.us AND p.us <= c.us + 3600000000""".stripMargin) { (s, dir) =>
+      Streams.runIntervalJoinLateAudit(s, dir,
+        "q186_jlate_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     }
   )
 }

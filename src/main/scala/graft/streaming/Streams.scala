@@ -434,6 +434,93 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Late-data drop audit for the STREAM-STREAM interval join — the join
+    * counterpart of [[runLateAudit]], certifying a DIFFERENT rule: a join
+    * drops a late input row by its RAW EVENT TIME (ts ≤ watermark), not by
+    * a window end, and an on-time row's state is evicted once the
+    * watermark passes its join horizon. Staging: everything except the
+    * straggler purchases (event_id % 13 = 0) on time, one advancer batch
+    * (sentinel row at the on-time max — its batch's end performs the
+    * eviction), then the stragglers. A straggler purchase pairs with a
+    * click iff it survives the entry filter (p_ts > max(on-time ts) − 1 h);
+    * the clicks it could match (within 1 h before it) are then exactly the
+    * not-yet-evicted ones, so the filter is the single observable rule the
+    * oracle replays. Inner join — matches emit on arrival, no flush
+    * sentinels needed.
+    */
+  def runIntervalJoinLateAudit(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    import java.nio.file.Files
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val srcFile = s"$dir/events.parquet"
+      val fileSchema = probeEventsSchema(spark, srcFile)
+      val tsIsNanosLong = fileSchema("ts").dataType == LongType
+      val raw = spark.read.schema(fileSchema).parquet(srcFile)
+      val straggler = col("event_type") === "purchase" &&
+        col("event_id") % 13 === 0
+      val maxMicros = normalizeTs(raw).filter(!straggler)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val stage = Files.createTempDirectory("graft_jlate_")
+      def writeStaged(df: DataFrame, name: String, ageHours: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_jlate_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = stage.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageHours * 3600000L))
+      }
+      def sentinelDf(sentMicros: Long): DataFrame = {
+        import spark.implicits._
+        if (tsIsNanosLong)
+          Seq((-1L, sentMicros * 1000L, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        else {
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            sentMicros / 1000000L, ((sentMicros % 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          Seq((-1L, ldt, -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+      }
+      writeStaged(raw.filter(!straggler), "e_0ontime.parquet", 5)
+      writeStaged(sentinelDf(maxMicros), "e_1advance.parquet", 4)
+      writeStaged(raw.filter(straggler), "e_2late.parquet", 3)
+      def side(): DataFrame = normalizeTs(spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "e_*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString))
+      val clicks = side()
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = side()
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Idempotent keyed upsert sink via foreachBatch: the Complete-mode
     * per-type aggregate lands in a parquet table PARTITIONED BY the key
     * with dynamic partition overwrite — each micro-batch replaces exactly

@@ -154,4 +154,29 @@ class StreamingSpec extends SparkSpec {
     assert(total < all, s"no straggler was dropped ($total of $all)")
     assert(total == expected, s"drop rule mismatch ($total vs $expected)")
   }
+
+  test("join late audit drops pairs by raw event time (sf0.01: exactly the rule)") {
+    // sf0.001 has too few click→purchase pairs to exercise a drop; sf0.01
+    // deterministically loses pairs to the straggler filter
+    val out = Streams.runIntervalJoinLateAudit(spark, sf001, "spec_jlate")
+    val got = out.count()
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val wm = ev.filter(!(col("event_type") === "purchase" &&
+        col("event_id") % 13 === 0))
+      .agg(max(col("us"))).head().getLong(0) - 3600000000L
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+    def pairs(p: org.apache.spark.sql.DataFrame): Long = c.join(p, "user_id")
+      .filter(col("pus") >= col("cus") &&
+        col("pus") <= col("cus") + 3600000000L).count()
+    val full = pairs(ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus")))
+    val expected = pairs(ev.filter(col("event_type") === "purchase" &&
+        (col("event_id") % 13 =!= 0 || col("us") > wm))
+      .select(col("user_id"), col("us").as("pus")))
+    assert(expected < full, "staging produced no droppable pair")
+    assert(got == expected, s"join drop rule mismatch ($got vs $expected)")
+  }
 }
