@@ -544,6 +544,37 @@ object WarehouseQueries {
       Relational.prefixSumOrderedBy(o, Seq("label"), "k", "__one")
         .select(col("vec_id"), col("label"),
           ((col("__cum") - 1) % 5).cast("int").as("fold"))
+    },
+
+    // k-anonymity / l-diversity audit over the quasi-identifier
+    // (lang, length-centile-bucket): the privacy-risk screen a dataset
+    // release gate runs. Per equivalence class: size (k-anonymity) and
+    // distinct sensitive values (source — l-diversity); the report rolls
+    // up classes below k=5 / l=2 plus the worst observed k and l. TWO
+    // combining aggregates (class stats, then the roll-up) — the class
+    // table is the only thing that shuffles, never the corpus twice.
+    QueryDef(
+      "q187_k_anonymity",
+      """WITH c AS (SELECT lang, n_chars // 100 AS len_b,
+        |        cast(count(*) as bigint) AS k,
+        |        cast(count(DISTINCT source) as bigint) AS l
+        |      FROM documents GROUP BY lang, len_b)
+        |SELECT cast(count(*) as bigint) AS n_classes,
+        |  cast(min(k) as bigint) AS min_k, cast(min(l) as bigint) AS min_l,
+        |  cast(count(*) FILTER (WHERE k < 5) as bigint) AS n_small_classes,
+        |  cast(coalesce(sum(k) FILTER (WHERE k < 5), 0) as bigint)
+        |    AS n_risky_rows,
+        |  cast(count(*) FILTER (WHERE l < 2) as bigint) AS n_undiverse
+        |FROM c""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), expr("n_chars div 100").as("len_b"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("source")).as("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("k")).as("min_k"), min(col("l")).as("min_l"),
+          count(when(col("k") < 5, 1)).as("n_small_classes"),
+          coalesce(sum(when(col("k") < 5, col("k"))), lit(0L))
+            .as("n_risky_rows"),
+          count(when(col("l") < 2, 1)).as("n_undiverse"))
     }
   )
 }
