@@ -418,4 +418,26 @@ object Sketches {
       .agg(min(col("__v")).as("qvalue"))
       .select(col("__g").as(group), col("qvalue"))
   }
+
+  /** KMV (k-minimum-values) grouped distinct-count estimate over the
+    * native [[graft.plans.KmvBottomK]] aggregate. Returns one row per
+    * group with the bottom-k hash sketch reduced to an estimate:
+    * fewer than k distinct hashes → the sketch is exhaustive and the
+    * estimate is exact (= sketch size); otherwise (k−1)·2^60 / h_k with
+    * h_k the k-th smallest hash. The division runs in double on exact
+    * bigint inputs — one IEEE op, bit-identical in any engine — and
+    * floors back to bigint. Shuffle = one ≤k array per group per
+    * partition (see the aggregate's scaladoc for the 100 TB argument).
+    */
+  def kmvDistinctGrouped(df: DataFrame, group: String, key: Column,
+      k: Int): DataFrame = {
+    val sk = df.groupBy(group).agg(
+      graft.plans.KmvBottomK(key, k).as("__kmv"))
+    val hk = element_at(col("__kmv"), k).cast("double")
+    val est = when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18) / hk)
+        .cast("long"))
+    sk.select(col(group), est.as("kmv_est"),
+      size(col("__kmv")).cast("long").as("kmv_size"))
+  }
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, XHash}
+import graft.operators.{LinearAlgebra, Sketches}
+
+/** Corpus-scale statistics and index-construction operators: order-statistic
+  * distinct sketches (KMV), time-decayed scoring in exact scaled integers,
+  * exact Gram matrices over quantized embeddings, delta-encoded inverted
+  * indexes, and tokenizer-fertility profiling.
+  */
+object ScaleQueries {
+
+  /** Shared tokenizer CTE (same convention as TextQueries: whitespace
+    * split, empties dropped). */
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // KMV bottom-k distinct sketch per event_type over user_id, via the
+    // native KmvBottomK DeclarativeAggregate (one ≤k array per group per
+    // partition shuffles — NDV-independent, unlike a distinct+window build).
+    // The oracle rebuilds the same order statistic from first principles:
+    // distinct 60-bit md5 hashes, k-th smallest, (k−1)·2^60/h_k floored —
+    // every constant in e-notation double so both engines run the identical
+    // single IEEE division.
+    QueryDef(
+      "q188_kmv_distinct",
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${XHash.bucketHashSql("kmv", "cast(user_id as varchar)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h)
+         |SELECT event_type,
+         |  cast(CASE WHEN max(nd) < 64 THEN max(nd)
+         |       ELSE floor(63e0 * 1.152921504606846976e18 /
+         |                  cast(max(CASE WHEN rn = 64 THEN h END) as double))
+         |       END as bigint) AS kmv_est,
+         |  cast(least(max(nd), 64) as bigint) AS kmv_size
+         |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      Sketches.kmvDistinctGrouped(
+        Tables.events(s, dir), "event_type", col("user_id"), 64)
+    },
+
+    // Time-decayed popularity: revenue score with a 4-day half-life, in
+    // exact scaled integers — weight 2^(8 − halvings) with halvings =
+    // age_days div 4 capped at 8, so the weight is a plain bigint shift and
+    // the whole score is ONE map-side-combinable sum (no window, no double
+    // drift; headroom to sf1000 before bigint overflow). The newest-date
+    // anchor is a 1-row broadcast.
+    QueryDef(
+      "q189_decayed_popularity",
+      """WITH e AS (SELECT event_type,
+        |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents,
+        |    cast(ts as date) AS d
+        |  FROM events),
+        |a AS (SELECT max(d) AS anchor FROM e)
+        |SELECT event_type,
+        |  cast(sum(cents * (cast(1 as bigint) <<
+        |         cast(8 - least(datediff('day', d, anchor) // 4, 8) as int)))
+        |       as bigint) AS decayed_score_x256,
+        |  cast(count(*) as bigint) AS n_events
+        |FROM e, a GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"),
+        to_date(col("ts")).as("d"))
+      val anchor = e.agg(max("d").as("anchor"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("halvings",
+          least(expr("datediff(anchor, d) div 4"), lit(8)).cast("int"))
+        .groupBy("event_type")
+        .agg(sum(col("cents") * expr("shiftleft(cast(1 as bigint), 8 - halvings)"))
+            .as("decayed_score_x256"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // Exact upper-triangular Gram matrix of int8-quantized embeddings
+    // (dense per-partition fold; shuffle = O(partitions·d²) rows — see
+    // LinearAlgebra.gramInt8). The oracle replays the same integer
+    // arithmetic through an explode + self-join; both are exact bigint, so
+    // the 2080 cells match bit-for-bit.
+    QueryDef(
+      "q190_gram_int8",
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> cast(floor(cast(x as double) * (127.0 / m)) as int)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS m
+        |        FROM embeddings)),
+        |ex AS (SELECT vec_id, cast(r.range as int) AS i,
+        |              q[cast(r.range as int)] AS v
+        |       FROM qv, range(1, 65) r)
+        |SELECT a.i AS i, b.i AS j,
+        |       cast(sum(cast(a.v as bigint) * b.v) as bigint) AS dot
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      LinearAlgebra.gramInt8(Tables.embeddings(s, dir), "embedding", 64)
+    },
+
+    // Delta-encoded inverted index: term → document frequency + gap-encoded
+    // postings (first gap from 0). The index build is pure shuffle-by-term;
+    // gaps come from a per-term window over doc_id and the ordered postings
+    // list from sorting the collected (doc_id, gap) pairs — deterministic
+    // regardless of collect_list arrival order.
+    QueryDef(
+      "q191_postings_index",
+      s"""$toksCte,
+         |p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+         |g AS (SELECT term, doc_id,
+         |        doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+         |      FROM p)
+         |SELECT term, cast(count(*) as bigint) AS df,
+         |       array_to_string(list(gap ORDER BY doc_id), ',') AS gaps
+         |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(ArrayOps.tokens(col("text")))).as("term"))
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      p.withColumn("gap", col("doc_id") - lag("doc_id", 1, 0).over(w))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("gap")))),
+            x => x.getField("gap").cast("string")), ",").as("gaps"))
+    },
+
+    // Tokenizer fertility by language: whitespace tokens per million chars,
+    // as an exact integer ratio (the pretraining-mix metric for how
+    // token-hungry each language is under a given tokenizer). One
+    // map-side-combinable aggregate over two exact sums.
+    QueryDef(
+      "q192_token_fertility",
+      s"""$toksCte
+         |SELECT lang,
+         |  cast(sum(len(toks)) as bigint) AS total_tokens,
+         |  cast(sum(n_chars) as bigint) AS total_chars,
+         |  cast((sum(len(toks)) * 1000000) // sum(n_chars) as bigint)
+         |    AS tokens_per_mchar
+         |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), size(ArrayOps.tokens(col("text"))).as("ntok"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(sum(col("ntok").cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("tokens_per_mchar",
+          expr("(total_tokens * 1000000) div total_chars"))
+    }
+  )
+}
