@@ -55,6 +55,13 @@ object Bench {
       // tax late queries with GC/eviction pressure — clear BETWEEN
       // measurements so each query is timed against a cold cache
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // broadcast blocks (and checkpointed RDDs) are only released when the
+      // driver GCs their references and the ContextCleaner notices — across
+      // ~190 queries they otherwise pile up to heap pressure that taxed
+      // mid-sweep queries 3-5x vs solo runs (measured: q106/q107 12.7/16.7 s
+      // in-sweep vs 3.9/3.4 s solo). An explicit GC between measurements
+      // runs OUTSIDE the timed section and keeps each query's heap clean.
+      System.gc()
       name -> sec
     }
     // Per-query times rounded to ms: keeps the one-line JSON ~3× shorter
