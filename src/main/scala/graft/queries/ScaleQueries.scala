@@ -135,6 +135,73 @@ object ScaleQueries {
             x => x.getField("gap").cast("string")), ",").as("gaps"))
     },
 
+    // Theta-sketch set algebra over KMV bottom-k sketches: the click and
+    // purchase user sketches are built in ONE scan (conditional aggregates
+    // — KmvBottomK skips the NULLs the when() injects), the union sketch is
+    // merge = union+sort+truncate of the two ≤k arrays, and the
+    // intersection estimate is inclusion–exclusion over the three
+    // estimates. This is the property HLL lacks: the same mergeable state
+    // answers arbitrary set expressions. Exact intersection (one flag
+    // aggregate, map-side combinable) rides along to expose the sketch
+    // error. All arithmetic is exact bigint except one floored IEEE
+    // division per estimate.
+    QueryDef(
+      "q193_kmv_setops",
+      s"""WITH ha AS (SELECT DISTINCT
+         |    ${XHash.bucketHashSql("kmv", "cast(user_id as varchar)")} AS h
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |hb AS (SELECT DISTINCT
+         |    ${XHash.bucketHashSql("kmv", "cast(user_id as varchar)")} AS h
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |sa AS (SELECT count(*) AS n, max(h) AS hk
+         |       FROM (SELECT h FROM ha ORDER BY h LIMIT 64)),
+         |sb AS (SELECT count(*) AS n, max(h) AS hk
+         |       FROM (SELECT h FROM hb ORDER BY h LIMIT 64)),
+         |su AS (SELECT count(*) AS n, max(h) AS hk FROM (
+         |         SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+         |         ORDER BY h LIMIT 64)),
+         |ea AS (SELECT CASE WHEN n < 64 THEN n ELSE cast(floor(
+         |    63e0 * 1.152921504606846976e18 / cast(hk as double)) as bigint)
+         |  END AS e FROM sa),
+         |eb AS (SELECT CASE WHEN n < 64 THEN n ELSE cast(floor(
+         |    63e0 * 1.152921504606846976e18 / cast(hk as double)) as bigint)
+         |  END AS e FROM sb),
+         |eu AS (SELECT CASE WHEN n < 64 THEN n ELSE cast(floor(
+         |    63e0 * 1.152921504606846976e18 / cast(hk as double)) as bigint)
+         |  END AS e FROM su),
+         |ex AS (SELECT count(*) AS exact_both FROM (
+         |         SELECT user_id FROM events WHERE event_type = 'click' GROUP BY 1
+         |         INTERSECT
+         |         SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY 1))
+         |SELECT cast(eu.e as bigint) AS union_est,
+         |       cast(ea.e + eb.e - eu.e as bigint) AS intersect_est,
+         |       cast(exact_both as bigint) AS exact_both
+         |FROM ea, eb, eu, ex""".stripMargin) { (s, dir) =>
+      val k = 64
+      def est(c: org.apache.spark.sql.Column) =
+        when(size(c) < k, size(c).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+            element_at(c, k).cast("double")).cast("long"))
+      val e = Tables.events(s, dir)
+      val sketches = e.agg(
+        graft.plans.KmvBottomK(
+          when(col("event_type") === "click", col("user_id")), k).as("ka"),
+        graft.plans.KmvBottomK(
+          when(col("event_type") === "purchase", col("user_id")), k).as("kb"))
+      val exact = e.groupBy("user_id").agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("ca"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("cb"))
+        .filter(col("ca") === 1 && col("cb") === 1)
+        .agg(count(lit(1)).as("exact_both"))
+      sketches
+        .withColumn("ku",
+          slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+        .crossJoin(broadcast(exact))
+        .select(est(col("ku")).as("union_est"),
+          (est(col("ka")) + est(col("kb")) - est(col("ku"))).as("intersect_est"),
+          col("exact_both"))
+    },
+
     // Tokenizer fertility by language: whitespace tokens per million chars,
     // as an exact integer ratio (the pretraining-mix metric for how
     // token-hungry each language is under a given tokenizer). One
