@@ -202,6 +202,67 @@ object ScaleQueries {
           col("exact_both"))
     },
 
+    // Dominant-eigenvector estimate of the embedding Gram matrix: two
+    // power-iteration steps in fixed-point integer arithmetic. The corpus
+    // is touched ONCE (the q190 Gram fold); each iteration is then a
+    // d-sized matvec — join G with the broadcast d-vector, one combining
+    // sum per row. Rescaling between steps keeps values in bigint;
+    // division parity needs care: DuckDB `//` floors while Spark `div`
+    // truncates, so the scaled divide is sign-decomposed
+    // (sign·(|x|·10^6 // s), identical in both engines for s > 0).
+    QueryDef(
+      "q194_power_iteration",
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> cast(floor(cast(x as double) * (127.0 / m)) as int)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS m
+        |        FROM embeddings)),
+        |ex AS (SELECT vec_id, cast(r.range as int) AS i,
+        |              q[cast(r.range as int)] AS v
+        |       FROM qv, range(1, 65) r),
+        |gu AS (SELECT a.i AS i, b.i AS j,
+        |              cast(sum(cast(a.v as bigint) * b.v) as bigint) AS dot
+        |       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |       GROUP BY 1, 2),
+        |g AS (SELECT i, j, dot FROM gu
+        |      UNION ALL SELECT j, i, dot FROM gu WHERE i < j),
+        |v1r AS (SELECT i, sum(dot) AS x FROM g GROUP BY i),
+        |s1 AS (SELECT max(abs(x)) AS s FROM v1r),
+        |v1 AS (SELECT i, cast(sign(x) as bigint) *
+        |         ((abs(x) * 1000) // (SELECT s FROM s1)) AS x FROM v1r),
+        |v2r AS (SELECT g.i, sum(g.dot * v1.x) AS x
+        |        FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+        |s2 AS (SELECT max(abs(x)) AS s FROM v2r)
+        |SELECT v1.i AS i, cast(v1.x as bigint) AS v1_scaled,
+        |  cast(cast(sign(v2r.x) as bigint) *
+        |       ((abs(v2r.x) * 1000) // (SELECT s FROM s2)) as bigint)
+        |    AS v2_scaled
+        |FROM v1 JOIN v2r ON v2r.i = v1.i""".stripMargin) { (s, dir) =>
+      val gu = LinearAlgebra.gramInt8(Tables.embeddings(s, dir), "embedding", 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = gu.unionByName(
+        gu.filter(col("i") < col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("dot")))
+      def rescale(df: org.apache.spark.sql.DataFrame) = {
+        val sF = df.agg(max(abs(col("x"))).as("s"))
+        df.crossJoin(broadcast(sF))
+          .select(col("i"),
+            (signum(col("x")).cast("long") *
+              expr("(abs(x) * 1000) div s")).as("x"))
+      }
+      val v1r = g.groupBy("i").agg(sum("dot").as("x"))
+      val v1 = rescale(v1r)
+      val v2r = g.join(broadcast(v1.select(col("i").as("j"), col("x").as("vx"))),
+          "j")
+        .groupBy("i").agg(sum(col("dot") * col("vx")).as("x"))
+      val v2 = rescale(v2r)
+      v1.select(col("i"), col("x").as("v1_scaled"))
+        .join(v2.select(col("i"), col("x").as("v2_scaled")), "i")
+    },
+
     // Tokenizer fertility by language: whitespace tokens per million chars,
     // as an exact integer ratio (the pretraining-mix metric for how
     // token-hungry each language is under a given tokenizer). One
