@@ -284,6 +284,128 @@ object ScaleQueries {
           sum(col("n_chars")).as("total_chars"))
         .withColumn("tokens_per_mchar",
           expr("(total_tokens * 1000000) div total_chars"))
+    },
+
+    // Hash-based A/B permutation test: the observed arm split (md5 bucket
+    // of user_id, the C12 split primitive) plus 8 re-randomized null
+    // splits, all evaluated in ONE pass — the seed list cross-joins the
+    // purchase stream as a 9-row broadcast, per-(seed, arm) sums are exact
+    // cents, each mean is a single IEEE division, and the significance
+    // flag compares |diff| against the observed |diff| (1-row broadcast).
+    // Deterministic permutation inference with no RNG: re-randomization IS
+    // re-seeding the hash.
+    QueryDef(
+      "q195_ab_permutation",
+      s"""WITH seeds(seed) AS (VALUES ('obs'), ('null1'), ('null2'),
+         |    ('null3'), ('null4'), ('null5'), ('null6'), ('null7'), ('null8')),
+         |e AS (SELECT user_id,
+         |        cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+         |      FROM events
+         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |a AS (SELECT s.seed,
+         |        CASE WHEN (cast(('0x' || substr(md5(s.seed || chr(1) ||
+         |               cast(user_id as varchar)), 1, 15)) as bigint) % 100) < 50
+         |             THEN 1 ELSE 0 END AS arm,
+         |        cents
+         |      FROM e, seeds s),
+         |m AS (SELECT seed,
+         |        sum(CASE WHEN arm = 0 THEN cents END) AS c0,
+         |        count(CASE WHEN arm = 0 THEN 1 END) AS n0,
+         |        sum(CASE WHEN arm = 1 THEN cents END) AS c1,
+         |        count(CASE WHEN arm = 1 THEN 1 END) AS n1
+         |      FROM a GROUP BY 1),
+         |d AS (SELECT seed, cast(n0 as bigint) AS n0, cast(n1 as bigint) AS n1,
+         |        cast(c1 as double) / cast(n1 as double)
+         |          - cast(c0 as double) / cast(n0 as double) AS diff
+         |      FROM m),
+         |o AS (SELECT abs(diff) AS oa FROM d WHERE seed = 'obs')
+         |SELECT seed, n0, n1, diff,
+         |  cast(CASE WHEN abs(diff) >= oa THEN 1 ELSE 0 END as int) AS is_extreme
+         |FROM d, o""".stripMargin) { (s, dir) =>
+      val seeds = (Seq("obs") ++ (1 to 8).map(i => s"null$i"))
+        .map(x => s"'$x'").mkString(",")
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+      val d = e.crossJoin(broadcast(
+          s.sql(s"SELECT explode(array($seeds)) AS seed")))
+        .withColumn("arm",
+          (pmod(graft.plans.Md5Bucket60(col("seed"),
+            col("user_id").cast("string")), lit(100L)) < 50).cast("int"))
+        .groupBy("seed")
+        .agg(sum(when(col("arm") === 0, col("cents"))).as("c0"),
+          count(when(col("arm") === 0, 1)).as("n0"),
+          sum(when(col("arm") === 1, col("cents"))).as("c1"),
+          count(when(col("arm") === 1, 1)).as("n1"))
+        .select(col("seed"), col("n0"), col("n1"),
+          (col("c1").cast("double") / col("n1").cast("double")
+            - col("c0").cast("double") / col("n0").cast("double")).as("diff"))
+      val o = d.filter(col("seed") === "obs")
+        .select(abs(col("diff")).as("oa"))
+      d.crossJoin(broadcast(o))
+        .select(col("seed"), col("n0"), col("n1"), col("diff"),
+          (abs(col("diff")) >= col("oa")).cast("int").as("is_extreme"))
+    },
+
+    // Varint compression planning over the q191 postings index: per term,
+    // the LEB128 byte cost of the gap-encoded postings (bytes(g) =
+    // (bitlen(g)+6) div 7, bitlen from integer bin()-length — no float
+    // log) vs the fixed 8-byte encoding. The whole audit is the index
+    // build plus one combining sum — the "how big will this index be"
+    // planner query, exact integers end to end.
+    QueryDef(
+      "q196_varint_cost",
+      s"""$toksCte,
+         |p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+         |g AS (SELECT term, doc_id,
+         |        doc_id - lag(doc_id, 1, 0) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+         |      FROM p)
+         |SELECT term, cast(count(*) as bigint) AS df,
+         |  cast(sum((len(bin(cast(greatest(gap, 1) as bigint))) + 6) // 7)
+         |       as bigint) AS varint_bytes,
+         |  cast(count(*) * 8 as bigint) AS fixed_bytes
+         |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(ArrayOps.tokens(col("text")))).as("term"))
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      p.withColumn("gap", col("doc_id") - lag("doc_id", 1, 0).over(w))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(expr("(length(bin(greatest(gap, cast(1 as bigint)))) + 6) div 7")
+            .cast("long")).as("varint_bytes"),
+          (count(lit(1)) * 8).as("fixed_bytes"))
+    },
+
+    // Count-min-sketch join-size estimation: the self-join size of
+    // lineitem on l_partkey (Σ_k c_k² — the skew/planning statistic) from
+    // the CMS inner product min_r Σ_c A[r][c]², against the exact count.
+    // The grid is a fixed d×w aggregate (shuffle ≤ d·w rows at any scale);
+    // the inner product folds the grid itself — the classic
+    // Alon-Matias-Szegedy style estimate a cost-based planner runs BEFORE
+    // committing to a join strategy.
+    QueryDef(
+      "q197_cms_join_size",
+      s"""WITH u AS (SELECT cast(l_partkey as varchar) AS term FROM lineitem),
+         |ex AS (SELECT cast(sum(c * c) as bigint) AS exact_pairs FROM (
+         |         SELECT count(*) AS c FROM u GROUP BY term)),
+         |cell AS (SELECT r.range AS r,
+         |           ${XHash.bucketSql("cms", 1024,
+                        "cast(r.range as varchar)", "term")} AS c,
+         |           count(*) AS cnt
+         |         FROM u CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+         |est AS (SELECT cast(min(s) as bigint) AS cms_pairs FROM (
+         |          SELECT r, sum(cnt * cnt) AS s FROM cell GROUP BY r))
+         |SELECT exact_pairs, cms_pairs FROM ex, est""".stripMargin) { (s, dir) =>
+      val u = Tables.lineitem(s, dir)
+        .select(col("l_partkey").cast("string").as("term"))
+      val exact = u.groupBy("term").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_pairs"))
+      val est = Sketches.cmsCounters(u, "term", depth = 4, width = 1024)
+        .groupBy("r").agg(sum(col("cnt") * col("cnt")).as("s"))
+        .agg(min(col("s")).as("cms_pairs"))
+      exact.crossJoin(broadcast(est))
     }
   )
 }
