@@ -421,6 +421,40 @@ class PlanSpec extends SparkSpec {
       "k-fold window without bucket key:\n" + l))
   }
 
+  test("q188/q193: KMV sketch aggregates are partial (map-side) hash aggs") {
+    for (q <- Seq("q188_kmv_distinct", "q193_kmv_setops")) {
+      val p = plan(q)
+      // the sketch must fold map-side: partial kmv_bottom_k before the
+      // exchange, so only <=k arrays per group per partition shuffle
+      assert(p.contains("partial_kmv_bottom_k"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q189: decayed popularity is one aggregate, no window, no SMJ") {
+    val p = plan("q189_decayed_popularity")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q190: gram matrix shuffles only the d^2 partials") {
+    val p = plan("q190_gram_int8")
+    // exactly one exchange: the (i, j) partial-sum regroup; the corpus
+    // itself must never exchange
+    val exchanges = p.linesIterator.count(_.trim.matches(raw"\(\d+\) Exchange.*"))
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q195: permutation seeds and observed diff broadcast; no SMJ") {
+    val p = plan("q195_ab_permutation")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
