@@ -406,6 +406,81 @@ object ScaleQueries {
         .groupBy("r").agg(sum(col("cnt") * col("cnt")).as("s"))
         .agg(min(col("s")).as("cms_pairs"))
       exact.crossJoin(broadcast(est))
+    },
+
+    // Position-based multi-touch attribution: each purchase's cents are
+    // split over the user's clicks in the preceding hour — 100% to a lone
+    // click, 50/50 for two, else 40% first / 40% last / 20% split equally
+    // over the middles with the integer remainder pinned to the earliest
+    // middle, so every purchase's credit sums to exactly 100·cents
+    // (centicent units, no float splits). Candidates come from the binned
+    // range join (equi-join on (user, hour-bin), purchases exploded into 2
+    // bins — never an inequality SMJ); positions from windows keyed on the
+    // PURCHASE id, whose cardinality grows with the data.
+    QueryDef(
+      "q198_touch_attribution",
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             epoch_us(cast(ts as timestamp)) AS cus
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id,
+        |        epoch_us(cast(ts as timestamp)) AS pus,
+        |        cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |pb AS (SELECT *, unnest([pus // 3600000000, pus // 3600000000 - 1]) AS bin
+        |       FROM p),
+        |cand AS (SELECT pb.p_id, pb.cents, c.click_id, c.cus
+        |         FROM pb JOIN c ON c.user_id = pb.user_id
+        |           AND c.cus // 3600000000 = pb.bin
+        |         WHERE c.cus <= pb.pus AND c.cus > pb.pus - 3600000000),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY p_id ORDER BY cus, click_id) AS rn,
+        |        count(*) OVER (PARTITION BY p_id) AS n
+        |      FROM cand),
+        |cr AS (SELECT click_id,
+        |        CASE WHEN n = 1 THEN cents * 100
+        |             WHEN n = 2 THEN cents * 50
+        |             WHEN rn = 1 OR rn = n THEN cents * 40
+        |             ELSE (cents * 20) // (n - 2)
+        |                  + CASE WHEN rn = 2 THEN
+        |                      cents * 20 - (n - 2) * ((cents * 20) // (n - 2))
+        |                    ELSE 0 END
+        |        END AS credit
+        |      FROM r)
+        |SELECT click_id, cast(sum(credit) as bigint) AS credit_centicents,
+        |       cast(count(*) as bigint) AS n_purchases
+        |FROM cr GROUP BY 1""".stripMargin) { (s, dir) =>
+      val hUs = 3600000000L
+      val ev = Tables.events(s, dir)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cus"))
+        .withColumn("bin", expr(s"cus div $hUs"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("pus"),
+          (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+        .withColumn("bin",
+          explode(array(expr(s"pus div $hUs"), expr(s"pus div $hUs - 1"))))
+      val cand = p.join(c, Seq("user_id", "bin"))
+        .filter(col("cus") <= col("pus") && col("cus") > col("pus") - hUs)
+        .select(col("p_id"), col("cents"), col("click_id"), col("cus"))
+      val wOrd = Window.partitionBy("p_id").orderBy("cus", "click_id")
+      val wAll = Window.partitionBy("p_id")
+      cand
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit", expr(
+          """CASE WHEN n = 1 THEN cents * 100
+            |     WHEN n = 2 THEN cents * 50
+            |     WHEN rn = 1 OR rn = n THEN cents * 40
+            |     ELSE (cents * 20) div (n - 2)
+            |          + CASE WHEN rn = 2 THEN
+            |              cents * 20 - (n - 2) * ((cents * 20) div (n - 2))
+            |            ELSE 0 END
+            |END""".stripMargin))
+        .groupBy("click_id")
+        .agg(sum(col("credit")).as("credit_centicents"),
+          count(lit(1)).as("n_purchases"))
     }
   )
 }
