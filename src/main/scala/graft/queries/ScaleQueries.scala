@@ -481,6 +481,34 @@ object ScaleQueries {
         .groupBy("click_id")
         .agg(sum(col("credit")).as("credit_centicents"),
           count(lit(1)).as("n_purchases"))
+    },
+
+    // Window-free grouped top-k via the native BottomKAgg: top-3 events by
+    // cents per type, ranked by the sorted ≤k buffer of (−cents, event_id)
+    // structs — map-side fold, one ≤k array per group per partition
+    // shuffles, no per-group sort of the full data. The oracle is the
+    // window formulation (row_number ≤ 3 with the same tie-break), proving
+    // the aggregate reproduces window semantics exactly.
+    QueryDef(
+      "q199_grouped_topk_native",
+      """WITH e AS (SELECT event_type, event_id,
+        |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, event_id, cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY cents DESC, event_id) AS rank
+        |      FROM e)
+        |SELECT event_type, cast(rank as int) AS rank, event_id, cents
+        |FROM r WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+      e.groupBy("event_type")
+        .agg(graft.plans.BottomKAgg(
+          struct((-col("cents")).as("nc"), col("event_id").as("eid")), 3)
+          .as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).as("rank"),
+          col("col.eid").as("event_id"), (-col("col.nc")).as("cents"))
     }
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.BottomKAgg
+
+/** BottomKAgg: must equal the brute-force k-smallest (duplicates KEPT —
+  * unlike KmvBottomK's set semantics) on any partitioning, skip NULLs,
+  * and reproduce window top-k semantics on structs. */
+class BottomKAggSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  test("bottom-k keeps duplicates and matches brute force on any partitioning") {
+    import spark.implicits._
+    val vs: Seq[Long] = Seq(5L, 1L, 3L, 1L, 9L, 1L, 3L, 7L, 2L)
+    for (parts <- Seq(1, 2, 5)) {
+      val got = spark.createDataset(vs).repartition(parts).toDF("v")
+        .agg(BottomKAgg(col("v"), 4).as("b"))
+        .head().getList[Long](0).asScala.toSeq
+      assert(got == vs.sorted.take(4), s"parts=$parts")
+    }
+  }
+
+  test("NULLs are skipped; under-full buffer returns all values sorted") {
+    import spark.implicits._
+    val got = spark.createDataset(Seq[Option[Long]](Some(4L), None, Some(2L)))
+      .toDF("v")
+      .agg(BottomKAgg(col("v"), 10).as("b"))
+      .head().getList[Long](0).asScala.toSeq
+    assert(got == Seq(2L, 4L))
+  }
+
+  test("struct ranking reproduces window ORDER BY v DESC, id semantics") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L),
+      ("a", 4L, 20L), ("b", 5L, 1L)).toDF("g", "id", "v")
+    val got = rows.groupBy("g")
+      .agg(BottomKAgg(struct((-col("v")).as("nv"), col("id").as("id")), 2)
+        .as("b"))
+      .select(col("g"), posexplode(col("b")))
+      .select(col("g"), col("pos"), col("col.id"), (-col("col.nv")).as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // a: top-2 by v desc, tie on v=30 broken by smaller id first
+    assert(got == Set(("a", 0, 2L, 30L), ("a", 1, 3L, 30L), ("b", 0, 5L, 1L)))
+  }
+}

@@ -455,6 +455,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q199: grouped top-k folds map-side, no Window, no per-group sort") {
+    val p = plan("q199_grouped_topk_native")
+    assert(p.contains("partial_bottom_k"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
