@@ -509,6 +509,81 @@ object ScaleQueries {
         .select(col("event_type"), posexplode(col("tk")))
         .select(col("event_type"), (col("pos") + 1).as("rank"),
           col("col.eid").as("event_id"), (-col("col.nc")).as("cents"))
+    },
+
+    // RLE-run storage audit: how many value runs l_returnflag forms under
+    // the table's natural key order vs a date-clustered layout — the
+    // measurement behind choosing a sort/cluster key before a big write
+    // (runs ≈ RLE pages). A run starts where the value differs from its
+    // predecessor in the ordering; the count is decomposed scale-safely:
+    // rows bucket by contiguous ranges of the ordering key, run starts are
+    // counted per bucket (every bucket's first row counts), and the
+    // overcount is corrected where a bucket's first value equals the
+    // previous non-empty bucket's last value — min/max(struct) combining
+    // aggregates recover the bucket edge rows, and only the ≤#buckets edge
+    // frame sees a global-order window. No full-order single reducer.
+    QueryDef(
+      "q200_rle_runs",
+      """WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |             cast(l_shipdate as date) AS sd
+        |           FROM lineitem),
+        |nat AS (SELECT count(*) AS runs FROM (
+        |  SELECT CASE WHEN l_returnflag IS DISTINCT FROM
+        |           lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber,
+        |                                   l_returnflag)
+        |         THEN 1 ELSE 0 END AS st FROM s) WHERE st = 1),
+        |dc AS (SELECT count(*) AS runs FROM (
+        |  SELECT CASE WHEN l_returnflag IS DISTINCT FROM
+        |           lag(l_returnflag) OVER (ORDER BY sd, l_orderkey, l_linenumber,
+        |                                   l_returnflag)
+        |         THEN 1 ELSE 0 END AS st FROM s) WHERE st = 1)
+        |SELECT cast((SELECT count(*) FROM s) as bigint) AS n_rows,
+        |       cast(nat.runs as bigint) AS natural_runs,
+        |       cast(dc.runs as bigint) AS date_runs,
+        |       cast((SELECT count(DISTINCT l_returnflag) FROM s) as bigint)
+        |         AS run_floor
+        |FROM nat, dc""".stripMargin) { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("sd"))
+      // run count under (orderCols, flag) with bucket = contiguous ranges
+      // of the leading order key: within-bucket lag + cross-bucket edge
+      // correction. The flag itself is the final tiebreaker — (orderkey,
+      // linenumber) is NOT unique in this data, and any residual tie then
+      // has equal flags, so the run count is order-independent and
+      // engine-portable.
+      def runs(bucket: org.apache.spark.sql.Column,
+          orderPrefix: Seq[org.apache.spark.sql.Column]) = {
+        val order = orderPrefix :+ col("l_returnflag")
+        val k = base.withColumn("__b", bucket)
+        val wIn = Window.partitionBy("__b").orderBy(order: _*)
+        val within = k
+          .withColumn("__st",
+            when(not(col("l_returnflag") <=> lag("l_returnflag", 1).over(wIn)),
+              1L).otherwise(0L))
+          .agg(sum(col("__st")).as("__w"))
+        val ord = struct(order: _*)
+        val edges = k.groupBy("__b")
+          .agg(min(ord).as("__f"), max(ord).as("__l"))
+        val wB = Window.orderBy("__b") // ≤ #buckets rows — bounded frame
+        val dups = edges
+          .withColumn("__pl",
+            lag(col("__l").getField("l_returnflag"), 1).over(wB))
+          .filter(col("__pl") === col("__f").getField("l_returnflag"))
+          .agg(count(lit(1)).as("__d"))
+        within.crossJoin(broadcast(dups))
+          .select((col("__w") - coalesce(col("__d"), lit(0L))).as("runs"))
+      }
+      val nat = runs(expr("l_orderkey div 4096"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+      val dc = runs(expr("datediff(sd, date'1992-01-01') div 30"),
+        Seq(col("sd"), col("l_orderkey"), col("l_linenumber")))
+      base.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_returnflag")).as("run_floor"))
+        .crossJoin(broadcast(nat.select(col("runs").as("natural_runs"))))
+        .crossJoin(broadcast(dc.select(col("runs").as("date_runs"))))
+        .select(col("n_rows"), col("natural_runs"), col("date_runs"),
+          col("run_floor"))
     }
   )
 }
