@@ -584,6 +584,65 @@ object ScaleQueries {
         .crossJoin(broadcast(dc.select(col("runs").as("date_runs"))))
         .select(col("n_rows"), col("natural_runs"), col("date_runs"),
           col("run_floor"))
+    },
+
+    // Time travel over the CDC changelog: reconstruct the keyed table
+    // state AS OF two timestamps from one scan — per user, the last op at
+    // or before each T comes from a CONDITIONAL max(struct) (two argmax
+    // channels in the same combining aggregate, so a hot key's whole
+    // history still collapses map-side — q174's shape, twice in one pass),
+    // 'error' tombstones delete. The snapshot diff (added / removed /
+    // changed keys between T1 and T2) is then flag arithmetic on the one
+    // aggregate's output — the lakehouse VERSION AS OF audit with no
+    // second scan and no window.
+    QueryDef(
+      "q201_time_travel",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(cast(ts as timestamp)) AS us,
+        |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |  FROM events),
+        |t1 AS (SELECT user_id, event_type, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e WHERE us <= epoch_us(TIMESTAMP '2024-01-11 00:00:00'))
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |t2 AS (SELECT user_id, event_type, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e WHERE us <= epoch_us(TIMESTAMP '2024-01-21 00:00:00'))
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |j AS (SELECT coalesce(t1.user_id, t2.user_id) AS u,
+        |        t1.user_id IS NOT NULL AS a1, t2.user_id IS NOT NULL AS a2,
+        |        t1.cents AS c1, t2.cents AS c2
+        |      FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id)
+        |SELECT cast(sum(CASE WHEN a1 THEN 1 ELSE 0 END) as bigint) AS n_t1,
+        |  cast(sum(CASE WHEN a2 THEN 1 ELSE 0 END) as bigint) AS n_t2,
+        |  cast(sum(CASE WHEN a2 AND NOT a1 THEN 1 ELSE 0 END) as bigint) AS added,
+        |  cast(sum(CASE WHEN a1 AND NOT a2 THEN 1 ELSE 0 END) as bigint) AS removed,
+        |  cast(sum(CASE WHEN a1 AND a2 AND c1 <> c2 THEN 1 ELSE 0 END) as bigint)
+        |    AS changed
+        |FROM j""".stripMargin) { (s, dir) =>
+      val t1us = 1704931200000000L // 2024-01-11 00:00:00 UTC
+      val t2us = 1705795200000000L // 2024-01-21 00:00:00 UTC
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+      def lastOp(t: Long) = max(when(col("us") <= t,
+        struct(col("us"), col("event_id"), col("event_type").as("et"),
+          col("cents").as("c"))))
+      val st = e.groupBy("user_id")
+        .agg(lastOp(t1us).as("o1"), lastOp(t2us).as("o2"))
+        .select(
+          (col("o1").isNotNull && col("o1.et") =!= "error").as("a1"),
+          (col("o2").isNotNull && col("o2.et") =!= "error").as("a2"),
+          col("o1.c").as("c1"), col("o2.c").as("c2"))
+      st.agg(
+        sum(when(col("a1"), 1).otherwise(0)).cast("long").as("n_t1"),
+        sum(when(col("a2"), 1).otherwise(0)).cast("long").as("n_t2"),
+        sum(when(col("a2") && !col("a1"), 1).otherwise(0)).cast("long").as("added"),
+        sum(when(col("a1") && !col("a2"), 1).otherwise(0)).cast("long").as("removed"),
+        sum(when(col("a1") && col("a2") && col("c1") =!= col("c2"), 1)
+          .otherwise(0)).cast("long").as("changed"))
     }
   )
 }
