@@ -203,4 +203,37 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Personalized PageRank, scaled-integer like [[pagerankScaled]] but the
+    * 15% restart mass goes ONLY to the `seeds` set (column `v`): ranks
+    * concentrate around the seeds' neighborhoods — the
+    * "recommendations-for-this-user / expand-this-domain" primitive. Seed
+    * membership is a broadcast left-join flag; everything else is the same
+    * exact-integer contribute/damp loop (r div od per edge, 85% damped,
+    * integer floors), so any engine replays it bit-for-bit. Nodes start at
+    * `scale` on seeds and 0 elsewhere. Unnormalized (mass leaks at sinks
+    * and floors) — rankings, not probabilities, are the contract. */
+  def personalizedPagerankScaled(edges: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("v")).distinct()
+      .join(broadcast(seeds.select(col("v"), lit(1).as("__s"))), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__s"), lit(0)).as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = when(col("is_seed") === 1, lit(scale * 15L / 100L)).otherwise(lit(0L))
+    var ranks = nodes.select(col("v"),
+      when(col("is_seed") === 1, lit(scale)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(deg, "src")
+        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("v"), expr("r div od").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"), (base +
+          expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+    }
+    ranks
+  }
 }

@@ -643,6 +643,64 @@ object ScaleQueries {
         sum(when(col("a1") && !col("a2"), 1).otherwise(0)).cast("long").as("removed"),
         sum(when(col("a1") && col("a2") && col("c1") =!= col("c2"), 1)
           .otherwise(0)).cast("long").as("changed"))
+    },
+
+    // Personalized PageRank over the supplier↔customer trade graph (q118's
+    // edges, q141's seed set): 15% restart mass on the SEEDS only, 3
+    // exact-integer contribute/damp rounds — ranks concentrate in the
+    // seeds' neighborhoods, the "expand this domain / recommend from these
+    // anchors" primitive. Seed membership broadcasts; each round is one
+    // edges⋈ranks hash join + a combining sum, bit-replayable by the
+    // unrolled oracle. Output keeps reached nodes (rank > 0).
+    QueryDef(
+      "q202_personalized_pagerank",
+      """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM e0
+        |          UNION ALL SELECT c, s FROM e0),
+        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        |seeds AS (SELECT s_suppkey * 2 AS v FROM supplier WHERE s_suppkey % 7 = 1),
+        |n2 AS (SELECT n.v, CASE WHEN s.v IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |       FROM (SELECT DISTINCT src AS v FROM edges) n
+        |       LEFT JOIN seeds s ON s.v = n.v),
+        |r0 AS (SELECT v, CASE WHEN is_seed = 1
+        |         THEN cast(1000000000000 as bigint) ELSE 0 END AS r FROM n2),
+        |c1 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r0 r ON r.v = e.src GROUP BY 1),
+        |r1 AS (SELECT n.v, CASE WHEN n.is_seed = 1
+        |         THEN cast(150000000000 as bigint) ELSE 0 END
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM n2 n LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r1 r ON r.v = e.src GROUP BY 1),
+        |r2 AS (SELECT n.v, CASE WHEN n.is_seed = 1
+        |         THEN cast(150000000000 as bigint) ELSE 0 END
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM n2 n LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.dst AS v, cast(sum(r.r // d.od) as bigint) AS m
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN r2 r ON r.v = e.src GROUP BY 1),
+        |r3 AS (SELECT n.v, CASE WHEN n.is_seed = 1
+        |         THEN cast(150000000000 as bigint) ELSE 0 END
+        |         + (85 * coalesce(m, 0)) // 100 AS r
+        |       FROM n2 n LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT v AS node, cast(r as bigint) AS ppr FROM r3 WHERE r > 0""".stripMargin) {
+      (s, dir) =>
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+        .distinct()
+      val edges = e0.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(e0.select(col("c").as("src"), col("s").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 7 === 1)
+        .select((col("s_suppkey") * 2).as("v"))
+      graft.operators.GraphOps
+        .personalizedPagerankScaled(edges, seeds, 3, 1000000000000L)
+        .filter(col("r") > 0)
+        .select(col("v").as("node"), col("r").as("ppr"))
     }
   )
 }
