@@ -701,6 +701,36 @@ object ScaleQueries {
         .personalizedPagerankScaled(edges, seeds, 3, 1000000000000L)
         .filter(col("r") > 0)
         .select(col("v").as("node"), col("r").as("ppr"))
+    },
+
+    // Streaming cardinality: the native KMV sketch folding inside a
+    // watermarked streaming aggregation — one ≤k array of state per
+    // (window, type) key however many users arrive (an exact streaming
+    // COUNT(DISTINCT) would hold unbounded per-key sets). Bounded input +
+    // AvailableNow ⇒ equals the batch sketch; the oracle replays the
+    // order statistic per window.
+    QueryDef(
+      "q203_stream_kmv",
+      s"""WITH h AS (SELECT DISTINCT
+         |    strftime(make_timestamp((epoch_us(cast(ts as timestamp))
+         |      // 21600000000) * 21600000000), '%Y-%m-%d %H:%M') AS win_start,
+         |    event_type,
+         |    ${XHash.bucketHashSql("kmv", "cast(user_id as varchar)")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT win_start, event_type, h,
+         |        row_number() OVER (PARTITION BY win_start, event_type
+         |                           ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY win_start, event_type) AS nd
+         |      FROM h)
+         |SELECT win_start, event_type,
+         |  cast(CASE WHEN max(nd) < 16 THEN max(nd)
+         |       ELSE floor(15e0 * 1.152921504606846976e18 /
+         |                  cast(max(CASE WHEN rn = 16 THEN h END) as double))
+         |       END as bigint) AS kmv_est,
+         |  cast(least(max(nd), 16) as bigint) AS kmv_size
+         |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.runStreamingKmv(s, dir,
+        "q203_skmv_" + java.util.UUID.randomUUID().toString.replace("-", ""))
     }
   )
 }

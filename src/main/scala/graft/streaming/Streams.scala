@@ -166,6 +166,47 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming cardinality via the native KMV sketch: per (6h window,
+    * event_type), the bottom-16 distinct-user sketch folds INSIDE the
+    * streaming aggregation — the state store holds one ≤k array per key
+    * (mergeable across micro-batches exactly like map-side partials), so
+    * per-key state is O(k) however many users a window sees. This is the
+    * production shape for streaming distinct counts: an exact streaming
+    * COUNT(DISTINCT) would need unbounded per-key sets. Complete mode +
+    * AvailableNow on bounded input equals the batch sketch, which the
+    * oracle replays order-statistic by order-statistic.
+    */
+  def runStreamingKmv(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val k = 16
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val agg = readEventsStream(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(graft.plans.KmvBottomK(col("user_id"), k).as("kmv"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"),
+          when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+            .otherwise(floor(lit((k - 1).toDouble) *
+              lit(1.152921504606846976e18) /
+              element_at(col("kmv"), k).cast("double")).cast("long"))
+            .as("kmv_est"),
+          size(col("kmv")).cast("long").as("kmv_size"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Watermarked stream-stream interval join: each click pairs with the
     * same user's purchases landing in [click, click + `withinHours`h] —
     * the attribution join every event pipeline runs. Both sides carry
