@@ -731,6 +731,63 @@ object ScaleQueries {
          |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       graft.streaming.Streams.runStreamingKmv(s, dir,
         "q203_skmv_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
+    // Deterministic hash-bootstrap CI for the mean purchase value: 16
+    // half-samples selected by re-seeded md5 buckets of event_id (the
+    // q195 trick — resampling = re-seeding, no RNG), each mean one IEEE
+    // division over exact cents sums; the interval is the 2nd/15th order
+    // statistic of the 16 resample means (a crude but deterministic
+    // ~87.5% CI). ONE pass over the data: all 16 indicator sums are
+    // conditional aggregates in the same combining aggregate; only the
+    // 16-value frame sorts.
+    QueryDef(
+      "q204_bootstrap_ci",
+      s"""WITH e AS (SELECT event_id,
+         |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (${(1 to 16).map(i =>
+             s"""SELECT $i AS bs,
+                |  sum(CASE WHEN ${XHash.bucketSql(s"boot$i", 2, "cast(event_id as varchar)")} = 0
+                |      THEN cents END) AS c,
+                |  count(CASE WHEN ${XHash.bucketSql(s"boot$i", 2, "cast(event_id as varchar)")} = 0
+                |      THEN 1 END) AS n
+                |FROM e""".stripMargin).mkString("\nUNION ALL\n")}),
+         |d AS (SELECT bs, cast(c as double) / cast(n as double) AS mean_cents
+         |      FROM m),
+         |r AS (SELECT mean_cents,
+         |        row_number() OVER (ORDER BY mean_cents, bs) AS rn FROM d),
+         |full_m AS (SELECT cast(sum(cents) as double) / cast(count(*) as double)
+         |             AS point_mean FROM e)
+         |SELECT point_mean,
+         |  (SELECT mean_cents FROM r WHERE rn = 2) AS ci_lo,
+         |  (SELECT mean_cents FROM r WHERE rn = 15) AS ci_hi
+         |FROM full_m""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+      val half = (1 to 16).map { i =>
+        val in = XHash.bucket(s"boot$i", 2, col("event_id").cast("string")) === 0
+        Seq(sum(when(in, col("cents"))).as(s"c$i"),
+          count(when(in, 1)).as(s"n$i"))
+      }
+      val sums = e.agg(half.head.head, half.flatten.tail: _*)
+      val means = sums.select((1 to 16).map(i =>
+        (col(s"c$i").cast("double") / col(s"n$i").cast("double"))
+          .as(s"m$i")): _*)
+        .select(explode(array((1 to 16).map(i =>
+          struct(col(s"m$i").as("mean_cents"), lit(i).as("bs"))): _*)).as("s"))
+        .select(col("s.mean_cents"), col("s.bs"))
+      val w = Window.orderBy("mean_cents", "bs") // 16-row frame
+      val ranked = means.withColumn("rn", row_number().over(w))
+      val point = e.agg((sum(col("cents")).cast("double") /
+        count(lit(1)).cast("double")).as("point_mean"))
+      point
+        .crossJoin(broadcast(ranked.filter(col("rn") === 2)
+          .select(col("mean_cents").as("ci_lo"))))
+        .crossJoin(broadcast(ranked.filter(col("rn") === 15)
+          .select(col("mean_cents").as("ci_hi"))))
     }
   )
 }
