@@ -27,6 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll64_agg"),
       new ExpressionInfo(classOf[Hll64Agg].getName, "hll64_agg"),
       exprs => new Hll64Agg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("kmv_bottom_k"),
+      new ExpressionInfo(classOf[KmvBottomK].getName, "kmv_bottom_k"),
+      exprs => new KmvBottomK(exprs(0), GraftExtensions.litInt(exprs(1)))
+        .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k"),
+      exprs => new BottomKAgg(exprs(0), GraftExtensions.litInt(exprs(1)))
+        .toAggregateExpression()))
     // portable-SQL hash form → native kernel (semantics-preserving;
     // NOT added by register() so the equivalence specs keep comparing
     // genuinely distinct formulations)
@@ -44,6 +54,12 @@ object GraftExtensions {
   val builder: Seq[Expression] => Expression = exprs =>
     Md5Bucket60(exprs.map(e => Cast(e, org.apache.spark.sql.types.StringType)))
 
+  /** The k argument of the sketch aggregates must be a foldable int. */
+  def litInt(e: Expression): Int = {
+    require(e.foldable, s"k must be a literal, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** Register on an already-running session (withExtensions only applies
     * to sessions built fresh with the extension config). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -55,5 +71,11 @@ object GraftExtensions {
       exprs => FloatVecL2Sq(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hll64_agg",
       exprs => new Hll64Agg(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kmv_bottom_k",
+      exprs => new KmvBottomK(exprs(0), litInt(exprs(1)))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("bottom_k",
+      exprs => new BottomKAgg(exprs(0), litInt(exprs(1)))
+        .toAggregateExpression(), "built-in")
   }
 }

@@ -46,6 +46,21 @@ class KmvAggSpec extends SparkSpec {
     assert(got == bruteBottomK(Seq("a", "b"), 8))
   }
 
+  test("kmv_bottom_k and bottom_k are SQL-registered via GraftExtensions") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    spark.createDataset(Seq("a", "b", "a", "c")).toDF("k")
+      .createOrReplaceTempView("kmv_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT kmv_bottom_k(k, 8) AS s FROM kmv_sql_probe")
+      .head().getList[Long](0).asScala.toSeq
+    assert(viaSql == bruteBottomK(Seq("a", "b", "c"), 8))
+    val topk = spark.sql(
+      "SELECT bottom_k(length(k), 2) AS s FROM kmv_sql_probe")
+      .head().getList[Int](0).asScala.toSeq
+    assert(topk == Seq(1, 1))
+  }
+
   test("grouped estimate is exact below k and within 3x sigma above") {
     import spark.implicits._
     // group "small": 10 distinct; group "big": 2000 distinct
