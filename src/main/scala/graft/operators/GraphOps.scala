@@ -200,6 +200,10 @@ object GraphOps {
       ranks = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (base +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+        // NOT cached: at 3 rounds the lineage replay is cheaper than a
+        // per-round materialization (measured 2.4 s uncached vs 9 s with
+        // either persist or localCheckpoint per round); at real iteration
+        // depth, checkpoint every few rounds as the scaladoc says
     }
     ranks
   }
@@ -233,6 +237,10 @@ object GraphOps {
       ranks = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (base +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+        // cached lazily: unlike pagerankScaled, the PPR replay re-runs the
+        // broadcast seed join at every lineage level and measured SLOWER
+        // uncached (8.1 s) than cached (6.2 s) — the two loops differ
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     ranks
   }
