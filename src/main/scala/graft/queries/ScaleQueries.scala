@@ -788,6 +788,48 @@ object ScaleQueries {
           .select(col("mean_cents").as("ci_lo"))))
         .crossJoin(broadcast(ranked.filter(col("rn") === 15)
           .select(col("mean_cents").as("ci_hi"))))
+    },
+
+    // Cross-source duplication matrix (data-governance rollup: which
+    // sources copy from which): exact dup pairs between every source pair,
+    // counted from per-(norm, source) REDUCED counts — the self-join fans
+    // out per norm by the number of sources holding it (bounded by the
+    // source dimension), never by raw document pairs, and the pair count
+    // is the exact product c_a·c_b. The corpus is salted with a
+    // '-mirror' uppercased copy of every doc (q71's mutant trick, mirrored
+    // into a different source) so the matrix is non-trivially populated at
+    // every SF; q71's normalization convention (lower, trim, collapsed
+    // whitespace) defines "duplicate".
+    QueryDef(
+      "q205_cross_source_dups",
+      """WITH c AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source || '-mirror', '  ' || upper(text) FROM documents),
+        |k AS (SELECT source,
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM c),
+        |n AS (SELECT norm, source, count(*) AS cnt FROM k GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       cast(sum(a.cnt * b.cnt) as bigint) AS n_dup_pairs,
+        |       cast(count(*) as bigint) AS n_shared_texts
+        |FROM n a JOIN n b ON a.norm = b.norm AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpus = d.select(col("source"), col("text"))
+        .unionByName(d.select(concat(col("source"), lit("-mirror")).as("source"),
+          concat(lit("  "), upper(col("text"))).as("text")))
+      val n = corpus
+        .select(col("source"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+        .groupBy("norm", "source").agg(count(lit(1)).as("cnt"))
+      n.select(col("norm"), col("source").as("src_a"), col("cnt").as("ca"))
+        .join(n.select(col("norm"), col("source").as("src_b"),
+          col("cnt").as("cb")), Seq("norm"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("ca") * col("cb")).as("n_dup_pairs"),
+          count(lit(1)).as("n_shared_texts"))
     }
   )
 }
