@@ -830,6 +830,27 @@ object ScaleQueries {
         .groupBy("src_a", "src_b")
         .agg(sum(col("ca") * col("cb")).as("n_dup_pairs"),
           count(lit(1)).as("n_shared_texts"))
+    },
+
+    // Bitmap (roaring-style) index build for a low-cardinality column:
+    // per (value, 32-row word) the set-bit word over the dense row-id
+    // space — sum of distinct powers of two, exact bigint (32-bit words so
+    // the sign bit never overflows a Long sum). ONE map-side-combinable
+    // aggregate builds the whole index; at 100 TB this is the secondary-
+    // index write path for membership pushdown, and the per-value word
+    // count over the total word count is the index's density/size planner.
+    QueryDef(
+      "q206_bitmap_index",
+      """SELECT event_type, event_id // 32 AS word_id,
+        |  cast(sum(cast(1 as bigint) << cast(event_id % 32 as int)) as bigint)
+        |    AS word,
+        |  cast(count(*) as bigint) AS n_set
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("event_id div 32").as("word_id"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(event_id % 32 as int))"))
+            .as("word"),
+          count(lit(1)).as("n_set"))
     }
   )
 }
