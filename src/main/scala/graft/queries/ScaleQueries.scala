@@ -851,6 +851,43 @@ object ScaleQueries {
         .agg(sum(expr("shiftleft(cast(1 as bigint), cast(event_id % 32 as int))"))
             .as("word"),
           count(lit(1)).as("n_set"))
+    },
+
+    // Conversion-latency distribution: per user, seconds from FIRST signup
+    // to the first purchase at-or-after it, then exact p50/p90/p99 through
+    // the sort-free mergeable-histogram quantile family (≤4096-row
+    // shuffle — q75's machinery on a derived funnel metric). The oracle
+    // runs the naive global-window selection; exact quantiles make any
+    // correct algorithm bit-identical.
+    QueryDef(
+      "q207_conversion_latency",
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(cast(ts as timestamp)) AS us
+        |           FROM events),
+        |s0 AS (SELECT user_id, min(us) AS sus FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (SELECT e.user_id, (min(e.us) - sus) // 1000000 AS delay_s
+        |      FROM e JOIN s0 USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= sus
+        |      GROUP BY e.user_id, sus),
+        |r AS (SELECT delay_s, row_number() OVER (ORDER BY delay_s) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM d),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT cast(p.pct as int) AS pct,
+        |       cast((r.n * p.pct + 99) // 100 as bigint) AS qrank,
+        |       cast(r.delay_s as bigint) AS qvalue
+        |FROM p JOIN r ON r.rn = (r.n * p.pct + 99) // 100""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val s0 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("sus"))
+      val d = e.filter(col("event_type") === "purchase")
+        .join(s0, Seq("user_id"))
+        .filter(col("us") >= col("sus"))
+        .groupBy("user_id", "sus").agg(min(col("us")).as("pus"))
+        .select(expr("(pus - sus) div 1000000").as("delay_s"))
+      Sketches.histogramQuantiles(d, col("delay_s"), Seq(50, 90, 99))
     }
   )
 }
