@@ -888,6 +888,48 @@ object ScaleQueries {
         .groupBy("user_id", "sus").agg(min(col("us")).as("pus"))
         .select(expr("(pus - sus) div 1000000").as("delay_s"))
       Sketches.histogramQuantiles(d, col("delay_s"), Seq(50, 90, 99))
+    },
+
+    // Training-data export shard manifest: deterministic 16-way shard
+    // assignment (md5 bucket of doc_id — the C12 split primitive), and per
+    // shard the receiving side needs to VALIDATE the transfer: row count,
+    // token budget, id range, and the q176 order-independent content
+    // checksum (decimal(38,0) sum + xor channels of the row hash). ONE
+    // combining aggregate emits the whole manifest — the artifact every
+    // bulk export ships next to its data files.
+    QueryDef(
+      "q208_export_manifest",
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    ${XHash.bucketSql("shard", 16, "cast(doc_id as varchar)")} AS shard,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |        x -> x <> '')) AS ntok,
+         |    ${XHash.bucketHashSql("chk", "cast(doc_id as varchar)", "text",
+                "lang", "cast(n_chars as varchar)")} AS h
+         |  FROM documents)
+         |SELECT cast(shard as bigint) AS shard,
+         |  cast(count(*) as bigint) AS n_docs,
+         |  cast(sum(ntok) as bigint) AS token_sum,
+         |  cast(min(doc_id) as bigint) AS min_doc,
+         |  cast(max(doc_id) as bigint) AS max_doc,
+         |  cast(sum(cast(h as decimal(38,0))) as decimal(38,0)) AS checksum_sum,
+         |  bit_xor(h) AS checksum_xor
+         |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          XHash.bucket("shard", 16, col("doc_id").cast("string")).as("shard"),
+          size(ArrayOps.tokens(col("text"))).as("ntok"),
+          XHash.bucketHash("chk", col("doc_id").cast("string"), col("text"),
+            col("lang"), col("n_chars").cast("string")).as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok").cast("long")).as("token_sum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("checksum_sum"),
+          expr("bit_xor(h)").as("checksum_xor"))
     }
   )
 }
