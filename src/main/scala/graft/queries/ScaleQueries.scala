@@ -930,6 +930,51 @@ object ScaleQueries {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))
             .as("checksum_sum"),
           expr("bit_xor(h)").as("checksum_xor"))
+    },
+
+    // Point-in-time-correct dimension enrichment (the feature-store join):
+    // each purchase is enriched with the plan price in effect — the user's
+    // LAST signup at-or-before the purchase — by joining facts to the
+    // user's dimension versions and arg-maxing the valid-from with ONE
+    // combining max(struct) per fact row. Fan-out is bounded by the
+    // per-user VERSION count (dimension churn), never fact×fact; no
+    // future version can leak into a past fact, which is the property
+    // that separates this from a plain equi-join enrich. q51's window
+    // as-of interleaves both streams; this is the join formulation a
+    // feature store runs when dimensions and facts live in different
+    // tables.
+    QueryDef(
+      "q209_pit_enrich",
+      """WITH s AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS sus,
+        |             event_id AS ver_id,
+        |             cast(cast(value as decimal(18,4)) * 100 as bigint) AS plan_cents
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_id,
+        |        epoch_us(cast(ts as timestamp)) AS pus
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.p_id, s.ver_id, s.plan_cents,
+        |        row_number() OVER (PARTITION BY p.p_id
+        |                           ORDER BY s.sus DESC, s.ver_id DESC) AS rn
+        |      FROM p JOIN s USING (user_id) WHERE s.sus <= p.pus)
+        |SELECT p.p_id, j.plan_cents, j.ver_id
+        |FROM p LEFT JOIN j ON j.p_id = p.p_id AND j.rn = 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), unix_micros(col("ts")).as("sus"),
+          col("event_id").as("ver_id"),
+          (col("value").cast("decimal(18,4)") * 100).cast("long")
+            .as("plan_cents"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("pus"))
+      // LEFT join: a purchase by a user with no signup versions at all
+      // must survive with NULL enrichment (the oracle's outer join does)
+      facts.join(dim, Seq("user_id"), "left")
+        .groupBy("p_id")
+        .agg(max(when(col("sus") <= col("pus"),
+          struct(col("sus"), col("ver_id"), col("plan_cents")))).as("v"))
+        .select(col("p_id"), col("v.plan_cents").as("plan_cents"),
+          col("v.ver_id").as("ver_id"))
     }
   )
 }
