@@ -14,6 +14,15 @@ import graft.operators.{LinearAlgebra, Sketches}
   */
 object ScaleQueries {
 
+  /** DuckDB sequential dot product (mirrors EmbeddingQueries.dotSql —
+    * left-fold in double, matching VecKernels' fold order exactly). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
   /** Shared tokenizer CTE (same convention as TextQueries: whitespace
     * split, empties dropped). */
   private val toksCte =
@@ -975,6 +984,54 @@ object ScaleQueries {
           struct(col("sus"), col("ver_id"), col("plan_cents")))).as("v"))
         .select(col("p_id"), col("v.plan_cents").as("plan_cents"),
           col("v.ver_id").as("ver_id"))
+    },
+
+    // Mutual nearest neighbors (reciprocal best match): the bitext-mining
+    // alignment filter — a pair survives only if each side is the OTHER's
+    // top-1 by cosine (q178's margin miner keeps confident one-way
+    // matches; RBM is the symmetric criterion). ONE persisted candidate
+    // pass feeds both direction rankings (two windows over the same
+    // frame), then the mutual join. Cosine is exactly symmetric (same
+    // fold, commutative products), so both directions and both engines
+    // agree bit-for-bit. 100 TB path: confine candidates by IVF cell
+    // (q165) before the rankings — the RBM criterion composes unchanged.
+    QueryDef(
+      "q210_mutual_nn",
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_vec
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim
+         |      FROM a CROSS JOIN b),
+         |ra AS (SELECT a_id, b_id, sim,
+         |         row_number() OVER (PARTITION BY a_id
+         |                            ORDER BY sim DESC, b_id) AS rn
+         |       FROM p),
+         |rb AS (SELECT a_id, b_id,
+         |         row_number() OVER (PARTITION BY b_id
+         |                            ORDER BY sim DESC, a_id) AS rn
+         |       FROM p)
+         |SELECT ra.a_id, ra.b_id, ra.sim AS cos_sim
+         |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+         |WHERE ra.rn = 1 AND rb.rn = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val pairs = b.crossJoin(broadcast(a))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec"))
+            .as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bestA = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))))
+        .filter(col("rn") === 1).select("a_id", "b_id", "sim")
+      val bestB = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("b_id").orderBy(col("sim").desc, col("a_id"))))
+        .filter(col("rn") === 1).select(col("a_id"), col("b_id"))
+      bestA.join(bestB, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"), col("sim").as("cos_sim"))
     }
   )
 }
