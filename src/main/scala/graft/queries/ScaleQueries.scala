@@ -1032,6 +1032,42 @@ object ScaleQueries {
         .filter(col("rn") === 1).select(col("a_id"), col("b_id"))
       bestA.join(bestB, Seq("a_id", "b_id"))
         .select(col("a_id"), col("b_id"), col("sim").as("cos_sim"))
+    },
+
+    // Bucketed-table round trip through the certified surface: both fact
+    // tables are WRITTEN bucketed by the join key (8 buckets, sorted) into
+    // a session warehouse, then the join+aggregate reads from the bucketed
+    // tables — certifying that the co-located layout (the tool that
+    // removes the dominant fact⋈fact shuffle at 100 TB; plan-locked
+    // shuffle-free in BucketedTablesSpec) also round-trips VALUES exactly.
+    // Exact decimal cents; the oracle joins the original parquet.
+    QueryDef(
+      "q211_bucketed_join",
+      """SELECT o_orderpriority,
+        |  cast(count(*) as bigint) AS n_lines,
+        |  cast(sum(cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint))
+        |       as bigint) AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bkt").toString
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").option("path", s"$base/o")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_q211_orders")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,4)") * 100).cast("long")
+            .as("cents"))
+        .write.mode("overwrite").option("path", s"$base/l")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_q211_lineitem")
+      s.table("graft_q211_orders")
+        .join(s.table("graft_q211_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("cents")).as("revenue_cents"))
     }
   )
 }
