@@ -1068,6 +1068,35 @@ object ScaleQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
           sum(col("cents")).as("revenue_cents"))
+    },
+
+    // Hive-partitioned layout round trip: events written partitionBy(day),
+    // read back with a day filter — the filter prunes at the DIRECTORY
+    // level (PartitionFilters, spec-locked in BucketedTablesSpec) and the
+    // partition column comes back through partition-value STRING encoding
+    // + type inference, which is exactly where silent type/value drift
+    // bites real lakehouses. The oracle filters the original parquet, so
+    // a date that round-trips wrong (TZ shift, string collation) fails the
+    // hash gate. Exact cents.
+    QueryDef(
+      "q212_partitioned_scan",
+      """SELECT cast(cast(ts as date) as varchar) AS day, event_type,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(cast(value as decimal(18,4)) * 100 as bigint)) as bigint)
+        |    AS cents
+        |FROM events
+        |WHERE cast(ts as date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-part").toString
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      s.read.parquet(base)
+        .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
+        .groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     }
   )
 }
