@@ -58,30 +58,11 @@ object ClusterQueries {
     (docs.filter(col("bk") < 90), docs.filter(col("bk") >= 90))
   }
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // IVF cell assignment: nearest of 8 fixed centroids (ids < 8).
-    QueryDef(
-      "q47_ivf_cells",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
-         |           FROM embeddings WHERE vec_id < 8)
-         |SELECT vec_id, cast(cid as int) AS cell FROM (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
-         |  FROM embeddings e CROSS JOIN c)
-         |WHERE rn = 1""".stripMargin) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-      Similarity.ivfAssign(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 8))
-        .select(col("vec_id"), col("cell").cast("int"))
-    },
-
-    // Near-dup clusters: connected components (min-label) over the
-    // MinHash/LSH verified pair graph of the mutated document corpus.
-    QueryDef(
-      "q48_neardup_clusters",
-      s"""WITH RECURSIVE t AS (
+  /** Shared q48 clustering stack: mutated corpus -> shingles -> minhash
+    * signatures -> LSH bands -> verified pairs -> recursive min-label
+    * connected components (CTE `cc`; corpus ids live in CTE `c`). */
+  private val neardupCcCte: String =
+    s"""WITH RECURSIVE t AS (
          |  SELECT doc_id,
          |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
          |  FROM documents),
@@ -116,18 +97,79 @@ object ClusterQueries {
          |n AS (SELECT DISTINCT s AS id FROM e),
          |cc AS (SELECT id, id AS lbl FROM n
          |       UNION
-         |       SELECT e.d, cc.lbl FROM cc JOIN e ON e.s = cc.id)
+         |       SELECT e.d, cc.lbl FROM cc JOIN e ON e.s = cc.id)""".stripMargin
+
+  /** Spark side of [[neardupCcCte]]: (corpus ids, verified near-dup pairs). */
+  private def mutantNeardupGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+    val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(array(lit("zzz")),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))).as("toks"))
+    val corpus = t.unionByName(m)
+      .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
+    (corpus.select("doc_id"), Dedup.minhashLshPairs(corpus, "doc_id", "sh"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // IVF cell assignment: nearest of 8 fixed centroids (ids < 8).
+    QueryDef(
+      "q47_ivf_cells",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 8)
+         |SELECT vec_id, cast(cid as int) AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c)
+         |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8))
+        .select(col("vec_id"), col("cell").cast("int"))
+    },
+
+    // Near-dup clusters: connected components (min-label) over the
+    // MinHash/LSH verified pair graph of the mutated document corpus.
+    QueryDef(
+      "q48_neardup_clusters",
+      s"""$neardupCcCte
          |SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
-      val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(array(lit("zzz")),
-          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))).as("toks"))
-      val corpus = t.unionByName(m)
-        .withColumn("sh", Dedup.wordShingles(col("toks"), 3))
-      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "sh")
+      val (_, pairs) = mutantNeardupGraph(s, dir)
       Dedup.connectedComponents(pairs)
         .select(col("id"), col("cluster_rep"))
+    },
+
+    // Dedup-aware train/test split: every near-dup CLUSTER moves wholly to
+    // one side — the leakage guard key-based splitting (q13/q14) cannot
+    // give: a test document whose near-duplicate sits in train is
+    // memorization leakage, so the split key is the cluster representative
+    // (own id for singletons), hashed with the C12 split primitive. By
+    // construction no verified near-dup pair straddles the split; the
+    // oracle replays clustering recursively and re-derives the assignment.
+    QueryDef(
+      "q213_dedup_aware_split",
+      s"""$neardupCcCte,
+         |ids AS (SELECT doc_id FROM c),
+         |cc2 AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id),
+         |r2 AS (SELECT ids.doc_id,
+         |         coalesce(cc2.cluster_rep, ids.doc_id) AS rep
+         |       FROM ids LEFT JOIN cc2 ON cc2.id = ids.doc_id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${XHash.bucketSql("ddsplit", 100, "cast(rep as varchar)")} < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM r2""".stripMargin) { (s, dir) =>
+      val (corpusIds, pairs) = mutantNeardupGraph(s, dir)
+      val cc = Dedup.connectedComponents(pairs)
+      corpusIds
+        .join(cc, corpusIds("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(XHash.bucket("ddsplit", 100, col("rep").cast("string")) < 80,
+            "train").otherwise("test"))
     },
 
     // Benchmark decontamination: test docs sharing any 8-gram with train.
