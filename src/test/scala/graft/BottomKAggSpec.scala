@@ -30,6 +30,25 @@ class BottomKAggSpec extends SparkSpec {
     assert(got == Seq(2L, 4L))
   }
 
+  test("bottom_k folds inside streaming aggregation state (Complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    in.addData(("a", 5L), ("a", 1L), ("b", 9L))
+    in.addData(("a", 3L), ("a", 1L), ("b", 2L))
+    val q = in.toDF().toDF("g", "v")
+      .groupBy("g").agg(BottomKAgg(col("v"), 2).as("b"))
+      .writeStream.format("memory").queryName("bk_stream")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bk_stream").collect()
+      .map(r => r.getString(0) -> r.getList[Long](1).asScala.toSeq).toMap
+    // duplicates kept across micro-batches; state merged like partials
+    assert(got == Map("a" -> Seq(1L, 1L), "b" -> Seq(2L, 9L)))
+  }
+
   test("struct ranking reproduces window ORDER BY v DESC, id semantics") {
     import spark.implicits._
     val rows = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L),
