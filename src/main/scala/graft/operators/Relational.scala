@@ -691,6 +691,49 @@ object Relational {
       .drop("__b", "__in", "__off")
   }
 
+  /** BOTH as-of directions in one pass: per group in ascending `key`
+    * order, `__pmax` = max(v) over strictly-smaller keys and `__smin` =
+    * min(v) over strictly-larger keys (nulls in `v` never contribute —
+    * max/min skip them, which is what lets a readings∪grid stack carry
+    * null `v` on grid rows). Same order-aligned bucket decomposition as
+    * [[strictPrefixMaxOrderedBy]], but the forward and backward frames
+    * share ONE in-bucket sort (identical partition+order spec → Spark
+    * collapses both frames into a single Window operator) and ONE
+    * ≤groups·buckets offset table carrying both directions' cross-bucket
+    * extrema. Versus running the prefix pass twice on a negated copy
+    * (q157's old shape) this halves the scans of the input AND deletes
+    * the prevs⋈nexts re-join entirely. Keys unique per group. */
+  def strictNeighborsOrderedBy(df: DataFrame, groups: Seq[String],
+      key: String, v: String, buckets: Int = 32): DataFrame = {
+    val gcols = groups.map(col)
+    val mk = df.groupBy(gcols: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    val bucketed = df.join(broadcast(mk), groups)
+      .withColumn("__b",
+        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+      .drop("__mn", "__mk")
+    val wPre = Window.partitionBy((gcols :+ col("__b")): _*)
+      .orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)
+    val wSuf = Window.partitionBy((gcols :+ col("__b")): _*)
+      .orderBy(col(key)).rowsBetween(1, Window.unboundedFollowing)
+    val inner = bucketed
+      .withColumn("__ip", max(col(v)).over(wPre))
+      .withColumn("__is", min(col(v)).over(wSuf))
+    val offs = bucketed.groupBy((gcols :+ col("__b")): _*)
+      .agg(max(col(v)).as("__bm"), min(col(v)).as("__bn"))
+      .withColumn("__op",
+        max(col("__bm")).over(Window.partitionBy(gcols: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__os",
+        min(col("__bn")).over(Window.partitionBy(gcols: _*).orderBy(col("__b"))
+          .rowsBetween(1, Window.unboundedFollowing)))
+      .select((gcols :+ col("__b") :+ col("__op") :+ col("__os")): _*)
+    inner.join(broadcast(offs), groups :+ "__b")
+      .withColumn("__pmax", greatest(col("__ip"), col("__op")))
+      .withColumn("__smin", least(col("__is"), col("__os")))
+      .drop("__b", "__ip", "__is", "__op", "__os")
+  }
+
   /** Per-group 2-D Pareto frontier: the rows not STRICTLY dominated on
     * (minimize `key`, maximize `v`) — q dominates p iff q.key ≤ p.key,
     * q.v ≥ p.v, and they differ in at least one coordinate; equal points

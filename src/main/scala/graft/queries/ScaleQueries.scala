@@ -903,7 +903,9 @@ object ScaleQueries {
     // assignment (md5 bucket of doc_id — the C12 split primitive), and per
     // shard the receiving side needs to VALIDATE the transfer: row count,
     // token budget, id range, and the q176 order-independent content
-    // checksum (decimal(38,0) sum + xor channels of the row hash). ONE
+    // checksum (split int64 lo/hi sum + xor channels of the row hash —
+    // raw decimal outputs diverge between engines' physical encodings, so
+    // the sum rides two bigint channels exact to ~4e9 rows/shard). ONE
     // combining aggregate emits the whole manifest — the artifact every
     // bulk export ships next to its data files.
     QueryDef(
@@ -921,7 +923,8 @@ object ScaleQueries {
          |  cast(sum(ntok) as bigint) AS token_sum,
          |  cast(min(doc_id) as bigint) AS min_doc,
          |  cast(max(doc_id) as bigint) AS max_doc,
-         |  cast(sum(cast(h as decimal(38,0))) as decimal(38,0)) AS checksum_sum,
+         |  cast(sum(h % 2147483648) as bigint) AS checksum_lo,
+         |  cast(sum(h // 2147483648) as bigint) AS checksum_hi,
          |  bit_xor(h) AS checksum_xor
          |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -935,9 +938,8 @@ object ScaleQueries {
           sum(col("ntok").cast("long")).as("token_sum"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"),
-          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("checksum_sum"),
+          sum(col("h") % lit(2147483648L)).cast("long").as("checksum_lo"),
+          sum(shiftright(col("h"), 31)).cast("long").as("checksum_hi"),
           expr("bit_xor(h)").as("checksum_xor"))
     },
 

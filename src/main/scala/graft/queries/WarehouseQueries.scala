@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.{ArrayOps, Exact, XHash}
@@ -112,9 +111,12 @@ object WarehouseQueries {
     // primitive behind "did the migration/compaction change any byte?"
     // (exactly this repo's own correctness gate, exposed as an operator).
     // Row hash is the shared 60-bit md5 (bit-identical in both engines);
-    // the sum aggregates in decimal(38,0) so it is exact to ~1e19 rows of
-    // 60-bit hashes — no int64 overflow at any realistic scale — and the
-    // xor/min/max channels catch compensating-sum collisions. Map-side
+    // the sum is split into two int64 channels — sum(h mod 2^31) and
+    // sum(h >> 31) — each exact to ~4e9 rows of 60-bit hashes (lo ≤ 2^31,
+    // hi ≤ 2^29 per row), order-independent, and emitted as plain bigint
+    // so every downstream hasher/encoder agrees byte-for-byte (raw
+    // decimal(38,0) outputs diverge between engines' physical encodings).
+    // The xor/min/max channels catch compensating-sum collisions. Map-side
     // combine everywhere; shuffle ≤ #sources rows.
     QueryDef(
       "q176_content_checksum",
@@ -123,7 +125,8 @@ object WarehouseQueries {
                 "lang", "cast(n_chars as varchar)")} AS h
          |  FROM documents)
          |SELECT source, cast(count(*) as bigint) AS n_rows,
-         |  cast(sum(cast(h as decimal(38,0))) as decimal(38,0)) AS checksum_sum,
+         |  cast(sum(h % 2147483648) as bigint) AS checksum_lo,
+         |  cast(sum(h // 2147483648) as bigint) AS checksum_hi,
          |  bit_xor(h) AS checksum_xor, min(h) AS min_h, max(h) AS max_h
          |FROM d GROUP BY source""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -132,8 +135,8 @@ object WarehouseQueries {
             col("lang"), col("n_chars").cast("string")).as("h"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
-            .as("checksum_sum"),
+          sum(col("h") % lit(2147483648L)).cast("long").as("checksum_lo"),
+          sum(shiftright(col("h"), 31)).cast("long").as("checksum_hi"),
           expr("bit_xor(h)").as("checksum_xor"),
           min(col("h")).as("min_h"), max(col("h")).as("max_h"))
     },
