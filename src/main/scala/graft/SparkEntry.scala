@@ -19,7 +19,7 @@ object SparkEntry {
       DedupQueries.defs ++ EmbeddingQueries.defs ++ TextQueries.defs ++
       StreamingQueries.defs ++ MetricQueries.defs ++ ClusterQueries.defs ++
       MiscQueries.defs ++ ExtendedQueries.defs ++ PipelineQueries.defs ++
-      WarehouseQueries.defs ++ ScaleQueries.defs
+      WarehouseQueries.defs ++ ScaleQueries.defs ++ RankQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import graft.plans.{FxLog2, FxLog2Expr}
+
+/** Column + oracle-SQL faces of the [[graft.plans.FxLog2]] fixed-point
+  * log2 contract. The Spark side is one native codegen'd expression; the
+  * DuckDB side is a generated CTE chain over the SAME shifts, masks, and
+  * embedded lookup table — integer-only, so the two replay bit-for-bit.
+  */
+object FxLog {
+
+  /** `log2fx(n)`: fixed-point log2 (units of 2^-16) of a positive bigint
+    * column; null or non-positive → null. */
+  def log2fx(n: Column): Column =
+    GraftBridge.column(FxLog2Expr(GraftBridge.expression(n)))
+
+  private val eCase: String = (62 to 1 by -1)
+    .map(k => s"WHEN __n >= ${1L << k} THEN $k")
+    .mkString("(CASE ", " ", " ELSE 0 END)")
+
+  private val lutLit: String = FxLog2.LUT.mkString("[", ",", "]")
+  private val dlutLit: String =
+    (0 until 256).map(i => FxLog2.LUT(i + 1) - FxLog2.LUT(i))
+      .mkString("[", ",", "]")
+
+  /** DuckDB CTE chain computing `resCol = log2fx(nExpr)` over every row of
+    * CTE `prev`, appending three helper CTEs (`p_n`, `p_e`, `p_m`) and a
+    * final CTE named `p` that carries all of `prev`'s columns plus
+    * `resCol`. Splice the result into a WITH list:
+    * {{{ s"WITH src AS (...), ${FxLog.sqlCtes("lg", "src", "cnt", "lg_cnt")} SELECT ... FROM lg" }}}
+    * `nExpr` must be positive on every row (guard upstream — the chain
+    * itself would emit garbage for n <= 0, matching nothing). */
+  def sqlCtes(p: String, prev: String, nExpr: String, resCol: String): String =
+    s"""${p}_n AS (SELECT *, cast(($nExpr) as bigint) AS __n FROM $prev),
+       |${p}_e AS (SELECT *, $eCase AS __e FROM ${p}_n),
+       |${p}_m AS (SELECT *, (CASE WHEN __e >= 30 THEN __n >> (__e - 30)
+       |                          ELSE __n << (30 - __e) END) AS __m
+       |           FROM ${p}_e),
+       |$p AS (SELECT * EXCLUDE (__n, __e, __m),
+       |  __e * 65536 + $lutLit[(__m >> 22) - 255]
+       |    + (($dlutLit[(__m >> 22) - 255] * (__m & 4194303)) >> 22) AS $resCol
+       |  FROM ${p}_m)""".stripMargin
+}

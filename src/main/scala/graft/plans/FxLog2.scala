@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Fixed-point base-2 logarithm — the cross-engine transcendental contract.
+  *
+  * IEEE `log()` differs in the last ulps across engines, which is why the
+  * oracle gate bans transcendentals. This kernel sidesteps that: log2 of a
+  * positive int64 computed with INTEGER arithmetic only, in units of
+  * 2^-16 (so `log2fx(n) = round-ish(log2(n) * 65536)`):
+  *
+  *   1. exponent `e` = index of the highest set bit (exact);
+  *   2. 30-bit mantissa `m = n` shifted into `[2^30, 2^31)` (exact shifts,
+  *      truncating low bits for n > 2^30 — deterministic);
+  *   3. fractional part from a 257-entry lookup table
+  *      `LUT(i) = round(log2(1 + i/256) * 2^16)` indexed by the mantissa's
+  *      top 8 fractional bits, linearly interpolated on the remaining 22
+  *      bits with integer multiply + shift.
+  *
+  * Every step is exact integer arithmetic, so ANY engine replays it
+  * bit-for-bit; the table is built once here and embedded verbatim in both
+  * the Spark kernel and the generated DuckDB SQL
+  * ([[graft.functions.FxLog.sqlCtes]]) — parity by construction. Absolute
+  * accuracy vs true log2 is ~2e-5 (table granularity), which prices
+  * BM25/entropy/PMI scores correctly to ~4 decimal digits; the CONTRACT is
+  * the fixed-point function itself, not IEEE log.
+  *
+  * Reference analog: the quality/frequency scoring family around
+  * /root/reference/orderly/clean/cleaner.py:318-396 has no log-based
+  * scores at all (frequency pruning is its only signal); this kernel is
+  * what unblocks the log-scored operators a pretraining pipeline needs.
+  */
+object FxLog2 {
+  /** Output scale: log2 in units of 2^-FRAC_BITS. */
+  val FRAC_BITS = 16
+
+  /** LUT(i) = round(log2(1 + i/256) * 2^16), i = 0..256. Built with
+    * driver-side floating point ONCE; both engines consume the same
+    * literal values, so no runtime transcendental is ever evaluated. */
+  val LUT: Array[Long] = Array.tabulate(257)(i =>
+    math.round(math.log1p(i / 256.0) / math.log(2.0) * 65536.0))
+
+  /** log2fx(n) for n >= 1 (callers guard; n <= 0 is the null path). */
+  def log2fx(n: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val m = if (e >= 30) n >>> (e - 30) else n << (30 - e)
+    val i = ((m >> 22) - 256).toInt
+    e.toLong * 65536L + LUT(i) + ((LUT(i + 1) - LUT(i)) * (m & 4194303L) >> 22)
+  }
+}
+
+/** Native codegen'd column form of [[FxLog2.log2fx]]: LongType → LongType,
+  * null (or non-positive) input → null. Stays inside whole-stage codegen —
+  * one static call, no boxing. */
+case class FxLog2Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "log2fx"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val n = v.asInstanceOf[Long]
+      if (n <= 0L) null else FxLog2.log2fx(n)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+${c.code}
+boolean ${ev.isNull} = true;
+long ${ev.value} = 0L;
+if (!${c.isNull} && ${c.value} > 0L) {
+  ${ev.isNull} = false;
+  ${ev.value} = graft.plans.FxLog2.log2fx(${c.value});
+}""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

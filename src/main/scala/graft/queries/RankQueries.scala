@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{ArrayOps, FxLog}
+import graft.operators.TextOps
+
+/** Log-scored ranking/filter operators — BM25 relevance, token-entropy
+  * quality filtering, PMI collocations — unblocked by the fixed-point log2
+  * contract ([[graft.plans.FxLog2]]): every score is integer arithmetic
+  * end-to-end, so the DuckDB oracle replays the exact same values instead
+  * of diverging in IEEE `log()` ulps. The reference's only quality signal
+  * is frequency pruning (/root/reference/orderly/clean/cleaner.py:318-396);
+  * these are the log-based scores a real pretraining pipeline layers on
+  * top of it.
+  */
+object RankQueries {
+
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // BM25 top-k: the classic sparse-retrieval ranking (Robertson et al.,
+    // k1=1.2, b=0.75) over the documents table for a fixed 3-term query.
+    // Everything is integer: idf_fx = log2fx(2N-2df+1) - log2fx(2df+1)
+    // (the +0.5 smoothing doubled through), the length norm rides
+    // avg_fx = (L*256) div N fixed-point average doc length, and each
+    // term's contribution is one exact integer division. Scale shape:
+    // the term filter lands BEFORE the tf aggregation (only query terms
+    // survive the shuffle), df/idf is a tiny per-term table that
+    // broadcast-joins back, totals broadcast as one row, and the top-20
+    // is a TakeOrdered, never a global sort. int64 bounds: the score
+    // numerator is idf_fx(≤64·2^16)·22·avg_fx·tf — safe to ~1e5-token
+    // docs and ~4e9-doc corpora; past that, pre-divide avg_fx's 256
+    // scale out (documented, same discipline as q148).
+    QueryDef(
+      "q214_bm25_topk",
+      s"""$toksCte,
+         |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+         |tot AS (SELECT count(*) AS nd, sum(dl) AS ltot,
+         |               (sum(dl) * 256) // count(*) AS avg_fx FROM d),
+         |u AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM u
+         |       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2, 3),
+         |dfc AS (SELECT term, count(*) AS df, nd FROM tf CROSS JOIN tot
+         |        GROUP BY 1, 3),
+         |${FxLog.sqlCtes("ln1", "dfc", "2 * nd - 2 * df + 1", "idf_num")},
+         |${FxLog.sqlCtes("ln2", "ln1", "2 * df + 1", "idf_den")},
+         |idf AS (SELECT term, idf_num - idf_den AS idf_fx FROM ln2),
+         |sc AS (SELECT doc_id,
+         |         sum((idf_fx * 22 * avg_fx * tf)
+         |             // (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)) AS score_fx
+         |       FROM tf JOIN idf USING (term) CROSS JOIN tot GROUP BY 1)
+         |SELECT cast(doc_id as bigint) AS doc_id,
+         |  cast(score_fx as bigint) AS score_fx, cast(rank as int) AS rank
+         |FROM (SELECT doc_id, score_fx,
+         |        row_number() OVER (ORDER BY score_fx DESC, doc_id) AS rank
+         |      FROM sc)
+         |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val terms = Seq("spark", "window", "hash")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val tot = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ltot"))
+        .select(col("nd"), col("ltot"),
+          expr("(ltot * 256) div nd").as("avg_fx"))
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(tot))
+        .select(col("term"),
+          (FxLog.log2fx(lit(2) * col("nd") - lit(2) * col("df") + 1) -
+            FxLog.log2fx(lit(2) * col("df") + 1)).as("idf_fx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_fx").desc, col("doc_id").asc)
+      tf.join(broadcast(idf), "term")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("""(idf_fx * 22 * avg_fx * tf)
+                 |div (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)"""
+            .stripMargin).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("score_fx"))
+        .orderBy(col("score_fx").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // Token-entropy quality filter: per-document Shannon entropy of the
+    // token distribution, H = log2(n) − (Σ c·log2 c)/n, entirely in
+    // fixed-point integers — the low-entropy tail IS the boilerplate/
+    // keyword-stuffing detector a quality pipeline runs after the q36
+    // ratio heuristics. One narrow tf aggregation per (doc, term), one
+    // combining per-doc sum (map-side partial), a TakeOrdered bottom-25;
+    // no window over the corpus, no doc×vocab blowup. Ties (synthetic
+    // vocab → identical distributions) break on doc_id.
+    QueryDef(
+      "q215_entropy_filter",
+      s"""$toksCte,
+         |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+         |${FxLog.sqlCtes("lt", "tf", "tf", "lg_tf")},
+         |agg AS (SELECT doc_id, sum(tf) AS n, sum(tf * lg_tf) AS s
+         |        FROM lt GROUP BY 1),
+         |${FxLog.sqlCtes("ln", "agg", "n", "lg_n")},
+         |h AS (SELECT doc_id, cast(n as bigint) AS n_tokens,
+         |             lg_n - s // n AS h_fx FROM ln)
+         |SELECT cast(doc_id as bigint) AS doc_id, n_tokens,
+         |  cast(h_fx as bigint) AS h_fx, cast(rank as int) AS rank
+         |FROM (SELECT doc_id, n_tokens, h_fx,
+         |        row_number() OVER (ORDER BY h_fx, doc_id) AS rank FROM h)
+         |WHERE rank <= 25""".stripMargin) { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ArrayOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("h_fx").asc, col("doc_id").asc)
+      tf.select(col("doc_id"), col("tf"),
+          (col("tf") * FxLog.log2fx(col("tf"))).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n"), sum(col("c")).as("s"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (FxLog.log2fx(col("n")) - expr("s div n")).as("h_fx"))
+        .orderBy(col("h_fx").asc, col("doc_id").asc)
+        .limit(25)
+        .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // PMI collocations: pointwise mutual information over adjacent token
+    // pairs, pmi = log2(c_ab·N / (c_a·c_b)) with all marginals drawn from
+    // the same bigram sample space (c_a = bigrams starting with a, c_b =
+    // bigrams ending with b) — the collocation miner behind phrase
+    // vocabularies. Fixed-point: pmi_fx = log2fx(c_ab·N) − log2fx(c_a·c_b),
+    // exact integers end-to-end. Scale shape: one bigram aggregation,
+    // two tiny marginal aggregations that broadcast back, support gate
+    // c_ab ≥ 5 BEFORE the joins, TakeOrdered top-20. int64 bound:
+    // c_ab·N ≤ N² needs N < 3e9 bigrams per corpus slice — shard the
+    // corpus (or pre-scale counts) past that, same caveat as q177.
+    QueryDef(
+      "q217_pmi_collocations",
+      s"""$toksCte,
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM t),
+         |c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS nb FROM c),
+         |ma AS (SELECT split_part(bg, ' ', 1) AS a, sum(cnt) AS ca
+         |       FROM c GROUP BY 1),
+         |mb AS (SELECT split_part(bg, ' ', 2) AS b, sum(cnt) AS cb
+         |       FROM c GROUP BY 1),
+         |j AS (SELECT bg, cnt, ca, cb, nb
+         |      FROM c JOIN ma ON split_part(bg, ' ', 1) = a
+         |             JOIN mb ON split_part(bg, ' ', 2) = b
+         |             CROSS JOIN tot
+         |      WHERE cnt >= 5),
+         |${FxLog.sqlCtes("lp", "j", "cnt * nb", "lg_num")},
+         |${FxLog.sqlCtes("lq", "lp", "ca * cb", "lg_den")},
+         |p AS (SELECT bg, cnt, lg_num - lg_den AS pmi_fx FROM lq)
+         |SELECT bg, cast(cnt as bigint) AS cnt,
+         |  cast(pmi_fx as bigint) AS pmi_fx, cast(rank as int) AS rank
+         |FROM (SELECT bg, cnt, pmi_fx,
+         |        row_number() OVER (ORDER BY pmi_fx DESC, bg) AS rank FROM p)
+         |WHERE rank <= 20""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .select(explode(TextOps.ngrams(ArrayOps.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(sum(col("cnt")).as("nb"))
+      val ma = c.groupBy(split(col("bg"), " ").getItem(0).as("a"))
+        .agg(sum(col("cnt")).as("ca"))
+      val mb = c.groupBy(split(col("bg"), " ").getItem(1).as("b"))
+        .agg(sum(col("cnt")).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_fx").desc, col("bg").asc)
+      c.filter(col("cnt") >= 5)
+        .join(broadcast(ma), split(col("bg"), " ").getItem(0) === col("a"))
+        .join(broadcast(mb), split(col("bg"), " ").getItem(1) === col("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("bg"), col("cnt"),
+          (FxLog.log2fx(col("cnt") * col("nb")) -
+            FxLog.log2fx(col("ca") * col("cb"))).as("pmi_fx"))
+        .orderBy(col("pmi_fx").desc, col("bg").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("int"))
+    }
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FxLog
+import graft.plans.FxLog2
+
+/** Fixed-point log2 kernel contract: exact on powers of two, monotone,
+  * within table-granularity accuracy of true log2, and the codegen'd
+  * column path agrees with the static kernel. */
+class FxLogSpec extends SparkSpec {
+
+  test("exact on powers of two") {
+    for (k <- 0 to 62)
+      assert(FxLog2.log2fx(1L << k) === k.toLong * 65536L, s"2^$k")
+  }
+
+  test("monotone non-decreasing and close to true log2") {
+    var prev = Long.MinValue
+    for (n <- 1L to 5000L) {
+      val v = FxLog2.log2fx(n)
+      assert(v >= prev, s"monotonicity broke at $n")
+      prev = v
+      val err = math.abs(v / 65536.0 - math.log(n.toDouble) / math.log(2.0))
+      assert(err < 1e-4, s"n=$n err=$err")
+    }
+    // large-magnitude spot checks (mantissa truncation path)
+    for (n <- Seq(123456789012345L, Long.MaxValue)) {
+      val err = math.abs(
+        FxLog2.log2fx(n) / 65536.0 - math.log(n.toDouble) / math.log(2.0))
+      assert(err < 1e-4, s"n=$n err=$err")
+    }
+  }
+
+  test("column path matches static kernel; null and non-positive -> null") {
+    import spark.implicits._
+    val rows = Seq[java.lang.Long](1L, 2L, 3L, 1023L, 1024L, 999999937L,
+      0L, -5L, null).toDF("n")
+      .select(col("n"), FxLog.log2fx(col("n")).as("lg"))
+      .collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      if (n == null || n <= 0L) assert(r.isNullAt(1), s"n=$n")
+      else assert(r.getLong(1) === FxLog2.log2fx(n), s"n=$n")
+    }
+  }
+
+  test("expression survives whole-stage codegen (no fallback)") {
+    val df = spark.range(1, 1000)
+      .select(FxLog.log2fx(col("id")).as("lg"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [log2fx"), p)
+    assert(df.agg(sum("lg")).head().getLong(0) > 0L)
+  }
+}
