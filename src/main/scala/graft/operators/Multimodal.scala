@@ -124,6 +124,103 @@ object Multimodal {
       buf.array()
     }
 
+    /** Real 16-bit mono PCM WAV whose SAMPLES come from the md5 hash
+      * family instead of xorshift: block b of 8 samples is
+      * `md5("pcm" + 0x01 + key + 0x01 + b)`, each sample the big-endian int16
+      * of hex chars [4j, 4j+4) — exactly
+      * `cast('0x' || substr(md5(...), 1+4*j, 4) as int)` re-signed, so a
+      * SQL oracle replays every sample closed-form (the xorshift synth
+      * couldn't be replayed engine-side — r7 verdict item 2). One digest
+      * per 8 samples keeps the writer ~8× cheaper than hash-per-sample. */
+    def synthWavHash(sampleRate: Int, numSamples: Int, key: String): Array[Byte] = {
+      require(sampleRate > 0 && numSamples >= 0)
+      val dataSize = numSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataSize)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+      buf.putShort(1) // PCM
+      buf.putShort(1) // mono
+      buf.putInt(sampleRate)
+      buf.putInt(sampleRate * 2) // byte rate
+      buf.putShort(2) // block align
+      buf.putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSize)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var b = 0
+      var i = 0
+      while (i < numSamples) {
+        md.reset()
+        val d = md.digest(
+          s"pcm\u0001$key\u0001$b".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 8 && i < numSamples) {
+          // hex chars [4j, 4j+4) = bytes d(2j), d(2j+1) big-endian
+          buf.putShort((((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)).toShort)
+          i += 1; j += 1
+        }
+        b += 1
+      }
+      buf.array()
+    }
+
+    /** Windowed integer PCM features from a REAL decode of the payload
+      * bytes: RIFF parse locates the data chunk, samples are read back as
+      * little-endian int16, and per `window`-sample window we emit
+      * (win, energy = Σ v², zeroCrossings = sign flips between in-window
+      * neighbors with v<0 as negative, peak = max |v|) — all exact
+      * integers, so the oracle's closed-form sample replay certifies that
+      * writer→reader→DSP round-trips bit-for-bit. Mono 16-bit only (the
+      * synth's format); None when the parse fails or format differs. */
+    def pcmWindowFeatures(bytes: Array[Byte], window: Int)
+        : Option[Seq[(Int, Long, Int, Int)]] = {
+      val inf = info(bytes)
+      if (inf.isEmpty) return None
+      val wi = inf.get
+      if (wi.channels != 1 || wi.bitsPerSample != 16) return None
+      // relocate the data chunk (same walk as info)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var dataOff = -1
+      var dataLen = 0L
+      while (off + 8 <= bytes.length && dataOff < 0) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = buf.getInt(off + 4).toLong & 0xffffffffL
+        if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(size, (bytes.length - off - 8).toLong)
+        }
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (dataOff < 0) return None
+      val n = (dataLen / 2).toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Int)]
+      var i = 0
+      while (i < n) {
+        val win = i / window
+        val end = math.min(n, (win + 1) * window)
+        var energy = 0L
+        var zc = 0
+        var peak = 0
+        var prevNeg = false
+        var first = true
+        while (i < end) {
+          val v = buf.getShort(dataOff + 2 * i).toInt
+          energy += v.toLong * v
+          val neg = v < 0
+          if (!first && neg != prevNeg) zc += 1
+          prevNeg = neg; first = false
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        out += ((win, energy, zc, peak))
+      }
+      Some(out.toSeq)
+    }
+
     /** Header-only parse: sample rate, channels, bits per sample and sample
       * count from the fmt/data chunks. None for anything that is not a
       * well-formed PCM WAV (wrong magic, truncated header, missing chunks,
@@ -324,6 +421,23 @@ object Multimodal {
     * struct(sampleRate, channels, bitsPerSample, nSamples), null for
     * non-WAV payloads. */
   def audioInfo(payload: Column): Column = audioInfoU(payload)
+
+  private val synthWavHashU =
+    udf((r: Int, n: Int, key: String) => AudioCodec.synthWavHash(r, n, key))
+  /** Column wrapper over [[AudioCodec.synthWavHash]] (oracle-replayable
+    * md5-family samples). */
+  def synthWavHash(sampleRate: Column, numSamples: Column, key: Column): Column =
+    synthWavHashU(sampleRate, numSamples, key)
+
+  private val pcmFeaturesU = udf((b: Array[Byte], w: Int) =>
+    AudioCodec.pcmWindowFeatures(b, w))
+  /** Column wrapper over [[AudioCodec.pcmWindowFeatures]]: array of
+    * struct(_1 = win, _2 = energy, _3 = zeroCrossings, _4 = peak), null
+    * when the payload is not decodable 16-bit mono PCM. The UDF boundary
+    * is byte decode + per-sample DSP — exactly the confinement SURVEY
+    * §4.3 draws for codec work. */
+  def pcmFeatures(payload: Column, window: Column): Column =
+    pcmFeaturesU(payload, window)
 
   /** Perceptual average-hash (aHash) of a REAL decoded image: block-average
     * luminance on a gridW×gridH grid, one bit per cell set iff the cell is

@@ -476,6 +476,60 @@ object PipelineQueries {
         .groupBy("n1", "n2").agg(max(col("dn")).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
           (col("d_num").cast("double") / (col("n1") * col("n2"))).as("d"))
+    },
+
+    // Audio PCM content features (multimodal column depth, r7 verdict
+    // item 6): each row synthesizes a REAL 16-bit mono WAV whose samples
+    // come from the md5 family (one digest per 8 samples), Spark then
+    // RE-DECODES the payload bytes — RIFF walk to the data chunk, LE
+    // int16 samples — and computes per-256-sample-window integer DSP
+    // features: energy (Σ v²), zero crossings (sign flips between
+    // in-window neighbors), peak (max |v|). The oracle replays every
+    // sample closed-form from the same md5 formula, so a green row
+    // certifies writer → reader → DSP round-trips bit-for-bit. The UDF
+    // boundary is byte codec + per-sample DSP only; windowing output is
+    // bounded (≤16 windows/doc) and the scan stays narrow.
+    QueryDef(
+      "q216_audio_features",
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS blen
+        |           FROM documents),
+        |p AS (SELECT doc_id, blen % 4000 + 16 AS ns FROM d),
+        |blk AS (SELECT doc_id, ns, unnest(range(0, (ns + 7) // 8)) AS b
+        |        FROM p),
+        |hx AS (SELECT doc_id, ns, b,
+        |         md5('pcm' || chr(1) || cast(doc_id as varchar)
+        |             || chr(1) || cast(b as varchar)) AS h
+        |       FROM blk),
+        |smp AS (SELECT doc_id, b * 8 + j.range AS i,
+        |          cast(('0x' || substr(h, cast(1 + 4 * j.range as int), 4))
+        |            as bigint) AS u
+        |        FROM hx CROSS JOIN range(0, 8) j
+        |        WHERE b * 8 + j.range < ns),
+        |s AS (SELECT doc_id, i,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        |      FROM smp),
+        |w AS (SELECT doc_id, cast(i // 256 as int) AS win, v,
+        |        lag(v) OVER (PARTITION BY doc_id, i // 256 ORDER BY i) AS pv
+        |      FROM s),
+        |f AS (SELECT doc_id, win, sum(v * v) AS energy,
+        |        sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |            THEN 1 ELSE 0 END) AS zc,
+        |        max(abs(v)) AS peak
+        |      FROM w GROUP BY 1, 2)
+        |SELECT cast(doc_id as bigint) AS doc_id, win,
+        |  cast(energy as bigint) AS energy, cast(zc as int) AS zc,
+        |  cast(peak as int) AS peak
+        |FROM f""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("blen", length(col("text").cast("binary")).cast("int"))
+        .withColumn("wav", Multimodal.synthWavHash(
+          lit(8000) + col("blen") % 8 * 1000, col("blen") % 4000 + 16,
+          col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          explode(Multimodal.pcmFeatures(col("wav"), lit(256))).as("f"))
+        .select(col("doc_id"), col("f._1").cast("int").as("win"),
+          col("f._2").as("energy"), col("f._3").cast("int").as("zc"),
+          col("f._4").cast("int").as("peak"))
     }
   )
 }

@@ -200,6 +200,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L) == ((8000, 800L)) && out(2L) == ((16000, 24000L)))
   }
 
+  test("md5-sample WAV synth + PCM window features round-trip") {
+    import Multimodal.AudioCodec
+    // samples match the closed form the oracle replays: block b of 8
+    // samples = md5('pcm'\1key\1b) hex chars [4j, 4j+4) as signed int16
+    val wav = AudioCodec.synthWavHash(8000, 20, "42")
+    assert(AudioCodec.info(wav).contains(AudioCodec.WavInfo(8000, 1, 16, 20L)))
+    val buf = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 20) {
+      val hex = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pcm\u000142\u0001${i / 8}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.map(x => f"${x & 0xff}%02x").mkString
+      }
+      val j = i % 8
+      val expect = Integer.parseInt(hex.substring(4 * j, 4 * j + 4), 16).toShort
+      assert(buf.getShort(44 + 2 * i) === expect, s"sample $i")
+    }
+    // DSP features agree with a direct recompute over the decoded samples
+    val feats = AudioCodec.pcmWindowFeatures(wav, 8).get
+    assert(feats.map(_._1) === Seq(0, 1, 2)) // 20 samples, window 8 -> 3 windows
+    val samples = (0 until 20).map(i => buf.getShort(44 + 2 * i).toInt)
+    feats.foreach { case (w, energy, zc, peak) =>
+      val vs = samples.slice(w * 8, math.min(20, (w + 1) * 8))
+      assert(energy === vs.map(v => v.toLong * v).sum)
+      assert(zc === vs.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0)))
+      assert(peak === vs.map(math.abs).max)
+    }
+    // non-PCM / undecodable payloads -> None, never throw
+    assert(AudioCodec.pcmWindowFeatures("not a wav at all, padded long enough"
+      .getBytes, 8).isEmpty)
+    assert(AudioCodec.pcmWindowFeatures(null, 8).isEmpty)
+  }
+
   test("real MP4 box walk recovers synthesized container metadata") {
     import Multimodal.VideoCodec
     // codec level: synth -> header-only parse round-trips exactly
