@@ -23,15 +23,18 @@ import scala.collection.mutable
   *    `[NH3]` ≡ `N`, `[CH3]C` ≡ `CC`. Emission re-derives the reader's
   *    default and brackets only atoms the bare form cannot represent
   *    (isotope/charge/map, non-default H like `[CH3]` radical or `[nH]`).
-  *  - '''Kekulized rings are aromatized.''' 5- and 6-membered rings over
-  *    aromatic-capable atoms (B C N O P S) are tested with a Hückel-style
-  *    electron count (in-conjugation double bond → 1 e⁻, pyrrole-type
-  *    N/P/O/S lone pair → 2 e⁻, exocyclic double / B / C⁺ → 0 e⁻; 4n+2
-  *    passes) and rewritten to aromatic form, iterating to a fixpoint so
-  *    fused systems (naphthalene, indole, quinoline) resolve ring by ring.
-  *    So `C1=CC=CC=C1` ≡ `c1ccccc1` and `C1=CC=CN1` ≡ `c1cc[nH]c1`, while
-  *    quinones, cyclohexadienes and other non-aromatic rings keep their
-  *    double bonds.
+  *  - '''Kekulized rings are aromatized.''' 5-, 6- and 7-membered rings
+  *    over aromatic-capable atoms (B C N O P S) are tested with a
+  *    Hückel-style electron count (in-conjugation double bond → 1 e⁻,
+  *    pyrrole-type N/P/O/S lone pair → 2 e⁻, exocyclic double / B / C⁺ →
+  *    0 e⁻; 4n+2 passes) and rewritten to aromatic form, iterating to a
+  *    fixpoint so fused systems (naphthalene, indole, quinoline) resolve
+  *    ring by ring; rings sharing one edge whose individual counts fail
+  *    are re-tested as a combined perimeter system (azulene). So
+  *    `C1=CC=CC=C1` ≡ `c1ccccc1`, `C1=CC=CN1` ≡ `c1cc[nH]c1`, tropylium
+  *    `C1=CC=CC=C[CH+]1` ≡ `[cH+]1cccccc1`, while quinones,
+  *    cyclohexadienes, cycloheptatriene and other non-aromatic rings keep
+  *    their double bonds.
   *
   *  - '''Tetrahedral stereo is canonicalized.''' `@`/`@@` parse as a parity
   *    relative to the written neighbor order (with the OpenSMILES
@@ -62,9 +65,10 @@ import scala.collection.mutable
   * cleans C3 (SmilesSpec locks this).
   *
   * Documented boundaries (vs RDKit): allene axial stereo is
-  * dropped; aromatization covers 5/6-rings only (no tropylium/azulene
-  * 7-rings), and a kekulé assignment of a large fused polycycle in which
-  * no 5/6-ring reaches 4n+2 even iteratively stays kekulized.
+  * dropped, and a kekulé assignment of a large fused polycycle in which
+  * neither any single 5/6/7-ring nor any one-edge-fused ring pair
+  * reaches 4n+2 even iteratively stays kekulized (three-plus-ring
+  * perimeter systems are not re-tested).
   */
 object Smiles {
 
@@ -510,9 +514,11 @@ object Smiles {
 
   private val aromaticCapable = Set("B", "C", "N", "O", "P", "S")
 
-  /** All simple cycles of length 5 or 6, in cycle order, deduped by atom
-    * set. Bounded DFS (each cycle enumerated from its minimum atom only);
-    * molecules are small so this is cheap.
+  /** All simple cycles of length 5, 6 or 7, in cycle order, deduped by
+    * atom set. Bounded DFS (each cycle enumerated from its minimum atom
+    * only); molecules are small so this is cheap. 7-rings feed the
+    * tropylium rule and the fused-pair (azulene) pass; the 4n+2 and
+    * sp3 gates keep cycloheptatriene/oxepine/azepine kekulized.
     */
   def simpleRings(mol: Mol): Vector[Vector[Int]] = {
     val n = mol.atoms.length
@@ -525,7 +531,7 @@ object Smiles {
       mol.adj(a).foreach { case (b, _) =>
         if (b == start && path.length >= 5) {
           if (seen.add(path.toSet)) out += path.toVector
-        } else if (!onPath(b) && b > start && path.length < 6) dfs(start, b)
+        } else if (!onPath(b) && b > start && path.length < 7) dfs(start, b)
       }
       path.remove(path.length - 1); onPath(a) = false
     }
@@ -547,50 +553,106 @@ object Smiles {
     val order = mutable.Map[(Int, Int), Int]()
     mol.bonds.foreach(b => order(ek(b.a, b.b)) = b.order)
     val degree = Array.tabulate(n)(mol.adj(_).length)
+
+    /** Hückel count over `cycle` with endocyclic membership `rs`:
+      * Some(electrons) when every atom is sp2-compatible, None otherwise. */
+    def countElectrons(cycle: Vector[Int], rs: Set[Int]): Option[Int] = {
+      var ok = true
+      var electrons = 0
+      cycle.foreach { a =>
+        val at = mol.atoms(a)
+        val nbs = mol.adj(a).map { case (b, _) => (b, order(ek(a, b))) }
+        val conns = degree(a) + at.hCount
+        if (nbs.exists(_._2 == 3) || conns > 3) ok = false
+        else if (arom(a)) electrons += 1
+        else {
+          val doubles = nbs.filter(_._2 == 2)
+          if (doubles.nonEmpty) {
+            // ENDOCYCLIC double (within this ring) → 1 π e⁻; any
+            // exocyclic double (quinone C=O, quinoid =CR2 — even when
+            // the partner sits in some other ring) → sp2 but 0 π e⁻.
+            // Fused systems don't need the cross-ring credit: the ring
+            // with full alternation aromatizes first and its atoms then
+            // count via the arom(a) branch on the next fixpoint pass.
+            if (doubles.exists { case (b, _) => rs(b) }) electrons += 1
+          } else at.elem match {
+            case "C" =>
+              if (at.charge == -1) electrons += 2 // cyclopentadienyl
+              else if (at.charge != 1) ok = false // sp3 carbon (C+ = 0 e⁻:
+              // the tropylium empty p orbital)
+            case "N" | "P" => electrons += 2 // pyrrole-type lone pair
+            case "O" | "S" =>
+              if (at.charge == 0 && degree(a) == 2 && at.hCount == 0) electrons += 2
+              else ok = false
+            case "B" => () // empty p orbital
+            case _ => ok = false
+          }
+        }
+      }
+      if (ok) Some(electrons) else None
+    }
+
+    def ringEdges(ring: Vector[Int]): Seq[(Int, Int)] =
+      ring.indices.map(i => ek(ring(i), ring((i + 1) % ring.length)))
+
+    def markAromatic(atoms: Iterable[Int], edges: Iterable[(Int, Int)]): Boolean = {
+      var any = false
+      atoms.foreach { a => if (!arom(a)) { arom(a) = true; any = true } }
+      edges.foreach { e => if (order(e) != 4) { order(e) = 4; any = true } }
+      any
+    }
+
+    /** Fused-pair candidates: two rings sharing exactly ONE edge, with the
+      * perimeter cycle (r1's a→b path avoiding the shared edge, then r2's
+      * b→a path). Azulene's 5+7 rings individually count 4 and 6-with-a-
+      * hole electrons and never fire, but the 10-atom perimeter carries
+      * the full 4n+2 system — the naphthalene-style global perception the
+      * per-ring rule can't see. */
+    lazy val fusedPairs: Vector[(Vector[Int], Vector[Int], Vector[Int])] = {
+      def pathAvoiding(r: Vector[Int], a: Int, b: Int): Vector[Int] = {
+        val i = r.indexOf(a)
+        val rot = r.drop(i) ++ r.take(i)
+        if (rot(1) == b) rot.head +: rot.tail.reverse else rot
+      }
+      (for {
+        i <- rings.indices
+        j <- (i + 1) until rings.length
+        shared = ringEdges(rings(i)).toSet.intersect(ringEdges(rings(j)).toSet)
+        if shared.size == 1
+        (a, b) = shared.head
+      } yield {
+        val p1 = pathAvoiding(rings(i), a, b)
+        val p2 = pathAvoiding(rings(j), b, a)
+        (rings(i), rings(j), p1 ++ p2.slice(1, p2.length - 1))
+      }).toVector
+    }
+
     var changed = true
     while (changed) {
       changed = false
       rings.foreach { ring =>
-        val rs = ring.toSet
-        val allMarked = ring.forall(arom) &&
-          ring.indices.forall(i => order(ek(ring(i), ring((i + 1) % ring.length))) == 4)
+        val allMarked = ring.forall(arom) && ringEdges(ring).forall(order(_) == 4)
         if (!allMarked && ring.forall(a => aromaticCapable(mol.atoms(a).elem))) {
-          var ok = true
-          var electrons = 0
-          ring.foreach { a =>
-            val at = mol.atoms(a)
-            val nbs = mol.adj(a).map { case (b, _) => (b, order(ek(a, b))) }
-            val conns = degree(a) + at.hCount
-            if (nbs.exists(_._2 == 3) || conns > 3) ok = false
-            else if (arom(a)) electrons += 1
-            else {
-              val doubles = nbs.filter(_._2 == 2)
-              if (doubles.nonEmpty) {
-                // ENDOCYCLIC double (within this ring) → 1 π e⁻; any
-                // exocyclic double (quinone C=O, quinoid =CR2 — even when
-                // the partner sits in some other ring) → sp2 but 0 π e⁻.
-                // Fused systems don't need the cross-ring credit: the ring
-                // with full alternation aromatizes first and its atoms then
-                // count via the arom(a) branch on the next fixpoint pass.
-                if (doubles.exists { case (b, _) => rs(b) }) electrons += 1
-              } else at.elem match {
-                case "C" =>
-                  if (at.charge == -1) electrons += 2 // cyclopentadienyl
-                  else if (at.charge != 1) ok = false // sp3 carbon
-                case "N" | "P" => electrons += 2 // pyrrole-type lone pair
-                case "O" | "S" =>
-                  if (at.charge == 0 && degree(a) == 2 && at.hCount == 0) electrons += 2
-                  else ok = false
-                case "B" => () // empty p orbital
-                case _ => ok = false
-              }
-            }
+          countElectrons(ring, ring.toSet) match {
+            case Some(e) if e % 4 == 2 =>
+              if (markAromatic(ring, ringEdges(ring))) changed = true
+            case _ => ()
           }
-          if (ok && electrons % 4 == 2) {
-            ring.foreach { a => if (!arom(a)) { arom(a) = true; changed = true } }
-            ring.indices.foreach { i =>
-              val e = ek(ring(i), ring((i + 1) % ring.length))
-              if (order(e) != 4) { order(e) = 4; changed = true }
+        }
+      }
+      if (!changed) {
+        // azulene-class pass only once the per-ring fixpoint is quiescent:
+        // aromatizing marks BOTH rings' atoms and edges (fusion included,
+        // so the kekulé and aromatic writings converge to one Mol)
+        fusedPairs.foreach { case (r1, r2, perim) =>
+          val atoms = (r1 ++ r2).distinct
+          val edges = (ringEdges(r1) ++ ringEdges(r2)).distinct
+          val allMarked = atoms.forall(arom) && edges.forall(order(_) == 4)
+          if (!allMarked && perim.forall(a => aromaticCapable(mol.atoms(a).elem))) {
+            countElectrons(perim, perim.toSet) match {
+              case Some(e) if e % 4 == 2 =>
+                if (markAromatic(atoms, edges)) changed = true
+              case _ => ()
             }
           }
         }

@@ -72,10 +72,12 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs over (id, shingles):
     * explode band keys → self-join per bucket (a.id < b.id) → distinct
     * candidate pairs → exact Jaccard verify ≥ `threshold`.
-    * Returns (a_id, b_id, n_common, n_union).
+    * Returns (a_id, b_id, n_common, n_union). `cleanup = true` frees the
+    * signature/shingle barriers eagerly (see [[CacheScope]]).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, shinglesCol: String,
-      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      cleanup: Boolean = false): DataFrame = {
     // Materialize shingles and band keys once: the self-join and the two
     // verify joins would otherwise each re-evaluate the full signature
     // subtree (at 100 TB these are checkpointed tables, not recomputes).
@@ -96,13 +98,14 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     // exact verify: join the shingle sets back per side
-    cand
+    val out = cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("n_union", size(array_union(col("a_sh"), col("b_sh"))))
       .filter(col("n_common").cast("double") / col("n_union") >= threshold)
       .select("a_id", "b_id", "n_common", "n_union")
+    CacheScope.scoped(out, Seq(sh, sigDf), cleanup)
   }
 
   /** Incremental near-dup pairing: candidate pairs are (corpus × delta)
@@ -117,7 +120,7 @@ object Dedup {
     */
   def minhashLshPairsDelta(docs: DataFrame, idCol: String, shinglesCol: String,
       deltaPred: Column, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, cleanup: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), col(shinglesCol).as("sh"),
         deltaPred.as("__new"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -133,13 +136,14 @@ object Dedup {
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cand
+    val out = cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .withColumn("n_common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("n_union", size(array_union(col("a_sh"), col("b_sh"))))
       .filter(col("n_common").cast("double") / col("n_union") >= threshold)
       .select("a_id", "b_id", "n_common", "n_union")
+    CacheScope.scoped(out, Seq(sh, sigDf), cleanup)
   }
 
   /** Edit-distance near-duplicate pairs via prefix blocking — the classic

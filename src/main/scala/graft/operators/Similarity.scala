@@ -232,7 +232,8 @@ object Similarity {
   /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
     * band key, verified at `minCosine`. Returns (a_id, b_id). */
   def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
-      planes: Int, bands: Int, minCosine: Double): DataFrame = {
+      planes: Int, bands: Int, minCosine: Double,
+      cleanup: Boolean = false): DataFrame = {
     val keyed = df.select(col(id).as("id"), col(vec).as("v"))
       .withColumn("__bk", explode(lshBandKeys(col("v"), planes, bands)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -241,11 +242,12 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     val vecs = df.select(col(id).as("id"), col(vec).as("v"))
-    cand
+    val out = cand
       .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
       .join(vecs.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
       .select("a_id", "b_id")
+    CacheScope.scoped(out, Seq(keyed), cleanup)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
@@ -277,7 +279,7 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, id: String, vec: String,
       centroids: DataFrame, minCosine: Double,
-      maxCell: Int = 1 << 14): DataFrame = {
+      maxCell: Int = 1 << 14, cleanup: Boolean = false): DataFrame = {
     require(maxCell >= 1, "semanticDedup: maxCell must be >= 1")
     // row norm rides in the persisted frame: the quadratic in-cell check
     // then folds ONE dot per pair instead of cosine()'s three (same IEEE
@@ -304,7 +306,9 @@ object Similarity {
       .filter(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))
         >= minCosine)
       .select(col("a_id").as(id)).distinct()
-    cells.join(dups, Seq(id), "left_anti").select(col(id), col("cell"))
+    CacheScope.scoped(
+      cells.join(dups, Seq(id), "left_anti").select(col(id), col("cell")),
+      Seq(cells), cleanup)
   }
 
   /** Margin-based cross-side nearest-neighbor mining (Artetxe & Schwenk
@@ -324,7 +328,8 @@ object Similarity {
     * margin), one row per A-side vector with ≥1 candidate.
     */
   def marginMining(df: DataFrame, id: String, vec: String,
-      centroids: DataFrame, sideA: Column, k: Int): DataFrame = {
+      centroids: DataFrame, sideA: Column, k: Int,
+      cleanup: Boolean = false): DataFrame = {
     require(k >= 1, "marginMining: k must be >= 1")
     val cells = df.select(col(id), col(vec), sideA.as("__sa"))
       .join(ivfAssign(df, id, vec, centroids), Seq(id))
@@ -354,13 +359,15 @@ object Similarity {
             (acc, x) => acc + x.getField("sim")) / size(col("__l"))).as("__s"))
     }
     val wM = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
-    sims.join(topMean("a_id", "b_id").withColumnRenamed("__s", "__sx"), "a_id")
+    val out = sims
+      .join(topMean("a_id", "b_id").withColumnRenamed("__s", "__sx"), "a_id")
       .join(topMean("b_id", "a_id").withColumnRenamed("__s", "__sy"), "b_id")
       .withColumn("margin",
         col("sim") / ((col("__sx") + col("__sy")) / 2))
       .withColumn("__r", row_number().over(wM))
       .filter(col("__r") === 1)
       .select(col("a_id"), col("b_id"), col("margin"))
+    CacheScope.scoped(out, Seq(cells, sims), cleanup)
   }
 
   /** Product-quantization encode: split each vector into `m` equal

@@ -431,7 +431,11 @@ object Sketches {
     */
   def kmvDistinctGrouped(df: DataFrame, group: String, key: Column,
       k: Int): DataFrame = {
-    val sk = df.groupBy(group).agg(
+    // NULL keys carry no distinct value: drop their rows BEFORE grouping
+    // so a group whose keys are all NULL is omitted entirely (matching a
+    // SQL `WHERE key IS NOT NULL` pre-filter / the q203 streaming path)
+    // instead of surfacing as an empty sketch with kmv_est = 0
+    val sk = df.filter(key.isNotNull).groupBy(group).agg(
       graft.plans.KmvBottomK(key, k).as("__kmv"))
     val hk = element_at(col("__kmv"), k).cast("double")
     val est = when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types._
   * Unlike [[KmvBottomK]] the buffer concatenates rather than set-unions:
   * duplicate values are real rows and must all count toward the k. The
   * saturation guard keeps the per-row cost at one comparison once the
-  * buffer holds k values. NULL children are skipped.
+  * buffer holds k values. NULL children are skipped — and for a STRUCT
+  * child, so are rows where ANY top-level field is NULL: a struct with a
+  * NULL leading rank field is not itself null, would sort nulls-FIRST in
+  * the buffer, and diverge from the window formulation's `ORDER BY x
+  * DESC` (nulls LAST) — skipping keeps the aggregate equivalent to a
+  * window over `WHERE rank keys IS NOT NULL` on nullable inputs.
   */
 case class BottomKAgg(child: Expression, k: Int)
     extends DeclarativeAggregate with UnaryLike[Expression] {
@@ -43,10 +48,20 @@ case class BottomKAgg(child: Expression, k: Int)
   private def truncate(merged: Expression): Expression =
     Slice(new SortArray(merged), Literal(1), Literal(k))
 
+  /** Null guard: the child itself, or (struct child) any top-level field. */
+  private lazy val anyNull: Expression = child.dataType match {
+    case st: StructType =>
+      st.fields.zipWithIndex
+        .map { case (f, i) =>
+          IsNull(GetStructField(child, i, Some(f.name))): Expression }
+        .foldLeft(IsNull(child): Expression)(Or(_, _))
+    case _ => IsNull(child)
+  }
+
   override lazy val updateExpressions: Seq[Expression] = {
     val skip = And(EqualTo(Size(buf), Literal(k)),
       GreaterThanOrEqual(child, ElementAt(buf, Literal(k))))
-    Seq(If(Or(IsNull(child), skip), buf,
+    Seq(If(Or(anyNull, skip), buf,
       truncate(Concat(Seq(buf, CreateArray(Seq(child)))))))
   }
 

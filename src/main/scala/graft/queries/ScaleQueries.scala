@@ -14,6 +14,26 @@ import graft.operators.{LinearAlgebra, Sketches}
   */
 object ScaleQueries {
 
+  /** Per-JVM catalog-name suffix: q211's saveAsTable names stay unique
+    * across concurrent sessions (same device as q203's memory-sink name)
+    * while repeated runs in ONE session reuse-and-overwrite. */
+  private lazy val runToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** ONE scratch directory per JVM for the layout round-trip queries
+    * (q211/q212), recursively deleted on JVM exit — repeated runs
+    * overwrite in place instead of leaking a table copy per invocation. */
+  private lazy val scratchDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** DuckDB sequential dot product (mirrors EmbeddingQueries.dotSql —
     * left-fold in double, matching VecKernels' fold order exactly). */
   private def dotSql(a: String, b: String): String =
@@ -1051,21 +1071,26 @@ object ScaleQueries {
         |       as bigint) AS revenue_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-bkt").toString
+      // per-JVM scratch dir (deleted on exit) + per-JVM table suffix:
+      // repeated Verify/Bench/spec runs overwrite ONE copy instead of
+      // leaking a fresh orders+lineitem into /tmp per invocation, and
+      // concurrent sessions never collide on catalog names
+      val base = s"$scratchDir/bkt"
+      val (to, tl) = (s"graft_q211_orders_$runToken",
+        s"graft_q211_lineitem_$runToken")
       Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
         .write.mode("overwrite").option("path", s"$base/o")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_q211_orders")
+        .saveAsTable(to)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
           (col("l_extendedprice").cast("decimal(18,4)") * 100).cast("long")
             .as("cents"))
         .write.mode("overwrite").option("path", s"$base/l")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_q211_lineitem")
-      s.table("graft_q211_orders")
-        .join(s.table("graft_q211_lineitem"),
+        .saveAsTable(tl)
+      s.table(to)
+        .join(s.table(tl),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
@@ -1089,8 +1114,7 @@ object ScaleQueries {
         |FROM events
         |WHERE cast(ts as date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-part").toString
+      val base = s"$scratchDir/part"
       Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"), col("event_type"),
           (col("value").cast("decimal(18,4)") * 100).cast("long").as("cents"))

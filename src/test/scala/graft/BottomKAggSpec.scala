@@ -30,6 +30,21 @@ class BottomKAggSpec extends SparkSpec {
     assert(got == Seq(2L, 4L))
   }
 
+  test("struct rows with a NULL rank field are skipped, not sorted first") {
+    import spark.implicits._
+    // a struct whose leading field is NULL is NOT itself null; unguarded
+    // it would insert and sort nulls-first, diverging from the window
+    // formulation's ORDER BY ... (nulls last) — r8 advice item
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("id", "v")
+    val got = rows
+      .agg(BottomKAgg(struct((-col("v")).as("nv"), col("id").as("id")), 3)
+        .as("b"))
+      .select(explode(col("b")))
+      .select(col("col.id")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L)) // only non-null ranks, best (10) first
+  }
+
   test("bottom_k folds inside streaming aggregation state (Complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}

@@ -23,6 +23,9 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     // kekulized aromatics (must unify with the lowercase forms above)
     "C1=CC=CC=C1", "C1=CC=CN1", "C1=CC2=CC=CC=C2C=C1",
     "CC(=O)OC1=CC=CC=C1C(=O)O",
+    // 7-ring aromatics (r8): tropylium + azulene, kekulé and aromatic
+    "C1=CC=CC=C[CH+]1", "[cH+]1cccccc1", "C1=CC2=CC=CC=CC2=C1",
+    "c1cc2cccccc2c1",
     // genuinely non-aromatic unsaturated rings (must NOT aromatize)
     "O=C1C=CC(=O)C=C1", "C1=CCCCC1",
     // tetrahedral stereo: chain, ring-closure, first-atom, lone-pair forms,
@@ -63,6 +66,13 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c("C1=CC=C2NC=CC2=C1") == c("c1ccc2[nH]ccc2c1")) // indole
     assert(c("CC(=O)OC1=CC=CC=C1C(=O)O") == c("CC(=O)Oc1ccccc1C(=O)O")) // aspirin
     assert(c("[O-][N+]1=CC=CC=C1") == c("[O-][n+]1ccccc1")) // pyridine N-oxide
+    // 7-ring aromatics (r8: flipped from documented passthrough)
+    assert(c("C1=CC=CC=C[CH+]1") == c("[cH+]1cccccc1")) // tropylium
+    assert(c("[CH+]1C=CC=CC=C1") == c("[cH+]1cccccc1")) // alt. kekulé
+    // azulene: 5+7 fused, aromatic only as the 10-atom perimeter system —
+    // both kekulé assignments and the aromatic writing unify
+    assert(c("C1=CC2=CC=CC=CC2=C1") == c("c1cc2cccccc2c1"))
+    assert(c("C1=CC=C2C=CC=C2C=C1") == c("c1ccc2cccc2cc1"))
   }
 
   test("non-aromatic unsaturated rings stay kekulized") {
