@@ -187,6 +187,158 @@ object RankQueries {
         .orderBy(col("pmi_fx").desc, col("bg").asc)
         .limit(20)
         .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // KL-divergence drift monitor: per source, KL(P_source || P_corpus)
+    // of the language distribution — the "did this feed's mix shift"
+    // alarm a data pipeline runs per ingest batch. Fixed point:
+    // KL = Σ p_i·log2(p_i/q_i) scaled by the source size A, so
+    // kl_milli_fx = (Σ a_i·(log2fx(a_i·B) − log2fx(b_i·A))) · 1000 // A
+    // — all integers (a_i = source-lang count, b_i = corpus-lang count,
+    // B = corpus total). P is absolutely continuous wrt Q by
+    // construction (every source doc is a corpus doc), so no zero-q
+    // guard is needed. Two tiny aggregations + a broadcast join; the
+    // per-source sum is one combining aggregate. int64 bound: a_i·B ≤
+    // N² needs N < 3e9 docs per monitored slice.
+    QueryDef(
+      "q218_kl_drift",
+      s"""WITH a AS (SELECT source, lang, count(*) AS a_i FROM documents
+         |           GROUP BY 1, 2),
+         |b AS (SELECT lang, count(*) AS b_i FROM documents GROUP BY 1),
+         |tot AS (SELECT cast(sum(b_i) as bigint) AS nb FROM b),
+         |sa AS (SELECT source, cast(sum(a_i) as bigint) AS na FROM a
+         |       GROUP BY 1),
+         |j AS (SELECT a.source, a.lang, a.a_i, b.b_i, sa.na, tot.nb
+         |      FROM a JOIN b USING (lang) JOIN sa ON a.source = sa.source
+         |      CROSS JOIN tot),
+         |${FxLog.sqlCtes("k1", "j", "a_i * nb", "lg_p")},
+         |${FxLog.sqlCtes("k2", "k1", "b_i * na", "lg_q")},
+         |g AS (SELECT source, max(na) AS na,
+         |        sum(a_i * (lg_p - lg_q)) AS s FROM k2 GROUP BY 1)
+         |SELECT source, cast(na as bigint) AS n_docs,
+         |  cast(CASE WHEN s >= 0 THEN s * 1000 // na
+         |            ELSE -((-s) * 1000 // na) END as bigint) AS kl_milli_fx
+         |FROM g""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("source", "lang")
+      val a = d.groupBy("source", "lang").agg(count(lit(1)).as("a_i"))
+      val b = d.groupBy("lang").agg(count(lit(1)).as("b_i"))
+      val tot = b.agg(sum(col("b_i")).cast("long").as("nb"))
+      val sa = a.groupBy("source").agg(sum(col("a_i")).cast("long").as("na"))
+      a.join(broadcast(b), "lang")
+        .join(broadcast(sa), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("na"),
+          (col("a_i") * (FxLog.log2fx(col("a_i") * col("nb")) -
+            FxLog.log2fx(col("b_i") * col("na")))).as("c"))
+        .groupBy("source")
+        .agg(max(col("na")).cast("long").as("n_docs"), sum(col("c")).as("s"))
+        // KL >= 0 in exact math but the ~2e-5 fx error can dip a
+        // zero-drift source negative — sign-decompose the scaled division
+        // so DuckDB // (floors) and Spark div (truncates) agree (q194)
+        .select(col("source"), col("n_docs"),
+          expr("""CASE WHEN s >= 0 THEN s * 1000 div n_docs
+                 |     ELSE -((-s) * 1000 div n_docs) END""".stripMargin)
+            .cast("long").as("kl_milli_fx"))
+    },
+
+    // Unigram cross-entropy quality score (the perplexity filter, with
+    // the corpus unigram LM standing in for the neural LM this container
+    // cannot host): per doc, H = (Σ_t tf·(log2 C − log2 c_t)) / n_d —
+    // the average surprisal of the doc's tokens under the corpus
+    // distribution. HIGH scores = rare-token-stuffed outliers, LOW =
+    // common-token boilerplate; both tails are the filter's targets.
+    // Fixed-point end-to-end; term counts broadcast back to the tf
+    // table; top-25 surprisal via TakeOrdered. The LM table is
+    // vocab-sized (bounded); at 100 TB shard the vocab join by term
+    // hash, never by doc.
+    QueryDef(
+      "q219_surprisal_filter",
+      s"""$toksCte,
+         |u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+         |c AS (SELECT term, count(*) AS c_t FROM u GROUP BY 1),
+         |tot AS (SELECT cast(sum(c_t) as bigint) AS ctot FROM c),
+         |${FxLog.sqlCtes("s1", "c", "c_t", "lg_c")},
+         |jj AS (SELECT tf.doc_id, tf.tf, s1.lg_c, tot.ctot
+         |       FROM tf JOIN s1 USING (term) CROSS JOIN tot),
+         |${FxLog.sqlCtes("s2", "jj", "ctot", "lg_tot")},
+         |h AS (SELECT doc_id,
+         |        cast(sum(tf) as bigint) AS n_tokens,
+         |        cast(sum(tf * (lg_tot - lg_c)) // sum(tf) as bigint)
+         |          AS h_fx
+         |      FROM s2 GROUP BY 1)
+         |SELECT cast(doc_id as bigint) AS doc_id, n_tokens, h_fx,
+         |  cast(rank as int) AS rank
+         |FROM (SELECT doc_id, n_tokens, h_fx,
+         |        row_number() OVER (ORDER BY h_fx DESC, doc_id) AS rank
+         |      FROM h)
+         |WHERE rank <= 25""".stripMargin) { (s, dir) =>
+      val u = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ArrayOps.tokens(col("text"))).as("term"))
+      val tf = u.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val c = u.groupBy("term").agg(count(lit(1)).as("c_t"))
+      val tot = c.agg(sum(col("c_t")).cast("long").as("ctot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("h_fx").desc, col("doc_id").asc)
+      tf.join(c.select(col("term"), FxLog.log2fx(col("c_t")).as("lg_c")),
+          "term")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"),
+          (col("tf") * (FxLog.log2fx(col("ctot")) - col("lg_c"))).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          expr("sum(s) div sum(tf)").cast("long").as("h_fx"))
+        .orderBy(col("h_fx").desc, col("doc_id").asc)
+        .limit(25)
+        .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // Mutual information between two categorical columns (lang ×
+    // source): MI = Σ_xy p_xy·log2(p_xy/(p_x·p_y)) — the feature-
+    // dependence probe behind leakage checks ("does source give away
+    // the label?"). Fixed point over the contingency table:
+    // mi_micro_fx = (Σ c_xy·(log2fx(c_xy·N) − log2fx(c_x·c_y)))·10^6//N.
+    // The contingency table is |langs|·|sources| rows — tiny at any
+    // corpus size; the only corpus-wide work is three combining counts.
+    QueryDef(
+      "q220_mutual_information",
+      s"""WITH xy AS (SELECT lang, source, count(*) AS c_xy FROM documents
+         |            GROUP BY 1, 2),
+         |x AS (SELECT lang, count(*) AS c_x FROM documents GROUP BY 1),
+         |y AS (SELECT source, count(*) AS c_y FROM documents GROUP BY 1),
+         |tot AS (SELECT cast(count(*) as bigint) AS n FROM documents),
+         |j AS (SELECT xy.lang, xy.source, xy.c_xy, x.c_x, y.c_y, tot.n
+         |      FROM xy JOIN x USING (lang) JOIN y USING (source)
+         |      CROSS JOIN tot),
+         |${FxLog.sqlCtes("m1", "j", "c_xy * n", "lg_p")},
+         |${FxLog.sqlCtes("m2", "m1", "c_x * c_y", "lg_q")},
+         |g AS (SELECT sum(c_xy * (lg_p - lg_q)) AS s, max(n) AS n,
+         |        count(*) AS cells FROM m2)
+         |SELECT cast(CASE WHEN s >= 0 THEN s * 1000000 // n
+         |                 ELSE -((-s) * 1000000 // n) END as bigint)
+         |    AS mi_micro_fx,
+         |  cast(n as bigint) AS n_docs,
+         |  cast(cells as bigint) AS n_cells
+         |FROM g""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("lang", "source")
+      val xy = d.groupBy("lang", "source").agg(count(lit(1)).as("c_xy"))
+      val x = d.groupBy("lang").agg(count(lit(1)).as("c_x"))
+      val y = d.groupBy("source").agg(count(lit(1)).as("c_y"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      xy.join(broadcast(x), "lang")
+        .join(broadcast(y), "source")
+        .crossJoin(broadcast(tot))
+        .select((col("c_xy") * (FxLog.log2fx(col("c_xy") * col("n")) -
+            FxLog.log2fx(col("c_x") * col("c_y")))).as("c"),
+          col("n"))
+        .agg(sum(col("c")).as("s"), max(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_cells"))
+        // same sign-decomposition as q218: MI >= 0 exact, fx error can
+        // dip an independent pair negative
+        .select(expr("""CASE WHEN s >= 0 THEN s * 1000000 div n_docs
+                       |     ELSE -((-s) * 1000000 div n_docs) END"""
+            .stripMargin).cast("long").as("mi_micro_fx"),
+          col("n_docs"), col("n_cells"))
     }
   )
 }
