@@ -1318,6 +1318,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("strictNeighborsOrderedBy: both directions in one pass, null-v rows skipped") {
+    val rnd = new scala.util.Random(97L)
+    // mixed carrier/probe rows: null v (probe) must never contribute to
+    // either direction — the readings∪grid stack shape q157 rides
+    val rows = (0 until 240).map { i =>
+      val k = (i / 10).toLong * 300 + i % 10
+      val v: Option[Long] = if (i % 4 == 0) None else Some(rnd.nextInt(900).toLong)
+      (s"g${i % 2}", k, v)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "v")
+    val got = graft.operators.Relational
+      .strictNeighborsOrderedBy(df, Seq("g"), "k", "v", buckets = 5)
+      .select(col("g"), col("k"), col("__pmax"), col("__smin"))
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map { case (g, k, p, n) => (g, k) -> ((p, n)) }.toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, k, _) =>
+        val before = rs.filter(r => r._2 < k && r._3.nonEmpty).flatMap(_._3)
+        val after = rs.filter(r => r._2 > k && r._3.nonEmpty).flatMap(_._3)
+        (g, k) -> ((if (before.isEmpty) None else Some(before.max),
+          if (after.isEmpty) None else Some(after.min)))
+      }
+    }
+    assert(got == expect)
+    // agreement with two independent strictPrefixMax passes (q157's old shape)
+    val fwd = graft.operators.Relational
+      .strictPrefixMaxOrderedBy(df, Seq("g"), "k", "v", buckets = 5)
+      .select(col("g"), col("k"), col("__pmax"))
+      .as[(String, Long, Option[Long])].collect()
+      .map { case (g, k, p) => (g, k) -> p }.toMap
+    assert(got.view.mapValues(_._1).toMap == fwd)
+  }
+
   test("paretoFrontier2d matches brute-force strict dominance; ties kept") {
     import graft.operators.Relational
     // planted: (2,5) dominated by (0,5) at equal v; duplicate point

@@ -461,6 +461,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q214/q215/q219: log-scored rankers broadcast stats, top-k never global-sorts") {
+    for (q <- Seq("q214_bm25_topk", "q215_entropy_filter",
+        "q219_surprisal_filter")) {
+      val p = plan(q)
+      // the fixed-point log2 must stay a native codegen'd expression
+      assert(p.contains("log2fx"), q + "\n" + p)
+      // idf/LM/totals ride broadcasts (q214/q219) or map-side partials
+      assert(p.contains("partial_"), q + "\n" + p)
+      // two-phase top-k: per-partition top-k + merge, never a global sort
+      assert(p.contains("TakeOrderedAndProject"), q + "\n" + p)
+      assert(!p.contains("SortMergeJoin"), q + "\n" + p)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+    }
+  }
+
+  test("q218/q220: divergence probes broadcast marginals, one combining agg") {
+    for (q <- Seq("q218_kl_drift", "q220_mutual_information")) {
+      val p = plan(q)
+      assert(p.contains("log2fx"), q + "\n" + p)
+      assert(p.contains("BroadcastHashJoin"), q + "\n" + p)
+      assert(p.contains("partial_"), q + "\n" + p)
+      assert(!p.contains("SortMergeJoin"), q + "\n" + p)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p)
+    }
+  }
+
+  test("q216: audio features stay a narrow projection (no join, no window)") {
+    val p = plan("q216_audio_features")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // pruned scan: only doc_id + text feed the synth/decode path
+    assert(!p.contains("n_chars"), "projection not pruned:\n" + p)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
