@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -339,6 +340,132 @@ object RankQueries {
                        |     ELSE -((-s) * 1000000 div n_docs) END"""
             .stripMargin).cast("long").as("mi_micro_fx"),
           col("n_docs"), col("n_cells"))
+    },
+
+    // Zipf slope: least-squares fit of log2(freq) on log2(rank) over the
+    // top-32 vocabulary terms — natural text sits near slope −1, so the
+    // fit is the corpus-naturalness screen (synthetic/templated data
+    // flattens it). All moments are exact integers over fixed-point logs
+    // (x = log2fx(rank), y = log2fx(freq)); the slope ships as the exact
+    // rational (num, den) PLUS a sign-decomposed milli quotient (slope is
+    // negative — the q194 floor/truncate corner). Only the ≤32-row
+    // ranked head ever sorts; term counting is one combining aggregate.
+    QueryDef(
+      "q222_zipf_slope",
+      s"""$toksCte,
+         |u AS (SELECT unnest(toks) AS term FROM t),
+         |c AS (SELECT term, count(*) AS cnt FROM u GROUP BY 1),
+         |r AS (SELECT term, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, term) AS rk
+         |      FROM c QUALIFY rk <= 32),
+         |${FxLog.sqlCtes("zx", "r", "rk", "x")},
+         |${FxLog.sqlCtes("zy", "zx", "cnt", "y")},
+         |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM zy),
+         |g AS (SELECT n, n * sxy - sx * sy AS num,
+         |        n * sxx - sx * sx AS den FROM m)
+         |SELECT cast(n as bigint) AS n_terms,
+         |  cast(num as bigint) AS slope_num, cast(den as bigint) AS slope_den,
+         |  cast(CASE WHEN num >= 0 THEN num * 1000 // den
+         |            ELSE -((-num) * 1000 // den) END as bigint)
+         |    AS slope_milli
+         |FROM g""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .select(explode(ArrayOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)
+      c.orderBy(col("cnt").desc, col("term").asc).limit(32)
+        .withColumn("rk", row_number().over(w))
+        .select(FxLog.log2fx(col("rk").cast("long")).as("x"),
+          FxLog.log2fx(col("cnt")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_terms"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("n_terms"), col("num").as("slope_num"),
+          col("den").as("slope_den"),
+          expr("""CASE WHEN num >= 0 THEN num * 1000 div den
+                 |     ELSE -((-num) * 1000 div den) END""".stripMargin)
+            .cast("long").as("slope_milli"))
+    },
+
+    // NDCG@20 offline ranking evaluation: rank parts by first-period
+    // revenue (the "prediction"), score against second-period revenue
+    // (the "relevance") — the recommender/search eval primitive. DCG
+    // terms are exact integers: rel_k·2^32 // log2fx(i+1) (discount in
+    // the FxLog2 contract, rel in revenue dollars), the ideal DCG
+    // re-ranks the same 20 relevances descending, and ndcg itself is the
+    // ONE IEEE division both engines compute identically. Everything
+    // after the two per-part revenue aggregates touches ≤20 rows.
+    QueryDef(
+      "q223_ndcg_eval",
+      s"""WITH r1 AS (SELECT l_partkey,
+         |    sum(cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint))
+         |      AS rev1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+         |r2 AS (SELECT l_partkey,
+         |    sum(cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint))
+         |      AS rev2
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+         |top AS (SELECT l_partkey, rev1,
+         |          row_number() OVER (ORDER BY rev1 DESC, l_partkey) AS i
+         |        FROM r1 QUALIFY i <= 20),
+         |rel AS (SELECT top.i, coalesce(r2.rev2, 0) // 100 AS rel_k
+         |        FROM top LEFT JOIN r2 USING (l_partkey)),
+         |${FxLog.sqlCtes("nd", "rel", "i + 1", "lg_i")},
+         |ideal AS (SELECT rel_k,
+         |            row_number() OVER (ORDER BY rel_k DESC) AS j
+         |          FROM rel),
+         |${FxLog.sqlCtes("ni", "ideal", "j + 1", "lg_j")},
+         |d AS (SELECT sum(rel_k * 4294967296 // lg_i) AS dcg_fx FROM nd),
+         |e AS (SELECT sum(rel_k * 4294967296 // lg_j) AS idcg_fx FROM ni)
+         |SELECT cast(dcg_fx as bigint) AS dcg_fx,
+         |  cast(idcg_fx as bigint) AS idcg_fx,
+         |  cast(dcg_fx as double) / cast(idcg_fx as double) AS ndcg
+         |FROM d, e""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val or = Tables.orders(s, dir)
+      def rev(pred: Column) = li
+        .join(or, li("l_orderkey") === or("o_orderkey"))
+        .filter(pred)
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") * 100)
+          .cast("long")).as("rev"))
+      val split = lit("1998-01-01").cast("timestamp")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev1").desc, col("l_partkey").asc)
+      val top = rev(col("o_orderdate") < split)
+        .withColumnRenamed("rev", "rev1")
+        .orderBy(col("rev1").desc, col("l_partkey").asc).limit(20)
+        .withColumn("i", row_number().over(w))
+      val rel = top
+        .join(rev(col("o_orderdate") >= split).withColumnRenamed("rev", "rev2"),
+          Seq("l_partkey"), "left")
+        .select(col("i"),
+          expr("coalesce(rev2, 0) div 100").as("rel_k"))
+      // ideal ranking needs no tiebreak: tied rel_k values contribute the
+      // same (rel, discount) multiset whichever order row_number picks
+      val wI = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rel_k").desc)
+      val dcgFx = rel
+        .select(expr("rel_k * 4294967296").as("num"),
+          FxLog.log2fx(col("i").cast("long") + 1).as("lg"))
+        .agg(sum(expr("num div lg")).as("dcg_fx"))
+      val idcgFx = rel
+        .withColumn("j", row_number().over(wI))
+        .select(expr("rel_k * 4294967296").as("num"),
+          FxLog.log2fx(col("j").cast("long") + 1).as("lg"))
+        .agg(sum(expr("num div lg")).as("idcg_fx"))
+      dcgFx.crossJoin(broadcast(idcgFx))
+        .select(col("dcg_fx").cast("long").as("dcg_fx"),
+          col("idcg_fx").cast("long").as("idcg_fx"),
+          (col("dcg_fx").cast("double") / col("idcg_fx").cast("double"))
+            .as("ndcg"))
     }
   )
 }

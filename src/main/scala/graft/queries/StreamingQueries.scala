@@ -263,6 +263,39 @@ object StreamingQueries {
         | AND p.us >= c.us AND p.us <= c.us + 3600000000""".stripMargin) { (s, dir) =>
       Streams.runIntervalJoinLateAudit(s, dir,
         "q186_jlate_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
+    // Streaming window entropy: the per-window event-type distribution
+    // entropy in fixed point — the "did this window's traffic mix
+    // collapse" monitor a streaming pipeline alarms on. The stateful part
+    // is the real watermarked windowed count (q40's certified path); the
+    // entropy layer rides the FxLog2 contract over the per-window counts,
+    // so the oracle replays H = log2fx(n) − Σc·log2fx(c)//n exactly.
+    QueryDef(
+      "q221_stream_entropy",
+      s"""WITH c AS (SELECT strftime(make_timestamp(
+         |    (epoch_us(cast(ts as timestamp)) // 21600000000) * 21600000000),
+         |    '%Y-%m-%d %H:%M') AS win_start,
+         |    event_type, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |${graft.functions.FxLog.sqlCtes("lt", "c", "cnt", "lg_c")},
+         |a AS (SELECT win_start, sum(cnt) AS n, sum(cnt * lg_c) AS s2,
+         |        count(*) AS n_types FROM lt GROUP BY 1),
+         |${graft.functions.FxLog.sqlCtes("ln", "a", "n", "lg_n")}
+         |SELECT win_start, cast(n as bigint) AS n_events,
+         |  cast(n_types as bigint) AS n_types,
+         |  cast(lg_n - s2 // n as bigint) AS h_fx
+         |FROM ln""".stripMargin) { (s, dir) =>
+      import graft.functions.FxLog
+      val counts = Streams.runWindowedCounts(s, dir,
+        "q221_went_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      counts.groupBy("win_start")
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cnt") * FxLog.log2fx(col("cnt"))).as("s2"),
+          count(lit(1)).cast("long").as("n_types"))
+        .select(col("win_start"), col("n").cast("long").as("n_events"),
+          col("n_types"),
+          (FxLog.log2fx(col("n")) - expr("s2 div n")).cast("long").as("h_fx"))
     }
   )
 }
