@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import graft.plans.{FxLog2, FxLog2Expr}
+import graft.plans.{FxExp2, FxExp2Expr, FxLog2, FxLog2Expr}
 
 /** Column + oracle-SQL faces of the [[graft.plans.FxLog2]] fixed-point
   * log2 contract. The Spark side is one native codegen'd expression; the
@@ -24,6 +24,28 @@ object FxLog {
   private val dlutLit: String =
     (0 until 256).map(i => FxLog2.LUT(i + 1) - FxLog2.LUT(i))
       .mkString("[", ",", "]")
+
+  /** `exp2fx(x)`: fixed-point 2^x (x and result in units of 2^-16) of a
+    * column in [0, 46·2^16); null or out-of-domain → null. */
+  def exp2fx(x: Column): Column =
+    GraftBridge.column(FxExp2Expr(GraftBridge.expression(x)))
+
+  private val elutLit: String = FxExp2.LUT.mkString("[", ",", "]")
+  private val edlutLit: String =
+    (0 until 256).map(i => FxExp2.LUT(i + 1) - FxExp2.LUT(i))
+      .mkString("[", ",", "]")
+
+  /** DuckDB CTE chain computing `resCol = exp2fx(xExpr)` over every row
+    * of CTE `prev` (same splice convention as [[sqlCtes]]; one helper CTE
+    * `p_x` plus the final CTE named `p`). `xExpr` must lie in
+    * [0, 46·2^16) on every row — guard upstream. */
+  def sqlExpCtes(p: String, prev: String, xExpr: String, resCol: String): String =
+    s"""${p}_x AS (SELECT *, cast(($xExpr) as bigint) AS __x FROM $prev),
+       |$p AS (SELECT * EXCLUDE (__x),
+       |  ($elutLit[((__x & 65535) >> 8) + 1]
+       |    + (($edlutLit[((__x & 65535) >> 8) + 1] * (__x & 255)) >> 8))
+       |    << (__x >> 16) AS $resCol
+       |  FROM ${p}_x)""".stripMargin
 
   /** DuckDB CTE chain computing `resCol = log2fx(nExpr)` over every row of
     * CTE `prev`, appending three helper CTEs (`p_n`, `p_e`, `p_m`) and a

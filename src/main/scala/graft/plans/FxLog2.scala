@@ -87,3 +87,68 @@ if (!${c.isNull} && ${c.value} > 0L) {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fixed-point base-2 EXPONENTIAL — [[FxLog2]]'s inverse, same contract.
+  *
+  * `exp2fx(x)` = 2^(x/2^16) in units of 2^-16, for 0 ≤ x < 46·2^16
+  * (result < 2^63): integer exponent from the high bits, fractional
+  * mantissa from a 257-entry `round(2^(i/256)·2^16)` table with integer
+  * linear interpolation, shifted up by the exponent. Exact integer
+  * arithmetic end-to-end, table embedded in both engines' forms
+  * ([[graft.functions.FxLog.sqlExpCte]]) — with [[FxLog2]] this closes
+  * the log/exp pair, unlocking power-law reweighting (n^α via
+  * exp2fx(α·log2fx(n))), softmax-style mixtures, and decay curves under
+  * the oracle gate.
+  */
+object FxExp2 {
+  /** Largest valid input (exclusive): 2^46 in 2^-16 units stays < 2^63. */
+  val MAX_X: Long = 46L * 65536L
+
+  /** LUT(i) = round(2^(i/256) * 2^16), i = 0..256. */
+  val LUT: Array[Long] = Array.tabulate(257)(i =>
+    math.round(math.pow(2.0, i / 256.0) * 65536.0))
+
+  /** exp2fx(x) for 0 <= x < MAX_X (callers guard; else the null path). */
+  def exp2fx(x: Long): Long = {
+    val e = (x >> 16).toInt
+    val f = x & 65535L
+    val i = (f >> 8).toInt
+    val m = LUT(i) + ((LUT(i + 1) - LUT(i)) * (f & 255L) >> 8)
+    m << e
+  }
+}
+
+/** Native codegen'd column form of [[FxExp2.exp2fx]]: LongType → LongType,
+  * null (or out-of-domain) input → null. */
+case class FxExp2Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exp2fx"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val x = v.asInstanceOf[Long]
+      if (x < 0L || x >= FxExp2.MAX_X) null else FxExp2.exp2fx(x)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+${c.code}
+boolean ${ev.isNull} = true;
+long ${ev.value} = 0L;
+if (!${c.isNull} && ${c.value} >= 0L && ${c.value} < ${FxExp2.MAX_X}L) {
+  ${ev.isNull} = false;
+  ${ev.value} = graft.plans.FxExp2.exp2fx(${c.value});
+}""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{ArrayOps, FxLog}
+import graft.functions.{ArrayOps, FxLog, XHash}
 import graft.operators.TextOps
 
 /** Log-scored ranking/filter operators — BM25 relevance, token-entropy
@@ -466,6 +466,87 @@ object RankQueries {
           col("idcg_fx").cast("long").as("idcg_fx"),
           (col("dcg_fx").cast("double") / col("idcg_fx").cast("double"))
             .as("ndcg"))
+    },
+
+    // Rendezvous (highest-random-weight) sharding: each doc goes to the
+    // shard whose hash(doc, shard) is LARGEST — the consistent-hashing
+    // assignment whose defining property is minimal movement: removing a
+    // shard relocates ONLY that shard's docs (each survivor keeps its
+    // argmax). Emitted per shard under the full 8-shard ring AND under
+    // the ring with shard 5 removed, plus the xor content checksum — the
+    // audit pair that proves the stability property cross-engine. One
+    // 8-way expression fan-out per doc (no join), two combining
+    // aggregates; at 100 TB the candidate count stays the shard count,
+    // never the corpus.
+    QueryDef(
+      "q224_rendezvous_shards",
+      s"""WITH a AS (SELECT doc_id,
+         |    ${(0 until 8).map(i => XHash.bucketHashSql(s"hrw$i",
+                "cast(doc_id as varchar)")).mkString("greatest(", ", ", ")")}
+         |      AS best8,
+         |    ${(0 until 8).filter(_ != 5).map(i => XHash.bucketHashSql(s"hrw$i",
+                "cast(doc_id as varchar)")).mkString("greatest(", ", ", ")")}
+         |      AS best7,
+         |    ${XHash.bucketHashSql("chk", "cast(doc_id as varchar)", "text")}
+         |      AS h
+         |  FROM documents),
+         |b AS (SELECT doc_id, h,
+         |    ${(0 until 8).map(i => s"CASE WHEN ${XHash.bucketHashSql(s"hrw$i",
+                "cast(doc_id as varchar)")} = best8 THEN $i END")
+                .mkString("coalesce(", ", ", ")")} AS s8,
+         |    ${(0 until 8).filter(_ != 5).map(i =>
+                s"CASE WHEN ${XHash.bucketHashSql(s"hrw$i",
+                "cast(doc_id as varchar)")} = best7 THEN $i END")
+                .mkString("coalesce(", ", ", ")")} AS s7
+         |  FROM a)
+         |SELECT cast(s8 as int) AS shard, cast(count(*) as bigint) AS n_docs,
+         |  bit_xor(h) AS checksum_xor,
+         |  cast(count(CASE WHEN s7 <> s8 THEN 1 END) as bigint) AS n_moved
+         |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      def hrw(i: Int) = XHash.bucketHash(s"hrw$i", col("doc_id").cast("string"))
+      def argmax(idx: Seq[Int]) = {
+        val best = greatest(idx.map(hrw): _*)
+        coalesce(idx.map(i => when(hrw(i) === best, lit(i))): _*)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          XHash.bucketHash("chk", col("doc_id").cast("string"), col("text"))
+            .as("h"),
+          argmax(0 until 8).as("s8"),
+          argmax((0 until 8).filter(_ != 5)).as("s7"))
+        .groupBy(col("s8").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("checksum_xor"),
+          count(when(col("s7") =!= col("s8"), 1)).as("n_moved"))
+    },
+
+    // Temperature-scaled (α = 0.5) language-sampling mixture: the
+    // multilingual-LM standard — sample languages ∝ n^α so low-resource
+    // languages are upweighted relative to their raw share (Conneau &
+    // Lample's exponentiated sampling). n^0.5 is computed EXACTLY in the
+    // fixed-point contract as exp2fx(log2fx(n) >> 1) — the log/exp pair
+    // closing under the oracle gate — and the per-language probability
+    // ships in ppm against the broadcast weight total. One combining
+    // count per language; everything after is |langs| rows.
+    QueryDef(
+      "q225_alpha_sampling",
+      s"""WITH l AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |${FxLog.sqlCtes("al", "l", "n", "lgn")},
+         |${FxLog.sqlExpCtes("aw", "al", "lgn >> 1", "w")},
+         |t AS (SELECT cast(sum(w) as bigint) AS tw FROM aw)
+         |SELECT lang, cast(n as bigint) AS n_docs,
+         |  cast(w as bigint) AS w_fx,
+         |  cast(w * 1000000 // tw as bigint) AS p_ppm
+         |FROM aw CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val l = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("n"),
+          FxLog.exp2fx(shiftright(FxLog.log2fx(col("n")), 1)).as("w"))
+      val t = l.agg(sum(col("w")).cast("long").as("tw"))
+      l.crossJoin(broadcast(t))
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          col("w").cast("long").as("w_fx"),
+          expr("w * 1000000 div tw").cast("long").as("p_ppm"))
     }
   )
 }

@@ -32,6 +32,42 @@ class FxLogSpec extends SparkSpec {
     }
   }
 
+  test("exp2fx: exact on integer exponents, monotone, inverts log2fx") {
+    import graft.plans.FxExp2
+    for (k <- 0 to 45)
+      assert(FxExp2.exp2fx(k.toLong * 65536L) === (65536L << k), s"2^$k")
+    var prev = Long.MinValue
+    for (x <- 0L until 200000L) {
+      val v = FxExp2.exp2fx(x)
+      assert(v >= prev, s"monotonicity broke at $x")
+      prev = v
+      val rel = math.abs(v / 65536.0 - math.pow(2.0, x / 65536.0)) /
+        math.pow(2.0, x / 65536.0)
+      assert(rel < 1e-4, s"x=$x rel=$rel")
+    }
+    // roundtrip: exp2fx(log2fx(n)) returns to n (scaled 2^16) within the
+    // composed table error
+    for (n <- Seq(1L, 7L, 100L, 12345L, 99999937L)) {
+      val rt = FxExp2.exp2fx(FxLog2.log2fx(n)) / 65536.0
+      assert(math.abs(rt - n) / n < 1e-4, s"roundtrip n=$n got $rt")
+    }
+  }
+
+  test("exp2fx column path: domain guard nulls, kernel parity") {
+    import spark.implicits._
+    import graft.plans.FxExp2
+    val rows = Seq[java.lang.Long](0L, 65536L, 1234567L, 3014655L,
+      3014656L, -1L, null).toDF("x")
+      .select(col("x"), FxLog.exp2fx(col("x")).as("v"))
+      .collect()
+    rows.foreach { r =>
+      val x = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      if (x == null || x < 0L || x >= FxExp2.MAX_X)
+        assert(r.isNullAt(1), s"x=$x")
+      else assert(r.getLong(1) === FxExp2.exp2fx(x), s"x=$x")
+    }
+  }
+
   test("column path matches static kernel; null and non-positive -> null") {
     import spark.implicits._
     val rows = Seq[java.lang.Long](1L, 2L, 3L, 1023L, 1024L, 999999937L,
