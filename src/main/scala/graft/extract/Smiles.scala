@@ -554,9 +554,21 @@ object Smiles {
     mol.bonds.foreach(b => order(ek(b.a, b.b)) = b.order)
     val degree = Array.tabulate(n)(mol.adj(_).length)
 
+    val inAnyRing: Set[Int] = rings.flatten.toSet
+
     /** Hückel count over `cycle` with endocyclic membership `rs`:
-      * Some(electrons) when every atom is sp2-compatible, None otherwise. */
-    def countElectrons(cycle: Vector[Int], rs: Set[Int]): Option[Int] = {
+      * Some(electrons) when every atom is sp2-compatible, None otherwise.
+      * `strictExo` (7-rings and fused perimeters): an atom whose only
+      * double bond leaves the ring SYSTEM entirely (tropone's C=O,
+      * heptafulvene's =CH2) disqualifies the cycle — without it, 3
+      * endocyclic doubles + one 0-electron exocyclic atom hit 6 e⁻ and
+      * wrongly aromatize neutral 7-rings that chemically need the
+      * tropylium + charge (5/6-rings never need the gate: their fulvene/
+      * quinone analogs fail on 4 e⁻ arithmetic alone). An exocyclic
+      * double INTO another ring (azulene's fusion atoms) keeps counting
+      * 0-but-eligible, which the fused-perimeter pass then resolves. */
+    def countElectrons(cycle: Vector[Int], rs: Set[Int],
+        strictExo: Boolean): Option[Int] = {
       var ok = true
       var electrons = 0
       cycle.foreach { a =>
@@ -575,6 +587,8 @@ object Smiles {
             // with full alternation aromatizes first and its atoms then
             // count via the arom(a) branch on the next fixpoint pass.
             if (doubles.exists { case (b, _) => rs(b) }) electrons += 1
+            else if (strictExo &&
+                !doubles.exists { case (b, _) => inAnyRing(b) }) ok = false
           } else at.elem match {
             case "C" =>
               if (at.charge == -1) electrons += 2 // cyclopentadienyl
@@ -633,7 +647,7 @@ object Smiles {
       rings.foreach { ring =>
         val allMarked = ring.forall(arom) && ringEdges(ring).forall(order(_) == 4)
         if (!allMarked && ring.forall(a => aromaticCapable(mol.atoms(a).elem))) {
-          countElectrons(ring, ring.toSet) match {
+          countElectrons(ring, ring.toSet, strictExo = ring.length >= 7) match {
             case Some(e) if e % 4 == 2 =>
               if (markAromatic(ring, ringEdges(ring))) changed = true
             case _ => ()
@@ -649,7 +663,7 @@ object Smiles {
           val edges = (ringEdges(r1) ++ ringEdges(r2)).distinct
           val allMarked = atoms.forall(arom) && edges.forall(order(_) == 4)
           if (!allMarked && perim.forall(a => aromaticCapable(mol.atoms(a).elem))) {
-            countElectrons(perim, perim.toSet) match {
+            countElectrons(perim, perim.toSet, strictExo = true) match {
               case Some(e) if e % 4 == 2 =>
                 if (markAromatic(atoms, edges)) changed = true
               case _ => ()

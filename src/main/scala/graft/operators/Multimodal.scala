@@ -173,28 +173,36 @@ object Multimodal {
       * integers, so the oracle's closed-form sample replay certifies that
       * writer→reader→DSP round-trips bit-for-bit. Mono 16-bit only (the
       * synth's format); None when the parse fails or format differs. */
+    /** RIFF walk to the data chunk: (offset, clamped length), shared by
+      * the content readers; None on missing chunk or a size field that
+      * would overflow the walk (same bail-out as [[info]]). */
+    private def findDataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = buf.getInt(off + 4).toLong & 0xffffffffL
+        if (size > Int.MaxValue - 9) return None
+        if (id == "data")
+          return Some((off + 8, math.min(size, (bytes.length - off - 8).toLong)))
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+
     def pcmWindowFeatures(bytes: Array[Byte], window: Int)
         : Option[Seq[(Int, Long, Int, Int)]] = {
+      require(window > 0, s"pcmWindowFeatures: window must be > 0, got $window")
       val inf = info(bytes)
       if (inf.isEmpty) return None
       val wi = inf.get
       if (wi.channels != 1 || wi.bitsPerSample != 16) return None
-      // relocate the data chunk (same walk as info)
       val buf = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var off = 12
-      var dataOff = -1
-      var dataLen = 0L
-      while (off + 8 <= bytes.length && dataOff < 0) {
-        val id = new String(bytes, off, 4, "US-ASCII")
-        val size = buf.getInt(off + 4).toLong & 0xffffffffL
-        if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(size, (bytes.length - off - 8).toLong)
-        }
-        off += 8 + size.toInt + (size.toInt & 1)
-      }
-      if (dataOff < 0) return None
+      val chunk = findDataChunk(bytes)
+      if (chunk.isEmpty) return None
+      val (dataOff, dataLen) = chunk.get
       val n = (dataLen / 2).toInt
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Int)]
       var i = 0

@@ -65,7 +65,10 @@ case class FxLog2Expr(child: Expression) extends UnaryExpression {
     val v = child.eval(input)
     if (v == null) null
     else {
-      val n = v.asInstanceOf[Long]
+      // integral children narrower than long arrive boxed (e.g. a
+      // foldable int literal constant-folded through this eval) —
+      // widen via Number instead of a brittle Long cast
+      val n = v.asInstanceOf[java.lang.Number].longValue()
       if (n <= 0L) null else FxLog2.log2fx(n)
     }
   }
@@ -130,7 +133,7 @@ case class FxExp2Expr(child: Expression) extends UnaryExpression {
     val v = child.eval(input)
     if (v == null) null
     else {
-      val x = v.asInstanceOf[Long]
+      val x = v.asInstanceOf[java.lang.Number].longValue()
       if (x < 0L || x >= FxExp2.MAX_X) null else FxExp2.exp2fx(x)
     }
   }

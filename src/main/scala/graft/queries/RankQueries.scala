@@ -54,8 +54,12 @@ object RankQueries {
          |${FxLog.sqlCtes("ln2", "ln1", "2 * df + 1", "idf_den")},
          |idf AS (SELECT term, idf_num - idf_den AS idf_fx FROM ln2),
          |sc AS (SELECT doc_id,
-         |         sum((idf_fx * 22 * avg_fx * tf)
-         |             // (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)) AS score_fx
+         |         sum(CASE WHEN idf_fx >= 0
+         |           THEN (idf_fx * 22 * avg_fx * tf)
+         |                // (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)
+         |           ELSE -(((-idf_fx) * 22 * avg_fx * tf)
+         |                // (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl))
+         |         END) AS score_fx
          |       FROM tf JOIN idf USING (term) CROSS JOIN tot GROUP BY 1)
          |SELECT cast(doc_id as bigint) AS doc_id,
          |  cast(score_fx as bigint) AS score_fx, cast(rank as int) AS rank
@@ -82,12 +86,19 @@ object RankQueries {
             FxLog.log2fx(lit(2) * col("df") + 1)).as("idf_fx"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score_fx").desc, col("doc_id").asc)
+      // idf is NEGATIVE for terms in more than half the docs (true at
+      // every test SF — the synthetic vocab is dense): sign-decompose the
+      // scaled division per the q194 discipline so the contribution is
+      // identical under truncating AND flooring integer division
       tf.join(broadcast(idf), "term")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"),
-          expr("""(idf_fx * 22 * avg_fx * tf)
-                 |div (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)"""
-            .stripMargin).as("c"))
+          expr("""CASE WHEN idf_fx >= 0
+                 |  THEN (idf_fx * 22 * avg_fx * tf)
+                 |       div (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl)
+                 |  ELSE -(((-idf_fx) * 22 * avg_fx * tf)
+                 |       div (10 * avg_fx * tf + 3 * avg_fx + 2304 * dl))
+                 |END""".stripMargin).as("c"))
         .groupBy("doc_id").agg(sum(col("c")).as("score_fx"))
         .orderBy(col("score_fx").desc, col("doc_id").asc)
         .limit(20)
@@ -369,7 +380,7 @@ object RankQueries {
          |  cast(CASE WHEN num >= 0 THEN num * 1000 // den
          |            ELSE -((-num) * 1000 // den) END as bigint)
          |    AS slope_milli
-         |FROM g""".stripMargin) { (s, dir) =>
+         |FROM g WHERE den > 0""".stripMargin) { (s, dir) =>
       val c = Tables.documents(s, dir)
         .select(explode(ArrayOps.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -385,6 +396,10 @@ object RankQueries {
         .select(col("n").cast("long").as("n_terms"),
           (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
           (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        // den = 0 only in the degenerate single-distinct-term corpus —
+        // where the oracle's // would error while Spark div yields NULL;
+        // both sides drop the row instead (review find)
+        .filter(col("den") > 0)
         .select(col("n_terms"), col("num").as("slope_num"),
           col("den").as("slope_den"),
           expr("""CASE WHEN num >= 0 THEN num * 1000 div den

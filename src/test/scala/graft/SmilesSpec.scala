@@ -84,6 +84,12 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     // quinoid core whose exocyclic =C partners sit in saturated rings:
     // the cross-ring electron credit must NOT fire (exec-confirmed bug)
     assert(!c("C1(=C2CCCC2)C=CC(=C2CCCC2)C=C1").exists(_.isLower))
+    // neutral 7-rings with an exocyclic double must stay kekulized —
+    // 3 endocyclic doubles + a 0-electron sp2 atom hit 6 e⁻, but only
+    // the tropylium CATION is aromatic (r8 review find)
+    assert(!c("O=C1C=CC=CC=C1").exists(_.isLower)) // tropone
+    assert(!c("C=C1C=CC=CC=C1").exists(_.isLower)) // heptafulvene
+    assert(!c("C1=CC=CC=CC1").exists(_.isLower)) // cycloheptatriene
     assert(!c("C(=C)1C=CC(=C)C=C1").exists(_.isLower)) // p-quinodimethane
     // endocyclic-only counting still cascades through fused systems
     assert(c("C1=CC=C2C=C3C=CC=CC3=CC2=C1") == c("c1ccc2cc3ccccc3cc2c1")) // anthracene
