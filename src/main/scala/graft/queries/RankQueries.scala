@@ -562,6 +562,52 @@ object RankQueries {
         .select(col("lang"), col("n").cast("long").as("n_docs"),
           col("w").cast("long").as("w_fx"),
           expr("w * 1000000 div tw").cast("long").as("p_ppm"))
+    },
+
+    // Deterministic weighted sampling without replacement (Efraimidis &
+    // Spirtakis 2006): each row draws u = h/2^60 from its md5 hash and
+    // ranks by u^(1/w) — equivalently by log2(u)/w, which the fixed-point
+    // log makes EXACT integer arithmetic: key = −((60·2^16 −
+    // log2fx(h))·2^16 // w), larger = more likely, P(selected) ∝ w in
+    // the without-replacement sense. The top-50 by key IS the weighted
+    // sample — a TakeOrdered, no RNG, reproducible across cluster sizes
+    // and replayable by the oracle. THE data-mixing primitive for
+    // quality- or length-weighted corpus subsampling; weight here =
+    // n_chars, so long docs are proportionally favored.
+    QueryDef(
+      "q226_weighted_sample",
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    ${XHash.bucketHashSql("ws", "cast(doc_id as varchar)")} AS h
+         |  FROM documents WHERE n_chars > 0),
+         |${FxLog.sqlCtes("wl", "d", "h + 1", "lg_h")},
+         |k AS (SELECT doc_id, n_chars,
+         |        -(((3932160 - lg_h) * 65536) // n_chars) AS key_fx
+         |      FROM wl)
+         |SELECT cast(doc_id as bigint) AS doc_id,
+         |  cast(n_chars as bigint) AS n_chars,
+         |  cast(key_fx as bigint) AS key_fx, cast(rank as int) AS rank
+         |FROM (SELECT doc_id, n_chars, key_fx,
+         |        row_number() OVER (ORDER BY key_fx DESC, doc_id) AS rank
+         |      FROM k)
+         |WHERE rank <= 50""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("key_fx").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          // h + 1 keeps the log argument strictly positive (h = 0 is a
+          // 2^-60 event but the null would silently drop the row);
+          // 3932160 = 60·2^16 = log2fx(2^60), so the lg term <= 0 always
+          FxLog.log2fx(XHash.bucketHash("ws", col("doc_id").cast("string"))
+            + 1).as("lg_h"))
+        .select(col("doc_id"), col("n_chars"),
+          // integer div, never `/`: Spark's `/` is double division and a
+          // quotient rounding up across an integer boundary would drift
+          // off the oracle's exact integer quotient
+          expr("-(((3932160 - lg_h) * 65536) div n_chars)").as("key_fx"))
+        .orderBy(col("key_fx").desc, col("doc_id").asc)
+        .limit(50)
+        .withColumn("rank", row_number().over(w).cast("int"))
     }
   )
 }
