@@ -487,6 +487,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q222/q226: log-keyed top-k rides TakeOrdered, never a global sort") {
+    for (q <- Seq("q222_zipf_slope", "q226_weighted_sample")) {
+      val p = plan(q)
+      assert(p.contains("log2fx"), q + "\n" + p)
+      assert(p.contains("TakeOrderedAndProject"), q + "\n" + p)
+      assert(!p.contains("SortMergeJoin"), q + "\n" + p)
+    }
+  }
+
+  test("q224: rendezvous sharding is a pure expression fan-out (no join)") {
+    val p = plan("q224_rendezvous_shards")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q225: alpha-sampling composes log2fx+exp2fx, broadcasts the total") {
+    val p = plan("q225_alpha_sampling")
+    assert(p.contains("log2fx"), p)
+    assert(p.contains("exp2fx"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q216: audio features stay a narrow projection (no join, no window)") {
     val p = plan("q216_audio_features")
     assert(!p.contains("Join"), p)
