@@ -608,6 +608,52 @@ object RankQueries {
         .orderBy(col("key_fx").desc, col("doc_id").asc)
         .limit(50)
         .withColumn("rank", row_number().over(w).cast("int"))
+    },
+
+    // Markov transition entropy: per from-state, the Shannon entropy of
+    // the next-event distribution — the behavioral-predictability score
+    // on top of q144's transition counts (low entropy = a deterministic
+    // funnel step, high = a branching point; the per-state drill-down a
+    // journey-analytics pipeline alarms on). Fixed point: H_f =
+    // log2fx(n_from) − Σ n·log2fx(n) // n_from, non-negative by log2fx
+    // monotonicity. The per-user ordering window is per-user-sized
+    // (high-cardinality key), the transition matrix is |states|² rows.
+    QueryDef(
+      "q227_transition_entropy",
+      s"""WITH s AS (SELECT user_id, event_type,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS next_type
+         |           FROM events),
+         |p AS (SELECT event_type AS from_type, next_type AS to_type
+         |      FROM s WHERE next_type IS NOT NULL),
+         |t AS (SELECT from_type, to_type, count(*) AS n FROM p GROUP BY 1, 2),
+         |${FxLog.sqlCtes("te", "t", "n", "lg_n")},
+         |a AS (SELECT from_type, sum(n) AS n_from, count(*) AS n_states,
+         |        sum(n * lg_n) AS s2 FROM te GROUP BY 1),
+         |${FxLog.sqlCtes("tf", "a", "n_from", "lg_f")}
+         |SELECT from_type, cast(n_from as bigint) AS n_from,
+         |  cast(n_states as bigint) AS n_states,
+         |  cast(lg_f - s2 // n_from as bigint) AS h_fx
+         |FROM tf""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("n"),
+          (col("n") * FxLog.log2fx(col("n"))).as("c"))
+        .groupBy("from_type")
+        .agg(sum(col("n")).as("n_from"),
+          count(lit(1)).cast("long").as("n_states"),
+          sum(col("c")).as("s2"))
+        .select(col("from_type"), col("n_from").cast("long").as("n_from"),
+          col("n_states"),
+          (FxLog.log2fx(col("n_from")) - expr("s2 div n_from"))
+            .cast("long").as("h_fx"))
     }
   )
 }
