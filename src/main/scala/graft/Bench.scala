@@ -45,8 +45,20 @@ object Bench {
           val pref = ps.split(',').toSeq; name => pref.exists(name.startsWith)
         case None => _ => true
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only(q._1)).map { case (name, fn) =>
+    // Repeat-median: single-shot sweeps drifted 19% total round-over-round
+    // on identical code, with individual queries swinging >2x (r8 verdict:
+    // q202 6.4->13.6 s, q179 4.4->9.9 s between two same-code driver runs)
+    // — JIT/page-cache/GC residue, not plan changes. Each query >= the
+    // repeat threshold runs 3x and reports the MEDIAN: one bad sample
+    // (deopt storm, compaction pause) can no longer double a recorded
+    // time. Sub-threshold queries run once — their absolute noise is
+    // bounded by the threshold itself, and skipping their repeats keeps
+    // the full 229-query sweep inside a driver-friendly wall clock.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
+    val repeatThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MIN_SEC", "0.3").toDouble
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -62,7 +74,21 @@ object Bench {
       // in-sweep vs 3.9/3.4 s solo). An explicit GC between measurements
       // runs OUTSIDE the timed section and keeps each query's heap clean.
       System.gc()
-      name -> sec
+      sec
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only(q._1)).map { case (name, fn) =>
+      val first = measure(fn)
+      val samples =
+        if (first >= repeatThreshold && repeats > 1)
+          first +: Seq.fill(repeats - 1)(measure(fn))
+        else Seq(first)
+      val sorted = samples.sorted
+      val median = sorted(sorted.size / 2)
+      if (samples.size > 1)
+        println(f"[bench-samples] $name " +
+          samples.map(s => f"$s%.3f").mkString("/"))
+      name -> median
     }
     // Per-query times rounded to ms: keeps the one-line JSON ~3× shorter
     // (a byte-limited tail capture truncated the r6 line mid-map, losing
