@@ -36,32 +36,46 @@ object FxLog {
       .mkString("[", ",", "]")
 
   /** DuckDB CTE chain computing `resCol = exp2fx(xExpr)` over every row
-    * of CTE `prev` (same splice convention as [[sqlCtes]]; one helper CTE
-    * `p_x` plus the final CTE named `p`). `xExpr` must lie in
-    * [0, 46·2^16) on every row — guard upstream. */
+    * of CTE `prev` (same splice convention as [[sqlCtes]]; helper CTEs
+    * `p_x`/`p_g` plus the final CTE named `p`). Out-of-domain inputs
+    * (NULL, negative, or ≥ 46·2^16) yield NULL — the same semantics as
+    * [[graft.plans.FxExp2Expr]], so a call site that misses an upstream
+    * guard diverges loudly (NULL) on both engines instead of silently on
+    * one. The clamp in `p_g` only keeps the shift arithmetic in-range for
+    * rows the CASE nulls anyway. */
   def sqlExpCtes(p: String, prev: String, xExpr: String, resCol: String): String =
-    s"""${p}_x AS (SELECT *, cast(($xExpr) as bigint) AS __x FROM $prev),
-       |$p AS (SELECT * EXCLUDE (__x),
-       |  ($elutLit[((__x & 65535) >> 8) + 1]
-       |    + (($edlutLit[((__x & 65535) >> 8) + 1] * (__x & 255)) >> 8))
-       |    << (__x >> 16) AS $resCol
-       |  FROM ${p}_x)""".stripMargin
+    s"""${p}_x AS (SELECT *, cast(($xExpr) as bigint) AS __x0 FROM $prev),
+       |${p}_g AS (SELECT *,
+       |  least(greatest(__x0, 0), ${FxExp2.MAX_X - 1}) AS __x FROM ${p}_x),
+       |$p AS (SELECT * EXCLUDE (__x0, __x),
+       |  CASE WHEN __x0 >= 0 AND __x0 < ${FxExp2.MAX_X} THEN
+       |    ($elutLit[((__x & 65535) >> 8) + 1]
+       |      + (($edlutLit[((__x & 65535) >> 8) + 1] * (__x & 255)) >> 8))
+       |      << (__x >> 16)
+       |  END AS $resCol
+       |  FROM ${p}_g)""".stripMargin
 
   /** DuckDB CTE chain computing `resCol = log2fx(nExpr)` over every row of
-    * CTE `prev`, appending three helper CTEs (`p_n`, `p_e`, `p_m`) and a
-    * final CTE named `p` that carries all of `prev`'s columns plus
+    * CTE `prev`, appending four helper CTEs (`p_n`, `p_g`, `p_e`, `p_m`)
+    * and a final CTE named `p` that carries all of `prev`'s columns plus
     * `resCol`. Splice the result into a WITH list:
     * {{{ s"WITH src AS (...), ${FxLog.sqlCtes("lg", "src", "cnt", "lg_cnt")} SELECT ... FROM lg" }}}
-    * `nExpr` must be positive on every row (guard upstream — the chain
-    * itself would emit garbage for n <= 0, matching nothing). */
+    * Out-of-domain inputs (NULL or n ≤ 0) yield NULL — identical to
+    * [[graft.plans.FxLog2Expr]], so the generated SQL and the native
+    * kernel agree on the FULL input range, not just guarded call sites.
+    * The `greatest` clamp in `p_g` keeps the shift/index arithmetic
+    * in-range for rows the final CASE nulls anyway. */
   def sqlCtes(p: String, prev: String, nExpr: String, resCol: String): String =
-    s"""${p}_n AS (SELECT *, cast(($nExpr) as bigint) AS __n FROM $prev),
-       |${p}_e AS (SELECT *, $eCase AS __e FROM ${p}_n),
+    s"""${p}_n AS (SELECT *, cast(($nExpr) as bigint) AS __n0 FROM $prev),
+       |${p}_g AS (SELECT *, greatest(__n0, 1) AS __n FROM ${p}_n),
+       |${p}_e AS (SELECT *, $eCase AS __e FROM ${p}_g),
        |${p}_m AS (SELECT *, (CASE WHEN __e >= 30 THEN __n >> (__e - 30)
        |                          ELSE __n << (30 - __e) END) AS __m
        |           FROM ${p}_e),
-       |$p AS (SELECT * EXCLUDE (__n, __e, __m),
-       |  __e * 65536 + $lutLit[(__m >> 22) - 255]
-       |    + (($dlutLit[(__m >> 22) - 255] * (__m & 4194303)) >> 22) AS $resCol
+       |$p AS (SELECT * EXCLUDE (__n0, __n, __e, __m),
+       |  CASE WHEN __n0 > 0 THEN
+       |    __e * 65536 + $lutLit[(__m >> 22) - 255]
+       |      + (($dlutLit[(__m >> 22) - 255] * (__m & 4194303)) >> 22)
+       |  END AS $resCol
        |  FROM ${p}_m)""".stripMargin
 }

@@ -24,16 +24,22 @@ import org.apache.spark.sql.types._
   * duplicate values are real rows and must all count toward the k. The
   * saturation guard keeps the per-row cost at one comparison once the
   * buffer holds k values. NULL children are skipped — and for a STRUCT
-  * child, so are rows where ANY top-level field is NULL: a struct with a
-  * NULL leading rank field is not itself null, would sort nulls-FIRST in
-  * the buffer, and diverge from the window formulation's `ORDER BY x
-  * DESC` (nulls LAST) — skipping keeps the aggregate equivalent to a
-  * window over `WHERE rank keys IS NOT NULL` on nullable inputs.
+  * child, so are rows where any of the first `rankFields` top-level
+  * fields is NULL: a struct with a NULL leading rank field is not itself
+  * null, would sort nulls-FIRST in the buffer, and diverge from the
+  * window formulation's `ORDER BY x DESC` (nulls LAST) — skipping keeps
+  * the aggregate equivalent to a window over `WHERE rank keys IS NOT
+  * NULL` on nullable inputs. `rankFields` defaults to ALL fields; a
+  * caller packing nullable PAYLOAD fields after the rank keys (the q199
+  * carry-extra-columns pattern) must pass the rank-key count explicitly
+  * or those rows are dropped even when their rank keys are present.
   */
-case class BottomKAgg(child: Expression, k: Int)
+case class BottomKAgg(child: Expression, k: Int,
+    rankFields: Int = Int.MaxValue)
     extends DeclarativeAggregate with UnaryLike[Expression] {
 
   require(k >= 1, s"bottom_k needs k >= 1, got $k")
+  require(rankFields >= 1, s"bottom_k needs rankFields >= 1, got $rankFields")
 
   override def prettyName: String = "bottom_k"
   override def dataType: DataType = ArrayType(child.dataType, containsNull = true)
@@ -48,10 +54,12 @@ case class BottomKAgg(child: Expression, k: Int)
   private def truncate(merged: Expression): Expression =
     Slice(new SortArray(merged), Literal(1), Literal(k))
 
-  /** Null guard: the child itself, or (struct child) any top-level field. */
+  /** Null guard: the child itself, or (struct child) any of the first
+    * `rankFields` top-level fields — ordering-significant keys only, so a
+    * NULL in a trailing payload field no longer drops the row. */
   private lazy val anyNull: Expression = child.dataType match {
     case st: StructType =>
-      st.fields.zipWithIndex
+      st.fields.zipWithIndex.take(rankFields)
         .map { case (f, i) =>
           IsNull(GetStructField(child, i, Some(f.name))): Expression }
         .foldLeft(IsNull(child): Expression)(Or(_, _))
@@ -75,8 +83,19 @@ case class BottomKAgg(child: Expression, k: Int)
 }
 
 object BottomKAgg {
-  /** Column builder: `bottomK(col, k)` usable anywhere an aggregate goes. */
+  /** Column builder: `bottomK(col, k)` usable anywhere an aggregate goes.
+    * For a STRUCT child the null guard spans ALL top-level fields — rows
+    * with any NULL field are skipped; pack nullable payload fields only
+    * via the 3-arg overload with the rank-key count. */
   def apply(c: Column, k: Int): Column =
     GraftBridge.column(
       new BottomKAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** As above, but the NULL-skip guard covers only the first `rankFields`
+    * struct fields (the ordering-significant keys): trailing nullable
+    * payload fields ride along without dropping their rows. */
+  def apply(c: Column, k: Int, rankFields: Int): Column =
+    GraftBridge.column(
+      new BottomKAgg(GraftBridge.expression(c), k, rankFields)
+        .toAggregateExpression())
 }

@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Fixed-point base-2 logarithm — the cross-engine transcendental contract.
   *
@@ -54,9 +55,17 @@ object FxLog2 {
 
 /** Native codegen'd column form of [[FxLog2.log2fx]]: LongType → LongType,
   * null (or non-positive) input → null. Stays inside whole-stage codegen —
-  * one static call, no boxing. */
+  * one static call, no boxing. A non-integral child is an ANALYSIS error
+  * (checkInputDataTypes, same pattern as VecKernels), not a codegen-time
+  * cast failure. */
 case class FxLog2Expr(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"log2fx requires an integral child, got ${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "log2fx"
@@ -98,7 +107,7 @@ if (!${c.isNull} && ${c.value} > 0L) {
   * mantissa from a 257-entry `round(2^(i/256)·2^16)` table with integer
   * linear interpolation, shifted up by the exponent. Exact integer
   * arithmetic end-to-end, table embedded in both engines' forms
-  * ([[graft.functions.FxLog.sqlExpCte]]) — with [[FxLog2]] this closes
+  * ([[graft.functions.FxLog.sqlExpCtes]]) — with [[FxLog2]] this closes
   * the log/exp pair, unlocking power-law reweighting (n^α via
   * exp2fx(α·log2fx(n))), softmax-style mixtures, and decay curves under
   * the oracle gate.
@@ -122,9 +131,16 @@ object FxExp2 {
 }
 
 /** Native codegen'd column form of [[FxExp2.exp2fx]]: LongType → LongType,
-  * null (or out-of-domain) input → null. */
+  * null (or out-of-domain) input → null. Non-integral child = analysis
+  * error, as for [[FxLog2Expr]]. */
 case class FxExp2Expr(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"exp2fx requires an integral child, got ${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "exp2fx"

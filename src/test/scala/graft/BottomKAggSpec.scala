@@ -45,6 +45,25 @@ class BottomKAggSpec extends SparkSpec {
     assert(got == Seq(1L, 3L)) // only non-null ranks, best (10) first
   }
 
+  test("rankFields confines the NULL guard to the ordering keys") {
+    import spark.implicits._
+    // q199 carry-extra-columns pattern: rank by (nv, id), carry a NULLABLE
+    // payload. With rankFields=2 the NULL payload rides along; the 2-arg
+    // (all-fields) form drops those rows — both behaviors spec-locked.
+    val rows = Seq((1L, 10L, Some("x")), (2L, 30L, None), (3L, 20L, Some("y")))
+      .toDF("id", "v", "payload")
+    val packed = struct((-col("v")).as("nv"), col("id").as("id"),
+      col("payload").as("payload"))
+    val scoped = rows.agg(BottomKAgg(packed, 2, 2).as("b"))
+      .select(explode(col("b"))).select(col("col.id")).as[Long]
+      .collect().toSeq
+    assert(scoped == Seq(2L, 3L)) // NULL payload row kept, ranked by v desc
+    val allFields = rows.agg(BottomKAgg(packed, 2).as("b"))
+      .select(explode(col("b"))).select(col("col.id")).as[Long]
+      .collect().toSeq
+    assert(allFields == Seq(3L, 1L)) // NULL payload row dropped
+  }
+
   test("bottom_k folds inside streaming aggregation state (Complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}

@@ -81,6 +81,19 @@ class FxLogSpec extends SparkSpec {
     }
   }
 
+  test("non-integral child is an analysis error, not a runtime failure") {
+    import spark.implicits._
+    val df = Seq("abc").toDF("s")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(FxLog.log2fx(col("s"))).collect()
+    }
+    assert(e1.getMessage.contains("log2fx"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(FxLog.exp2fx(col("s"))).collect()
+    }
+    assert(e2.getMessage.contains("exp2fx"), e2.getMessage)
+  }
+
   test("expression survives whole-stage codegen (no fallback)") {
     val df = spark.range(1, 1000)
       .select(FxLog.log2fx(col("id")).as("lg"))
