@@ -540,6 +540,44 @@ object ExtendedQueries {
           count(when(lit(2) * col("c") > lit(2) * col("q3") + lit(3) * iqr,
             1)).as("n_high"),
           count(lit(1)).as("n"))
+    },
+
+    // Pathological-skew salted join: q55 certifies salting on NATURAL key
+    // distribution; this plants the worst case — ~42% of all lineitem
+    // rows remapped onto ONE key (the "hot partition owns the table"
+    // shape that stalls a plain shuffle join at 100 TB, where AQE's
+    // skew-split handles sort-merge spills but a single reducer key still
+    // serializes) — and proves the salted path is value-identical to the
+    // plain join the oracle runs. The dimension replicates saltFactor=16
+    // ways via a broadcast range (25·16 rows), so the hot key fans out
+    // over 16 reducer groups; SaltedJoinSpec locks the fan-out property
+    // itself on a planted-skew fixture.
+    QueryDef(
+      "q228_skew_salted_agg",
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 4 THEN 0
+        |                       ELSE l_orderkey % 25 END AS skew_key,
+        |             l_extendedprice, l_discount
+        |           FROM lineitem)
+        |SELECT n_name,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,4))
+        |           * (1 - cast(l_discount as decimal(18,4)))) as varchar) as double)
+        |    AS revenue,
+        |  cast(count(*) as bigint) AS n_lines
+        |FROM f JOIN nation ON skew_key = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val fact = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 10 < 4, lit(0L))
+          .otherwise(col("l_orderkey") % 25).as("skew_key"),
+        col("l_extendedprice"), col("l_discount"))
+      val dim = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("skew_key"), col("n_name"))
+      Relational.saltedJoin(fact, dim, "skew_key", 16)
+        .groupBy("n_name")
+        .agg(
+          sum(Exact.dec(col("l_extendedprice"))
+            * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
     }
   )
 }

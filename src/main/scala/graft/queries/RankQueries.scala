@@ -654,6 +654,49 @@ object RankQueries {
           col("n_states"),
           (FxLog.log2fx(col("n_from")) - expr("s2 div n_from"))
             .cast("long").as("h_fx"))
+    },
+
+    // DoReMi-style softmax domain weights (Xie et al. 2023): reweight
+    // training domains by exp(λ · excess_loss_d), normalized — the
+    // remaining log-family shape q225's α-sampling doesn't cover (softmax
+    // over a per-domain SCORE, not a power of the count). The per-domain
+    // loss proxy here is log2fx(avg doc length) — a deterministic stand-in
+    // for a reference model's held-out loss, which would arrive as just
+    // another per-domain bigint column — excess is against the MIN domain
+    // (so all exponents are ≥ 0, inside exp2fx's domain; λ = 8 by left
+    // shift). Everything after the one combining per-domain aggregate is
+    // |domains| rows against two broadcast scalars; the weight vector a
+    // data-mixing loader consumes ships as exact ppm.
+    QueryDef(
+      "q229_doremi_weights",
+      s"""WITH l AS (SELECT source, count(*) AS n,
+         |             sum(n_chars) // count(*) AS avg_chars
+         |           FROM documents WHERE n_chars > 0 GROUP BY 1),
+         |${FxLog.sqlCtes("dl", "l", "avg_chars", "lg")},
+         |m AS (SELECT min(lg) AS mn FROM dl),
+         |x AS (SELECT *, (lg - mn) * 8 AS ex FROM dl CROSS JOIN m),
+         |${FxLog.sqlExpCtes("dw", "x", "ex", "w")},
+         |t AS (SELECT cast(sum(w) as bigint) AS tw FROM dw)
+         |SELECT source, cast(n as bigint) AS n_docs,
+         |  cast(avg_chars as bigint) AS avg_chars,
+         |  cast(w as bigint) AS w_fx,
+         |  cast(w * 1000000 // tw as bigint) AS p_ppm
+         |FROM dw CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val l = Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+        .select(col("source"), col("n"), expr("sc div n").as("avg_chars"))
+        .withColumn("lg", FxLog.log2fx(col("avg_chars")))
+      val m = l.agg(min(col("lg")).as("mn"))
+      val w = l.crossJoin(broadcast(m))
+        .withColumn("w", FxLog.exp2fx((col("lg") - col("mn")) * 8))
+      val t = w.agg(sum(col("w")).cast("long").as("tw"))
+      w.crossJoin(broadcast(t))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("avg_chars").cast("long").as("avg_chars"),
+          col("w").cast("long").as("w_fx"),
+          expr("w * 1000000 div tw").cast("long").as("p_ppm"))
     }
   )
 }

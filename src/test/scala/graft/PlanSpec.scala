@@ -518,6 +518,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), "projection not pruned:\n" + p)
   }
 
+  test("q228: planted-skew join broadcasts the salted dim; fact never sort-merges") {
+    val p = plan("q228_skew_salted_agg")
+    // the replicated 25x16-row dimension must broadcast — the 42%-hot-key
+    // fact side then never shuffles for the join, only for the final agg
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q229: softmax weights broadcast both scalars; one combining agg") {
+    val p = plan("q229_doremi_weights")
+    assert(p.contains("log2fx") && p.contains("exp2fx"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // per-domain agg combines map-side
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")

@@ -19,6 +19,27 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("salt actually fans the hot key out across the salt range") {
+    // the property q228 relies on at 100 TB: the hot key's rows must land
+    // in (close to) saltFactor distinct reducer groups, shrinking the max
+    // per-group row count by ~saltFactor — otherwise salting is a no-op
+    // that still serializes one reducer. Distinct payloads hash to
+    // distinct salts with overwhelming probability.
+    val saltFactor = 16
+    val big = (1 to 4000).map(i => (if (i % 10 < 9) 0L else i.toLong, i))
+      .toDF("k", "payload")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)))
+    val hot = salted.filter(col("k") === 0L)
+      .groupBy("__salt").count().as[(Long, Long)].collect()
+    assert(hot.length == saltFactor,
+      s"hot key used only ${hot.length} of $saltFactor salts")
+    val maxGroup = hot.map(_._2).max
+    val hotRows = hot.map(_._2).sum
+    assert(maxGroup <= hotRows / saltFactor * 2,
+      s"skew not dispersed: max group $maxGroup of $hotRows hot rows")
+  }
+
   test("min_by exact dedup equals window semantics") {
     val df = Seq((5L, "x"), (1L, "x"), (3L, "y")).toDF("id", "text")
     val out = Dedup.exactDedup(df, col("text"), col("id"))
