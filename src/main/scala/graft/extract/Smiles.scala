@@ -539,12 +539,98 @@ object Smiles {
     out.toVector
   }
 
+  /** Resolve the input's aromatic-bond claims into one explicit kekulé
+    * assignment: every aromatic atom that still needs a valence unit gets
+    * exactly one double bond among its aromatic bonds (perfect matching,
+    * first solution by backtracking), the rest become single, and all
+    * aromatic flags clear. None when an aromatic atom's element/charge is
+    * outside the subset or no valence-consistent matching exists — the
+    * caller then trusts the input flags as written. This is the front
+    * half of RDKit's sanitize contract (kekulize, then re-perceive):
+    * without it an input claiming an aromatic bond the kekulé structure
+    * doesn't support (a link bond written without `-`) canonicalizes
+    * differently from the kekulized writings of the same molecule. */
+  def kekulize(mol: Mol): Option[Mol] = {
+    if (!mol.atoms.exists(_.aromatic)) return Some(mol)
+    def ek(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
+    val need = new Array[Int](mol.atoms.length)
+    var i = 0
+    while (i < mol.atoms.length) {
+      val a = mol.atoms(i)
+      if (a.aromatic) {
+        val vEff = (a.elem, a.charge) match {
+          case (e, 0) => defaultValences.get(e).map(_.head).getOrElse(-99)
+          case ("C", 1) | ("C", -1) => 3
+          case ("N", 1) | ("P", 1) => 4
+          case ("N", -1) => 2
+          case ("O", 1) | ("S", 1) => 3
+          case ("O", -1) | ("S", -1) => 1
+          case _ => -99
+        }
+        val nonArom = mol.adj(i).collect { case (_, o) if o != 4 => o }.sum
+        val aromDeg = mol.adj(i).count(_._2 == 4)
+        need(i) = vEff - a.hCount - nonArom - aromDeg
+        if (need(i) < 0 || need(i) > 1) return None
+      }
+      i += 1
+    }
+    val want = mol.atoms.indices.filter(j => mol.atoms(j).aromatic && need(j) == 1)
+    val adj: Map[Int, Seq[Int]] = want.map { a =>
+      a -> mol.adj(a).collect {
+        case (b, 4) if mol.atoms(b).aromatic && need(b) == 1 => b }
+    }.toMap
+    var found: Option[Set[(Int, Int)]] = None
+    def go(free: Set[Int], acc: List[(Int, Int)]): Unit =
+      if (found.isDefined) ()
+      else if (free.isEmpty) found = Some(acc.toSet)
+      else {
+        val a = free.min
+        adj(a).foreach { b =>
+          if (found.isEmpty && free(b)) go(free - a - b, ek(a, b) :: acc)
+        }
+      }
+    go(want.toSet, Nil)
+    found.map { m =>
+      Mol(
+        mol.atoms.map(_.copy(aromatic = false)),
+        mol.bonds.map { b =>
+          if (b.order == 4) Bond(b.a, b.b, if (m(ek(b.a, b.b))) 2 else 1)
+          else b
+        },
+        mol.nbOrder)
+    }
+  }
+
   /** Hückel-style aromatization to a fixpoint (see object scaladoc). The
     * reference gets this from RDKit's SanitizeMol aromaticity perception
     * (extract/canonicalise.py:12-31); this is an independent 5/6-ring
     * electron-counting implementation.
+    *
+    * Sanitize order follows RDKit: first [[kekulize]] the input's
+    * aromatic claims, then re-perceive from the explicit structure. The
+    * re-perceived form is used when it reproduces the claimed aromatic
+    * ATOM set (it then also carries the consistent BOND set, fixing
+    * writings that claim an aromatic bond the kekulé can't support);
+    * when perception is weaker than the claim (macrocyclic or exotic
+    * systems outside the 5/6/7-ring model) the input's flags are trusted
+    * as written, preserving identity for systems the model doesn't
+    * cover.
     */
-  def aromatize(mol: Mol): Mol = {
+  def aromatize(mol0: Mol): Mol = {
+    val claimed = mol0.atoms.zipWithIndex.collect {
+      case (a, i) if a.aromatic => i }.toSet
+    if (claimed.isEmpty) return aromatizeCore(mol0)
+    kekulize(mol0) match {
+      case Some(k) =>
+        val re = aromatizeCore(k)
+        val perceived = re.atoms.zipWithIndex.collect {
+          case (a, i) if a.aromatic => i }.toSet
+        if (perceived == claimed) re else aromatizeCore(mol0)
+      case None => aromatizeCore(mol0)
+    }
+  }
+
+  private def aromatizeCore(mol: Mol): Mol = {
     val rings = simpleRings(mol)
     if (rings.isEmpty) return mol
     def ek(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
@@ -580,15 +666,28 @@ object Smiles {
         else {
           val doubles = nbs.filter(_._2 == 2)
           if (doubles.nonEmpty) {
-            // ENDOCYCLIC double (within this ring) → 1 π e⁻; any
-            // exocyclic double (quinone C=O, quinoid =CR2 — even when
-            // the partner sits in some other ring) → sp2 but 0 π e⁻.
-            // Fused systems don't need the cross-ring credit: the ring
-            // with full alternation aromatizes first and its atoms then
-            // count via the arom(a) branch on the next fixpoint pass.
+            // ENDOCYCLIC double (within this ring) → 1 π e⁻; an
+            // exocyclic double to a MORE ELECTRONEGATIVE partner
+            // (quinone/pyridone C=O, C=N) → sp2 but 0 π e⁻ — the ring
+            // can still reach 4n+2 from its other members (2-pyridone).
+            // An exocyclic double to another CARBON disqualifies the
+            // single ring outright (RDKit's electronegativity rule):
+            // that π electron is committed elsewhere — to a fulvene-type
+            // =CR2, or to ANOTHER RING's kekulé system (acenaphthylene's
+            // peri-fused 5-ring counted 2 e⁻ over the bridge plus three
+            // 0-credit atoms and wrongly fired as a 4n+2, n=0 system,
+            // splitting the kekulé writings — r9 find). Fused systems
+            // never needed the cross-ring 0-credit to fire per-ring: the
+            // ring with full alternation aromatizes first and its atoms
+            // then count via the arom(a) branch on the next fixpoint
+            // pass, and perimeter systems get their own pass where the
+            // partner is inside rs.
             if (doubles.exists { case (b, _) => rs(b) }) electrons += 1
             else if (strictExo &&
                 !doubles.exists { case (b, _) => inAnyRing(b) }) ok = false
+            else if (!strictExo &&
+                doubles.forall { case (b, _) => mol.atoms(b).elem == "C" })
+              ok = false
           } else at.elem match {
             case "C" =>
               if (at.charge == -1) electrons += 2 // cyclopentadienyl
