@@ -64,11 +64,21 @@ import scala.collection.mutable
   * pentane-2,3,4-triol canonicalize distinctly while the chiral pair
   * cleans C3 (SmilesSpec locks this).
   *
-  * Documented boundaries (vs RDKit): allene axial stereo is
-  * dropped, and a kekulé assignment of a large fused polycycle in which
-  * neither any single 5/6/7-ring nor any one-edge-fused ring pair
-  * reaches 4n+2 even iteratively stays kekulized (three-plus-ring
-  * perimeter systems are not re-tested).
+  *  - '''Allene axial stereo is canonicalized''' (r9): a 2-connected
+  *    `[C@]`/`[C@@]` between two double bonds parses as extended
+  *    tetrahedral parity over the four far substituents (per-end phantom
+  *    slots for implicit H), refines and cleans like tetrahedral centers
+  *    (two identical substituents on either end kill the axis), and
+  *    emission re-derives the flag for the output's written order —
+  *    AlleneStereoSpec locks writer-invariance and enantiomer
+  *    distinctness. Longer cumulenes stay identity passthrough.
+  *
+  * Documented boundaries (vs RDKit): a kekulé assignment of a large
+  * fused polycycle in which neither any single 5/6/7-ring nor any
+  * one-edge-fused ring pair reaches 4n+2 even iteratively stays
+  * kekulized (three-plus-ring perimeter systems are not re-tested;
+  * aromatic WRITINGS of such systems keep their claimed flags via the
+  * kekulize-then-reperceive fallback).
   */
 object Smiles {
 
@@ -258,14 +268,36 @@ object Smiles {
       }
       // resolve chiral phantoms: a 3-connected chiral atom's implicit H (or
       // lone pair) occupies the OpenSMILES phantom slot; 4-connected needs
-      // none; anything else is stereo outside the subset → None (canonical()
-      // falls back to identity passthrough for '@'-bearing inputs)
+      // none. A 2-connected `[C@]`/`[C@@]` with two double bonds is an
+      // ALLENE axial center (the @AL1/@AL2 aliases): its stereo references
+      // the four substituents on the two sp2 ENDS, so each end with an
+      // implicit H gets an end-tagged phantom slot in ITS neighbor order
+      // (same preceder rule as tetrahedral). Anything else with a flag is
+      // stereo outside the subset → None (canonical() falls back to
+      // identity passthrough for '@'-bearing inputs).
       var ok = true
       resolved.zipWithIndex.foreach { case (a, idx) =>
         if (a.chiral != 0) {
           val deg = nbOrder(idx).length
           if (deg == 3 && a.hCount <= 1)
             nbOrder(idx).insert(if (hadPreceder(idx)) 1 else 0, -1)
+          else if (deg == 2 && a.hCount == 0 && a.elem == "C" &&
+              mol0.adj(idx).forall(_._2 == 2)) {
+            // axial candidate: each end must be a genuine sp2 terminus —
+            // two substituent slots (explicit + implicit H), all its other
+            // bonds single (a further double = longer cumulene, out of
+            // subset). Phantom sentinel -2-end is end-unique so the two
+            // phantoms stay distinguishable inside one 4-atom parity list.
+            mol0.adj(idx).map(_._1).foreach { e =>
+              val subs = mol0.adj(e).filter(_._1 != idx)
+              val eh = resolved(e).hCount
+              if (subs.length + eh != 2 || eh > 1 ||
+                  subs.exists(_._2 != 1) || resolved(e).chiral != 0)
+                ok = false
+              else if (eh == 1)
+                nbOrder(e).insert(if (hadPreceder(e)) 1 else 0, -2 - e)
+            }
+          }
           else if (!(deg == 4 && a.hCount == 0)) ok = false
         }
       }
@@ -846,11 +878,35 @@ object Smiles {
     val (ezStereo, ezSide) = ezPerception(mol)
     val ezEnd: Map[Int, Int] = // stereo end atom -> its double-bond partner
       ezStereo.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toMap
+    // Allene axial center: 2-connected chiral atom, both bonds double.
+    // Its parity references the four far substituents (two per end,
+    // end-phantoms included). The per-end sub lists come from the ends'
+    // written neighbor order (phantoms already slotted at parse).
+    def isAllene(i: Int): Boolean =
+      mol.atoms(i).chiral != 0 && mol.adj(i).length == 2 &&
+        mol.adj(i).forall(_._2 == 2)
+    def alleneEndSubs(i: Int): Vector[Vector[Int]] =
+      mol.nbOrder(i).toVector.map(e =>
+        mol.nbOrder(e).toVector.filter(_ != i))
     // rank-relative parity: the written flag re-expressed against the
-    // phantom-first, rank-sorted neighbor order; 0 while neighbors tie
+    // phantom-first, rank-sorted neighbor order; 0 while neighbors tie.
+    // Allene centers compare the written 4-substituent order against the
+    // per-end rank-sorted order — the end-block order cancels out of the
+    // parity (swapping whole blocks is an even permutation), so two ends
+    // tied in rank (2,3-pentadiene) stay well-defined.
     def chiralDesc(i: Int): Int = {
       val a = mol.atoms(i)
       if (a.chiral == 0) 0
+      else if (isAllene(i)) {
+        val subs = alleneEndSubs(i)
+        def rk(x: Int): Int = if (x < 0) x else ranks(x)
+        if (subs.exists(s => s.map(rk).distinct.length < s.length)) 0
+        else {
+          val written = subs.flatten
+          val target = subs.flatMap(_.sortBy(rk))
+          if (permParity(written, target) == 0) a.chiral else 3 - a.chiral
+        }
+      }
       else {
         val nbs = mol.adj(i).map(_._1)
         if (nbs.map(ranks(_)).distinct.length < nbs.length) 0
@@ -894,9 +950,19 @@ object Smiles {
       }
     }
     // clean non-stereogenic flags at convergence (descriptors contributed
-    // nothing for these atoms, so the ranks are unaffected by the drop)
+    // nothing for these atoms, so the ranks are unaffected by the drop).
+    // Allene centers are judged per END (two tied substituent slots on
+    // either end kill the axis) — their two direct neighbors tying is
+    // NORMAL for a symmetric allene and must not drop the flag.
     val cleanedAtoms = mol.atoms.zipWithIndex.map { case (a, i) =>
-      if (a.chiral != 0 &&
+      if (a.chiral == 0) a
+      else if (isAllene(i)) {
+        def rk(x: Int): Int = if (x < 0) x else ranks(x)
+        if (alleneEndSubs(i).exists(s =>
+            s.map(rk).distinct.length < s.length)) a.copy(chiral = 0)
+        else a
+      }
+      else if (
         mol.adj(i).map(b => ranks(b._1)).distinct.length < mol.adj(i).length)
         a.copy(chiral = 0)
       else a
@@ -996,12 +1062,13 @@ object Smiles {
     def neighbors(a: Int): Vector[(Int, Int)] =
       mol.adj(a).sortBy { case (b, _) => ranks(b) }
     val inTree = mutable.Set[(Int, Int)]()
+    val parent = Array.fill(n)(-1)
     def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
     def walk(a: Int, from: Int): Unit = {
       visited(a) = true
       neighbors(a).foreach { case (b, o) =>
         if (b != from) {
-          if (!visited(b)) { inTree += key(a, b); walk(b, a) }
+          if (!visited(b)) { inTree += key(a, b); parent(b) = a; walk(b, a) }
           else if (!inTree(key(a, b)) && !ringNum.contains(key(a, b))) {
             ringNum(key(a, b)) = nextRing
             atomRings.getOrElseUpdate(a, mutable.ArrayBuffer()) += ((nextRing, o, b))
@@ -1038,6 +1105,37 @@ object Smiles {
       // parity flips @ <-> @@
       val chiralOut =
         if (at.chiral == 0) 0
+        else if (mol.adj(a).length == 2 && mol.adj(a).forall(_._2 == 2)) {
+          // allene axial: parity over the OUTPUT order of the four far
+          // substituents. Ends appear in the emitted string as
+          // ring-closure ancestor (always above the parent in the DFS
+          // tree), then parent, then children; each end's substituents
+          // follow ITS emitted neighbor order, with the end phantom at
+          // the slot the re-parser will assign (after the preceder, or
+          // first for the start atom).
+          val endOut: Seq[Int] =
+            rings.map(_._3).toSeq ++
+              (if (from >= 0) Seq(from) else Seq.empty) ++ kids.map(_._1)
+          def outSubs(e: Int): Seq[Int] = {
+            val ringPartners = atomRings
+              .getOrElse(e, mutable.ArrayBuffer.empty).map(_._3).toSeq
+            val eKids = neighbors(e).collect { case (b, _)
+              if b != parent(e) && inTree(key(e, b)) && parent(b) == e => b }
+            val base = (if (parent(e) >= 0) Seq(parent(e)) else Seq.empty) ++
+              ringPartners ++ eKids
+            val ph = -2 - e
+            val withPh =
+              if (mol.nbOrder(e).contains(ph)) {
+                val pos = if (parent(e) >= 0) 1 else 0
+                (base.take(pos) :+ ph) ++ base.drop(pos)
+              } else base
+            withPh.filter(_ != a)
+          }
+          val emitted = endOut.flatMap(outSubs)
+          val written = mol.nbOrder(a).toVector
+            .flatMap(e => mol.nbOrder(e).toVector.filter(_ != a))
+          if (permParity(written, emitted) == 0) at.chiral else 3 - at.chiral
+        }
         else {
           val emitted = mutable.ArrayBuffer[Int]()
           if (from >= 0) emitted += from
