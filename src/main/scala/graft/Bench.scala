@@ -54,6 +54,10 @@ object Bench {
     // time. Sub-threshold queries run once — their absolute noise is
     // bounded by the threshold itself, and skipping their repeats keeps
     // the full 229-query sweep inside a driver-friendly wall clock.
+    // NOTE: with SPARK_GRAFT_BENCH_REPEAT=1 (debug knob) the single
+    // recorded sample for q211/q212 includes their once-per-session
+    // fixture write, which median-of-3 otherwise discards — repeat=1
+    // totals are not comparable with default sweeps.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
     val repeatThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MIN_SEC", "0.3").toDouble

@@ -508,11 +508,14 @@ object Smiles {
       i += 1
       if (i < b.length && b.charAt(i) == '@') { chiral = 2; i += 1 }
       else chiral = 1
-      // named tetrahedral classes are aliases (OpenSMILES: @TH1 = @,
-      // @TH2 = @@); other classes (@AL/@SP/@TB/@OH) are out of subset
-      if (chiral == 1 && b.regionMatches(i, "TH", 0, 2)) {
-        if (b.regionMatches(i, "TH1", 0, 3)) { i += 3 }
-        else if (b.regionMatches(i, "TH2", 0, 3)) { chiral = 2; i += 3 }
+      // named tetrahedral/allene classes are aliases (OpenSMILES:
+      // @TH1 = @, @TH2 = @@, and @AL1/@AL2 likewise for axial centers —
+      // the resolution step validates the 2-double-bond shape either
+      // way); other classes (@SP/@TB/@OH) are out of subset
+      if (chiral == 1 && (b.regionMatches(i, "TH", 0, 2) ||
+          b.regionMatches(i, "AL", 0, 2))) {
+        if (b.regionMatches(i + 2, "1", 0, 1)) { i += 3 }
+        else if (b.regionMatches(i + 2, "2", 0, 1)) { chiral = 2; i += 3 }
         else return None
       } else if (i < b.length && b.charAt(i).isUpper && b.charAt(i) != 'H')
         return None
@@ -582,26 +585,37 @@ object Smiles {
     * without it an input claiming an aromatic bond the kekulé structure
     * doesn't support (a link bond written without `-`) canonicalizes
     * differently from the kekulized writings of the same molecule. */
+  /** Double bonds this aromatic atom still needs in a kekulé assignment:
+    * effective valence (charge-adjusted) minus hydrogens, non-aromatic
+    * bond orders, and one σ unit per aromatic bond. Valid kekulé atoms
+    * come out 0 or 1; anything else marks the atom outside the
+    * kekulizable subset. Shared with KekuleInvarianceSpec's exhaustive
+    * matcher so the spec enumerates exactly the universe [[kekulize]]
+    * solves. */
+  def kekulizeNeed(mol: Mol, i: Int): Int = {
+    val a = mol.atoms(i)
+    val vEff = (a.elem, a.charge) match {
+      case (e, 0) => defaultValences.get(e).map(_.head).getOrElse(-99)
+      case ("C", 1) | ("C", -1) => 3
+      case ("N", 1) | ("P", 1) => 4
+      case ("N", -1) => 2
+      case ("O", 1) | ("S", 1) => 3
+      case ("O", -1) | ("S", -1) => 1
+      case _ => -99
+    }
+    val nonArom = mol.adj(i).collect { case (_, o) if o != 4 => o }.sum
+    val aromDeg = mol.adj(i).count(_._2 == 4)
+    vEff - a.hCount - nonArom - aromDeg
+  }
+
   def kekulize(mol: Mol): Option[Mol] = {
     if (!mol.atoms.exists(_.aromatic)) return Some(mol)
     def ek(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
     val need = new Array[Int](mol.atoms.length)
     var i = 0
     while (i < mol.atoms.length) {
-      val a = mol.atoms(i)
-      if (a.aromatic) {
-        val vEff = (a.elem, a.charge) match {
-          case (e, 0) => defaultValences.get(e).map(_.head).getOrElse(-99)
-          case ("C", 1) | ("C", -1) => 3
-          case ("N", 1) | ("P", 1) => 4
-          case ("N", -1) => 2
-          case ("O", 1) | ("S", 1) => 3
-          case ("O", -1) | ("S", -1) => 1
-          case _ => -99
-        }
-        val nonArom = mol.adj(i).collect { case (_, o) if o != 4 => o }.sum
-        val aromDeg = mol.adj(i).count(_._2 == 4)
-        need(i) = vEff - a.hCount - nonArom - aromDeg
+      if (mol.atoms(i).aromatic) {
+        need(i) = kekulizeNeed(mol, i)
         if (need(i) < 0 || need(i) > 1) return None
       }
       i += 1
@@ -1200,6 +1214,8 @@ object Smiles {
   /** Canonical SMILES of the (possibly multi-component) input; None when
     * outside the parseable subset. Tetrahedral centers canonicalize with
     * parity-correct `@`/`@@` (`@TH1`/`@TH2` are read as their aliases);
+    * allene axial centers canonicalize with extended tetrahedral parity
+    * (`@AL1`/`@AL2` likewise aliased);
     * double-bond stereo canonicalizes everywhere it is perceivable —
     * acyclic bonds re-anchor their `/`/`\` marks, and in-ring bonds carry
     * them on ring-closure digits. Marks on bonds in rings smaller than 8
@@ -1207,8 +1223,9 @@ object Smiles {
     * contradictory double-marked closures fail the parse and degrade to
     * identity passthrough like other stereo-bearing unparseables. Stereo
     * classes
-    * the subset cannot re-express (`@AL`/`@SP`/`@TB`) degrade to identity
-    * passthrough of the whole input — never a silent stereo drop.
+    * the subset cannot re-express (`@SP`/`@TB`/`@OH`, longer cumulenes)
+    * degrade to identity passthrough of the whole input — never a silent
+    * stereo drop.
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 

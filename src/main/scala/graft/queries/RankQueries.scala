@@ -663,10 +663,14 @@ object RankQueries {
     // loss proxy here is log2fx(avg doc length) — a deterministic stand-in
     // for a reference model's held-out loss, which would arrive as just
     // another per-domain bigint column — excess is against the MIN domain
-    // (so all exponents are ≥ 0, inside exp2fx's domain; λ = 8 by left
-    // shift). Everything after the one combining per-domain aggregate is
-    // |domains| rows against two broadcast scalars; the weight vector a
-    // data-mixing loader consumes ships as exact ppm.
+    // (so all exponents are ≥ 0) and CLAMPED at 27·2^16: beyond that,
+    // w·10^6 would overflow int64 (and at 46·2^16 exp2fx itself NULLs),
+    // so extreme >10^8-fold weight spreads saturate deterministically on
+    // both engines instead of failing or silently dropping the heaviest
+    // domain (λ = 8 by left shift). Everything after the one combining
+    // per-domain aggregate is |domains| rows against two broadcast
+    // scalars; the weight vector a data-mixing loader consumes ships as
+    // exact ppm.
     QueryDef(
       "q229_doremi_weights",
       s"""WITH l AS (SELECT source, count(*) AS n,
@@ -674,7 +678,8 @@ object RankQueries {
          |           FROM documents WHERE n_chars > 0 GROUP BY 1),
          |${FxLog.sqlCtes("dl", "l", "avg_chars", "lg")},
          |m AS (SELECT min(lg) AS mn FROM dl),
-         |x AS (SELECT *, (lg - mn) * 8 AS ex FROM dl CROSS JOIN m),
+         |x AS (SELECT *, least((lg - mn) * 8, 1769472) AS ex
+         |      FROM dl CROSS JOIN m),
          |${FxLog.sqlExpCtes("dw", "x", "ex", "w")},
          |t AS (SELECT cast(sum(w) as bigint) AS tw FROM dw)
          |SELECT source, cast(n as bigint) AS n_docs,
@@ -690,7 +695,8 @@ object RankQueries {
         .withColumn("lg", FxLog.log2fx(col("avg_chars")))
       val m = l.agg(min(col("lg")).as("mn"))
       val w = l.crossJoin(broadcast(m))
-        .withColumn("w", FxLog.exp2fx((col("lg") - col("mn")) * 8))
+        .withColumn("w",
+          FxLog.exp2fx(least((col("lg") - col("mn")) * 8, lit(1769472L))))
       val t = w.agg(sum(col("w")).cast("long").as("tw"))
       w.crossJoin(broadcast(t))
         .select(col("source"), col("n").cast("long").as("n_docs"),

@@ -44,6 +44,12 @@ class AlleneStereoSpec extends AnyFunSuite {
     assert(c("C(C)=[C@]=C(C)") != ref)
   }
 
+  test("@AL1/@AL2 named classes read as @/@@ aliases") {
+    assert(c("CC=[C@AL1]=CC") == c("CC=[C@]=CC"))
+    assert(c("CC=[C@AL2]=CC") == c("CC=[C@@]=CC"))
+    assert(c("NC(Br)=[C@AL1]=C(O)C") == c("NC(Br)=[C@]=C(O)C"))
+  }
+
   test("idempotence: canonical of canonical is canonical") {
     for (s <- Seq("NC(Br)=[C@]=C(O)C", "CC=[C@]=CC", "CC=[C@@]=CC")) {
       val k = c(s)

@@ -18,28 +18,10 @@ import graft.extract.Smiles.{Atom, Bond, Mol}
   */
 class KekuleInvarianceSpec extends AnyFunSuite {
 
-  /** Doubles needed by each atom in a kekulé assignment: effective
-    * valence minus hydrogens, non-aromatic bond orders, and one σ unit
-    * per aromatic bond. Must come out 0 or 1 for the subset we test. */
-  private def needDouble(mol: Mol, i: Int): Int = {
-    val a = mol.atoms(i)
-    val base = a.elem match {
-      case "C" => 4; case "N" | "P" => 3; case "O" | "S" => 2; case "B" => 3
-      case _ => -99
-    }
-    val vEff = (a.elem, a.charge) match {
-      case (_, 0) => base
-      case ("C", 1) | ("C", -1) => 3
-      case ("N", 1) | ("P", 1) => 4
-      case ("N", -1) => 2
-      case ("O", 1) | ("S", 1) => 3
-      case ("O", -1) | ("S", -1) => 1
-      case _ => -99
-    }
-    val nonArom = mol.adj(i).collect { case (_, o) if o != 4 => o }.sum
-    val aromDeg = mol.adj(i).count(_._2 == 4)
-    vEff - a.hCount - nonArom - aromDeg
-  }
+  /** Doubles needed by each atom in a kekulé assignment — the PRODUCTION
+    * computation (Smiles.kekulizeNeed), shared so this spec enumerates
+    * exactly the universe kekulize() solves. */
+  private def needDouble(mol: Mol, i: Int): Int = Smiles.kekulizeNeed(mol, i)
 
   /** All perfect matchings of the need-1 aromatic atoms over aromatic
     * edges (bounded backtracking; these molecules are small). */
