@@ -87,7 +87,24 @@ class KekuleInvarianceSpec extends AnyFunSuite {
     ("tropylium", "[cH+]1cccccc1", 1),
     ("pyridine N-oxide", "[O-][n+]1ccccc1", 2),
     ("2-pyridone", "O=c1cccc[nH]1", 1),
-    ("biphenyl", "c1ccc(-c2ccccc2)cc1", 4))
+    ("biphenyl", "c1ccc(-c2ccccc2)cc1", 4),
+    // larger polycycles (r9 sweep: every assignment unified, promoted
+    // from probe to permanent battery — the per-ring pass with the
+    // carbon-exocyclic gate plus the fused-pair perimeter pass covers
+    // them; a regression toward needing 3+-ring unions fails here first)
+    ("chrysene", "c1ccc2c(c1)ccc1c2ccc2ccccc21", 8),
+    ("tetracene", "c1ccc2cc3cc4ccccc4cc3cc2c1", 5),
+    ("perylene", "c1cc2cccc3c2c2c1cccc2c1ccccc31", 11),
+    ("coronene", "c1cc2ccc3ccc4ccc5ccc6ccc1c1c2c3c4c5c61", 20),
+    ("benzo[a]pyrene", "c1ccc2c(c1)cc1ccc3cccc4ccc2c1c34", 9),
+    ("fluorene", "C1c2ccccc2-c2ccccc21", 4),
+    ("biphenylene", "c1ccc2c(c1)-c1ccccc1-2", 4),
+    ("acridine", "c1ccc2nc3ccccc3cc2c1", 4),
+    ("carbazole", "c1ccc2c(c1)[nH]c1ccccc12", 4),
+    ("dibenzofuran", "c1ccc2c(c1)oc1ccccc12", 4),
+    ("dibenzothiophene", "c1ccc2c(c1)sc1ccccc12", 4),
+    ("quinoline", "c1ccc2ncccc2c1", 3),
+    ("purine", "c1ncc2[nH]cnc2n1", 2))
 
   battery.foreach { case (name, arom, minM) =>
     test(s"$name: every kekulé assignment canonicalizes like the aromatic form") {
