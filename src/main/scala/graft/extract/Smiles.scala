@@ -64,14 +64,20 @@ import scala.collection.mutable
   * pentane-2,3,4-triol canonicalize distinctly while the chiral pair
   * cleans C3 (SmilesSpec locks this).
   *
-  *  - '''Allene axial stereo is canonicalized''' (r9): a 2-connected
+  *  - '''Axial (cumulene) stereo is canonicalized''' (r9): a 2-connected
   *    `[C@]`/`[C@@]` between two double bonds parses as extended
-  *    tetrahedral parity over the four far substituents (per-end phantom
-  *    slots for implicit H), refines and cleans like tetrahedral centers
-  *    (two identical substituents on either end kill the axis), and
-  *    emission re-derives the flag for the output's written order —
-  *    AlleneStereoSpec locks writer-invariance and enantiomer
-  *    distinctness. Longer cumulenes stay identity passthrough.
+  *    tetrahedral parity over the four far substituents on the cumulated
+  *    chain's TERMINI (per-end phantom slots for implicit H) — allene
+  *    directly, longer ODD cumulenes (pentatetraene, ...) by walking the
+  *    chain to its sp2 ends. It refines and cleans like tetrahedral
+  *    centers (two identical substituents on either end kill the axis),
+  *    and emission re-derives the flag for the output's written order —
+  *    AlleneStereoSpec + CumuleneStereoSpec lock writer-invariance and
+  *    enantiomer distinctness. EVEN cumulenes carry planar (E/Z-like)
+  *    stereo, not axial: a chiral flag there is out of subset
+  *    (passthrough), and directional marks around them are dropped like
+  *    RDKit's legacy perception drops them (stereo bonds must carry
+  *    marks on both immediate ends).
   *
   * Documented boundaries (vs RDKit): a kekulé assignment of a large
   * fused polycycle in which neither any single 5/6/7-ring nor any
@@ -283,13 +289,21 @@ object Smiles {
             nbOrder(idx).insert(if (hadPreceder(idx)) 1 else 0, -1)
           else if (deg == 2 && a.hCount == 0 && a.elem == "C" &&
               mol0.adj(idx).forall(_._2 == 2)) {
-            // axial candidate: each end must be a genuine sp2 terminus —
-            // two substituent slots (explicit + implicit H), all its other
-            // bonds single (a further double = longer cumulene, out of
-            // subset). Phantom sentinel -2-end is end-unique so the two
-            // phantoms stay distinguishable inside one 4-atom parity list.
-            mol0.adj(idx).map(_._1).foreach { e =>
-              val subs = mol0.adj(e).filter(_._1 != idx)
+            // axial candidate: walk the cumulated chain outward on both
+            // sides to its sp2 termini (allene = 1 step, pentatetraene =
+            // 2, ...). Both walks must be the same length — the mark sits
+            // on the true center of an ODD cumulene; a mark anywhere else
+            // (even cumulene, off-center) is out of subset. Each terminus
+            // needs two substituent slots (explicit + implicit H), all
+            // single bonds. Phantom sentinel -2-end is end-unique so the
+            // two phantoms stay distinguishable inside one 4-atom parity
+            // list.
+            val walks = mol0.adj(idx).map { case (n0, _) =>
+              cumuleneWalk(resolved(_), mol0.adj(_), idx, n0)
+            }
+            if (walks(0)._3 != walks(1)._3) ok = false
+            else walks.foreach { case (e, p, _) =>
+              val subs = mol0.adj(e).filter(_._1 != p)
               val eh = resolved(e).hCount
               if (subs.length + eh != 2 || eh > 1 ||
                   subs.exists(_._2 != 1) || resolved(e).chiral != 0)
@@ -304,6 +318,37 @@ object Smiles {
       if (!ok) None
       else normalizeEz(Mol(resolved, mol0.bonds, nbOrder.map(_.toVector).toVector))
     }
+  }
+
+  /** Walk a cumulated chain outward from axial center `c` through its
+    * double-bond neighbor `first`: interior atoms are bare cumulene
+    * carbons (2-connected, both bonds double, no H/charge/flag, not
+    * aromatic); the walk stops at the first atom that is not one.
+    * Returns (terminus, partner, steps) where `partner` is the chain atom
+    * the terminus bonds back to and `steps` counts double bonds
+    * traversed — equal step counts on both sides ⟺ the mark sits on the
+    * true center of an odd cumulene (allene steps=1, pentatetraene
+    * steps=2, ...). Always terminates: interiors have degree 2, so a
+    * revisit would require a cycle, and any cumulated cycle re-enters
+    * through the flagged center, which is never interior. */
+  private def cumuleneWalk(atom: Int => Atom, adj: Int => Vector[(Int, Int)],
+      c: Int, first: Int): (Int, Int, Int) = {
+    def interior(i: Int): Boolean = {
+      val a = atom(i)
+      a.elem == "C" && !a.aromatic && a.charge == 0 && a.hCount == 0 &&
+        a.chiral == 0 && adj(i).length == 2 && adj(i).forall(_._2 == 2)
+    }
+    var prev = c
+    var cur = first
+    var steps = 1
+    var done = false
+    while (!done && interior(cur)) {
+      adj(cur).collectFirst { case (x, _) if x != prev => x } match {
+        case Some(nxt) => prev = cur; cur = nxt; steps += 1
+        case None => done = true // parallel-edge degenerate; cur fails as terminus
+      }
+    }
+    (cur, prev, steps)
   }
 
   // ---- E/Z double-bond stereo ----------------------------------------------
@@ -892,16 +937,21 @@ object Smiles {
     val (ezStereo, ezSide) = ezPerception(mol)
     val ezEnd: Map[Int, Int] = // stereo end atom -> its double-bond partner
       ezStereo.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toMap
-    // Allene axial center: 2-connected chiral atom, both bonds double.
-    // Its parity references the four far substituents (two per end,
-    // end-phantoms included). The per-end sub lists come from the ends'
-    // written neighbor order (phantoms already slotted at parse).
+    // Axial center (allene or longer odd cumulene): 2-connected chiral
+    // atom, both bonds double. Its parity references the four far
+    // substituents on the chain TERMINI (two per end, end-phantoms
+    // included), reached by walking the cumulated chain; the per-end sub
+    // lists come from the termini's written neighbor order (phantoms
+    // already slotted at parse). The parser is the gatekeeper — only
+    // valid centers (equal-length walks, clean termini) keep flags here.
     def isAllene(i: Int): Boolean =
       mol.atoms(i).chiral != 0 && mol.adj(i).length == 2 &&
         mol.adj(i).forall(_._2 == 2)
     def alleneEndSubs(i: Int): Vector[Vector[Int]] =
-      mol.nbOrder(i).toVector.map(e =>
-        mol.nbOrder(e).toVector.filter(_ != i))
+      mol.nbOrder(i).toVector.map { n0 =>
+        val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), i, n0)
+        mol.nbOrder(e).toVector.filter(_ != p)
+      }
     // rank-relative parity: the written flag re-expressed against the
     // phantom-first, rank-sorted neighbor order; 0 while neighbors tie.
     // Allene centers compare the written 4-substituent order against the
@@ -1120,17 +1170,18 @@ object Smiles {
       val chiralOut =
         if (at.chiral == 0) 0
         else if (mol.adj(a).length == 2 && mol.adj(a).forall(_._2 == 2)) {
-          // allene axial: parity over the OUTPUT order of the four far
-          // substituents. Ends appear in the emitted string as
-          // ring-closure ancestor (always above the parent in the DFS
-          // tree), then parent, then children; each end's substituents
-          // follow ITS emitted neighbor order, with the end phantom at
-          // the slot the re-parser will assign (after the preceder, or
-          // first for the start atom).
-          val endOut: Seq[Int] =
+          // axial (allene or longer odd cumulene): parity over the OUTPUT
+          // order of the four far substituents on the chain TERMINI.
+          // Directions appear in the emitted string as ring-closure
+          // ancestor (always above the parent in the DFS tree), then
+          // parent, then children; each terminus's substituents follow
+          // ITS emitted neighbor order, with the end phantom at the slot
+          // the re-parser will assign (after the preceder, or first for
+          // the start atom).
+          val dirOut: Seq[Int] =
             rings.map(_._3).toSeq ++
               (if (from >= 0) Seq(from) else Seq.empty) ++ kids.map(_._1)
-          def outSubs(e: Int): Seq[Int] = {
+          def outSubs(e: Int, p: Int): Seq[Int] = {
             val ringPartners = atomRings
               .getOrElse(e, mutable.ArrayBuffer.empty).map(_._3).toSeq
             val eKids = neighbors(e).collect { case (b, _)
@@ -1143,11 +1194,16 @@ object Smiles {
                 val pos = if (parent(e) >= 0) 1 else 0
                 (base.take(pos) :+ ph) ++ base.drop(pos)
               } else base
-            withPh.filter(_ != a)
+            withPh.filter(_ != p)
           }
-          val emitted = endOut.flatMap(outSubs)
-          val written = mol.nbOrder(a).toVector
-            .flatMap(e => mol.nbOrder(e).toVector.filter(_ != a))
+          val emitted = dirOut.flatMap { n0 =>
+            val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), a, n0)
+            outSubs(e, p)
+          }
+          val written = mol.nbOrder(a).toVector.flatMap { n0 =>
+            val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), a, n0)
+            mol.nbOrder(e).toVector.filter(_ != p)
+          }
           if (permParity(written, emitted) == 0) at.chiral else 3 - at.chiral
         }
         else {
@@ -1214,8 +1270,9 @@ object Smiles {
   /** Canonical SMILES of the (possibly multi-component) input; None when
     * outside the parseable subset. Tetrahedral centers canonicalize with
     * parity-correct `@`/`@@` (`@TH1`/`@TH2` are read as their aliases);
-    * allene axial centers canonicalize with extended tetrahedral parity
-    * (`@AL1`/`@AL2` likewise aliased);
+    * axial centers (allene and longer odd cumulenes) canonicalize with
+    * extended tetrahedral parity over the chain termini (`@AL1`/`@AL2`
+    * likewise aliased);
     * double-bond stereo canonicalizes everywhere it is perceivable —
     * acyclic bonds re-anchor their `/`/`\` marks, and in-ring bonds carry
     * them on ring-closure digits. Marks on bonds in rings smaller than 8
@@ -1223,7 +1280,8 @@ object Smiles {
     * contradictory double-marked closures fail the parse and degrade to
     * identity passthrough like other stereo-bearing unparseables. Stereo
     * classes
-    * the subset cannot re-express (`@SP`/`@TB`/`@OH`, longer cumulenes)
+    * the subset cannot re-express (`@SP`/`@TB`/`@OH`, axial marks off an
+    * odd cumulene's center)
     * degrade to identity passthrough of the whole input — never a silent
     * stereo drop.
     */

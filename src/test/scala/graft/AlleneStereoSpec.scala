@@ -62,7 +62,8 @@ class AlleneStereoSpec extends AnyFunSuite {
     assert(c("CC=[C@]=C(C)C") == c("CC=[C@@]=C(C)C"))
   }
 
-  test("longer cumulenes and malformed centers stay identity passthrough") {
+  test("even cumulenes and malformed centers stay identity passthrough") {
+    // mark on C2 of butatriene: walks are 1 vs 2 steps — off-center
     assert(Smiles.canonical("C=[C@]=C=C").contains("C=[C@]=C=C"))
     assert(Smiles.canonical("C[C@]=C=C").contains("C[C@]=C=C"))
   }
