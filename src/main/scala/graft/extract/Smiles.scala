@@ -297,7 +297,8 @@ object Smiles {
             // needs two substituent slots (explicit + implicit H), all
             // single bonds. Phantom sentinel -2-end is end-unique so the
             // two phantoms stay distinguishable inside one 4-atom parity
-            // list.
+            // list. This gate must stay in sync with axialWrittenSubs
+            // (the walk perception and emission share).
             val walks = mol0.adj(idx).map { case (n0, _) =>
               cumuleneWalk(resolved(_), mol0.adj(_), idx, n0)
             }
@@ -350,6 +351,25 @@ object Smiles {
     }
     (cur, prev, steps)
   }
+
+  /** The two (terminus, partner) pairs of axial center `c`, one per
+    * direction in `c`'s WRITTEN neighbor order. Only meaningful for
+    * parser-validated centers (2-connected, both bonds double). */
+  private def axialDirEnds(mol: Mol, c: Int): Vector[(Int, Int)] =
+    mol.nbOrder(c).toVector.map { n0 =>
+      val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), c, n0)
+      (e, p)
+    }
+
+  /** Per-direction terminus substituents of axial center `c` in WRITTEN
+    * order (end phantoms included, chain partner excluded) — the
+    * 2+2-element reference list the center's parity flag is relative to.
+    * Shared by rank perception and emission so parse-time and emit-time
+    * parity can never desynchronize. */
+  private def axialWrittenSubs(mol: Mol, c: Int): Vector[Vector[Int]] =
+    axialDirEnds(mol, c).map { case (e, p) =>
+      mol.nbOrder(e).toVector.filter(_ != p)
+    }
 
   // ---- E/Z double-bond stereo ----------------------------------------------
 
@@ -947,11 +967,7 @@ object Smiles {
     def isAllene(i: Int): Boolean =
       mol.atoms(i).chiral != 0 && mol.adj(i).length == 2 &&
         mol.adj(i).forall(_._2 == 2)
-    def alleneEndSubs(i: Int): Vector[Vector[Int]] =
-      mol.nbOrder(i).toVector.map { n0 =>
-        val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), i, n0)
-        mol.nbOrder(e).toVector.filter(_ != p)
-      }
+    def alleneEndSubs(i: Int): Vector[Vector[Int]] = axialWrittenSubs(mol, i)
     // rank-relative parity: the written flag re-expressed against the
     // phantom-first, rank-sorted neighbor order; 0 while neighbors tie.
     // Allene centers compare the written 4-substituent order against the
@@ -1197,13 +1213,12 @@ object Smiles {
             withPh.filter(_ != p)
           }
           val emitted = dirOut.flatMap { n0 =>
+            // dirOut permutes nbOrder(a); resolve each direction's
+            // terminus by walking from that immediate neighbor
             val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), a, n0)
             outSubs(e, p)
           }
-          val written = mol.nbOrder(a).toVector.flatMap { n0 =>
-            val (e, p, _) = cumuleneWalk(mol.atoms(_), mol.adj(_), a, n0)
-            mol.nbOrder(e).toVector.filter(_ != p)
-          }
+          val written = axialWrittenSubs(mol, a).flatten
           if (permParity(written, emitted) == 0) at.chiral else 3 - at.chiral
         }
         else {
@@ -1278,12 +1293,17 @@ object Smiles {
     * them on ring-closure digits. Marks on bonds in rings smaller than 8
     * are dropped (RDKit-style: the geometry is forced by the ring);
     * contradictory double-marked closures fail the parse and degrade to
-    * identity passthrough like other stereo-bearing unparseables. Stereo
-    * classes
-    * the subset cannot re-express (`@SP`/`@TB`/`@OH`, axial marks off an
-    * odd cumulene's center)
-    * degrade to identity passthrough of the whole input — never a silent
-    * stereo drop.
+    * identity passthrough like other stereo-bearing unparseables. ATOM
+    * stereo classes the subset cannot re-express (`@SP`/`@TB`/`@OH`,
+    * axial marks off an odd cumulene's center) degrade to identity
+    * passthrough of the whole input — an unsupported atom flag is never
+    * silently dropped. Directional MARKS follow RDKit's legacy
+    * perception instead: marks serving no assignable double bond (lone
+    * marks, small-ring bonds, marks around cumulated systems — a stereo
+    * bond needs marks on both of its OWN ends) are dropped, so the two
+    * marked writings of an even cumulene merge with the unmarked form
+    * exactly as the reference's canonicalizer merges them
+    * (CumuleneStereoSpec locks this).
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 

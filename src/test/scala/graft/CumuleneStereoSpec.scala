@@ -68,6 +68,19 @@ class CumuleneStereoSpec extends AnyFunSuite {
       .contains("CC=C(C)[C@]=C=CC"))
   }
 
+  test("even-cumulene directional marks drop RDKit-style (merge with unmarked)") {
+    // legacy perception assigns bond stereo only when BOTH immediate ends
+    // of one double bond carry marks; butatriene's interior carbons can't,
+    // so the marks serve nothing and are dropped — both marked writings
+    // merge with the unmarked form, exactly like the reference's
+    // canonicalizer. This is a deliberate, documented drop (the
+    // never-drop passthrough guarantee covers ATOM stereo flags only).
+    val plain = c("FC=C=C=CF")
+    assert(c("F/C=C=C=C/F") == plain)
+    assert(c("F/C=C=C=C\\F") == plain)
+    assert(!plain.contains("/") && !plain.contains("\\"))
+  }
+
   test("unflagged long cumulenes still canonicalize structurally") {
     assert(c("CC=C=C=C=CC") == c("C(C)=C=C=C=CC"))
     assert(!c("CC=C=C=C=CC").contains("@"))
