@@ -207,7 +207,13 @@ object EmbeddingQueries {
     // over ALL shared tokens. Dot products and norms are exact integer
     // sums — order-independent under any shuffle — and the cosine is one
     // double expression. Candidate fan-out is Σ df² over rare terms only;
-    // common terms never generate pairs.
+    // common terms never generate pairs. The tag modulus ADAPTS to corpus
+    // size — greatest(97, N/52) keeps per-term df ~constant (≈52), so
+    // candidate mass stays LINEAR in N (a fixed modulus made df ∝ N and
+    // pairs ∝ N²/97: the 25× ladder measured 123k → 80.4M candidates,
+    // 274× wall). N ≤ 5000 (all certification SFs) yields 97 — results
+    // there are bit-identical to the fixed-modulus form. The N lookup is
+    // one driver-side scalar, same class as the literal-set guards.
     QueryDef(
       "q116_sparse_retrieval",
       """WITH toks AS (
@@ -215,7 +221,9 @@ object EmbeddingQueries {
         |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id, 'zrare' || cast(doc_id % 97 as varchar) FROM documents),
+        |  SELECT doc_id, 'zrare' || cast(doc_id %
+        |    (SELECT greatest(97, count(*) // 52) FROM documents) as varchar)
+        |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf
         |       FROM toks GROUP BY 1, 2),
         |norms AS (SELECT doc_id, sum(tf * tf) AS nn FROM tf GROUP BY 1),
@@ -237,10 +245,12 @@ object EmbeddingQueries {
         |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
       import graft.functions.ArrayOps
       val docs = Tables.documents(s, dir)
+      val tagModulus = math.max(97L, docs.count() / 52L)
       val toks = docs
         .select(col("doc_id"), explode(ArrayOps.tokens(col("text"))).as("token"))
         .unionByName(docs.select(col("doc_id"),
-          concat(lit("zrare"), (col("doc_id") % 97).cast("string")).as("token")))
+          concat(lit("zrare"), (col("doc_id") % tagModulus).cast("string"))
+            .as("token")))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
