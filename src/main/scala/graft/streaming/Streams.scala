@@ -39,11 +39,24 @@ object Streams {
     case _ => df
   }
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.readStream
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // The table path may be a single FILE named events.parquet (the
+    // driver's testdata layout) or a DIRECTORY of part files (any
+    // Spark-written corpus, e.g. the ScaleUp ladder). readStream needs a
+    // directory source: stream the directory itself when the table IS
+    // one; otherwise stream the parent with a filename glob. The r9 25x
+    // ladder caught the glob-only form reading ZERO files from a
+    // directory-shaped table (part-*.parquet filenames never match) —
+    // every events stream silently became a no-op.
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.readStream
       .schema(probeEventsSchema(spark, s"$dir/events.parquet"))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    val src =
+      if (fs.getFileStatus(path).isDirectory) base.parquet(path.toString)
+      else base.option("pathGlobFilter", "events.parquet").parquet(dir)
+    normalizeTs(src)
+  }
 
   /** Tumbling-window count/sum per event type with a watermark — the
     * canonical incremental aggregate. Runs the whole backlog with
