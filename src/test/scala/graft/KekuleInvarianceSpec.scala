@@ -104,7 +104,10 @@ class KekuleInvarianceSpec extends AnyFunSuite {
     ("dibenzofuran", "c1ccc2c(c1)oc1ccccc12", 4),
     ("dibenzothiophene", "c1ccc2c(c1)sc1ccccc12", 4),
     ("quinoline", "c1ccc2ncccc2c1", 3),
-    ("purine", "c1ncc2[nH]cnc2n1", 2))
+    ("purine", "c1ncc2[nH]cnc2n1", 2),
+    // corannulene: hub 5-ring + five 6-rings — the canonical 3+-ring
+    // combined-perimeter system (probed green late r9, promoted)
+    ("corannulene", "c1cc2ccc3ccc4ccc5ccc1c1c2c3c4c51", 5))
 
   battery.foreach { case (name, arom, minM) =>
     test(s"$name: every kekulé assignment canonicalizes like the aromatic form") {
