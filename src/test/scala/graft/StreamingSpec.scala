@@ -27,6 +27,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("events stream reads directory-shaped tables (Spark-written corpus layout)") {
+    // The driver's testdata keeps events.parquet as a single FILE; any
+    // Spark-written corpus (ScaleUp ladder) makes it a DIRECTORY of part
+    // files. The r9 25x ladder caught the glob-only source reading ZERO
+    // files from the directory layout — lock both layouts to identical
+    // results.
+    val dir = java.nio.file.Files.createTempDirectory("graft_evdir_").toString
+    try {
+      spark.read.parquet(s"$sf0001/events.parquet")
+        .repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val fromDir = Streams.runWindowedCounts(spark, dir, "spec_win_dir")
+        .as[(String, String, Long)].collect().toSet
+      val fromFile = Streams.runWindowedCounts(spark, sf0001, "spec_win_file")
+        .as[(String, String, Long)].collect().toSet
+      assert(fromDir == fromFile && fromDir.nonEmpty)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("streaming dedup equals batch dropDuplicates on bounded input") {
     val streamed = Streams.runStreamingDedup(spark, sf0001, "spec_dedup")
       .as[(Long, String)].collect().toSet
