@@ -39,7 +39,15 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     "C[C@H](O)[C@@H](O)[C@@H](O)C",
     // E/Z: simple trans/cis, trisubstituted, conjugated diene, styrene-like
     "F/C=C/F", "C/C=C\\C", "C/C(F)=C/Br", "C/C=C/C=C/C",
-    "c1ccccc1/C=C/C")
+    "c1ccccc1/C=C/C",
+    // axial cumulenes (late r9): allene, pentatetraene, and unflagged;
+    // then the descriptor-interplay combos — tetrahedral + axial,
+    // E/Z + axial, and all three stereo kinds in one molecule
+    "NC(Br)=[C@]=C(O)C", "NC(Br)=C=[C@]=C=C(O)C", "CC=C=[C@]=C=CC",
+    "CC=C=C=C=CC",
+    "N[C@@H](O)CC=C=[C@]=C=CC",
+    "F/C=C/CC=C=[C@]=C=CC",
+    "F/C=C/C[C@H](O)C=[C@]=CC")
 
   test("equivalent writings unify") {
     def c(s: String) = Smiles.canonical(s).get
