@@ -1082,6 +1082,10 @@ object ScaleQueries {
     // fold, commutative products), so both directions and both engines
     // agree bit-for-bit. 100 TB path: confine candidates by IVF cell
     // (q165) before the rankings — the RBM criterion composes unchanged.
+    // The r9 25x ladder measured this certifier at 263x wall (the one
+    // registry entry over the SF^1.5 bound — quadratic BY DESIGN) while
+    // the IVF-confined q165 ran 41x: the exact/approx pairing is the
+    // point, not a defect.
     QueryDef(
       "q210_mutual_nn",
       s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec
