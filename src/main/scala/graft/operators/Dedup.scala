@@ -69,6 +69,29 @@ object Dedup {
         array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string")), "\u0001"))))
 
+  /** Candidate stage shared by [[minhashLshPairs]] and the candidate-mass
+    * audit (q230): distinct (a_id < b_id) pairs sharing ANY band key, from
+    * an exploded (id, __bk) band frame. Ids-only bucket self-join — the
+    * shuffle carries 16-byte keys, not shingle arrays. */
+  private[graft] def bandJoinCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.select(col("id").as("a_id"), col("__bk"))
+      .join(bandsDf.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+
+  /** The EXACT candidate set [[minhashLshPairs]] verifies — exposed so the
+    * candidate-mass audit certifies the real band join (md5 slice keys:
+    * unbounded key space, so random collisions track Jaccard, never
+    * corpus²). Returns (a_id, b_id). */
+  def minhashBandCandidates(docs: DataFrame, idCol: String,
+      shinglesCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigDf = docs.select(col(idCol).as("id"),
+        minhashSig(col(shinglesCol), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandJoinCandidates(sigDf.select(col("id"),
+      explode(bandKeys(col("sig"), bands, k / bands)).as("__bk")))
+  }
+
   /** MinHash+LSH near-duplicate pairs over (id, shingles):
     * explode band keys → self-join per bucket (a.id < b.id) → distinct
     * candidate pairs → exact Jaccard verify ≥ `threshold`.
@@ -90,13 +113,8 @@ object Dedup {
     // the md5 work at sf0.1.
     val sigDf = sh.select(col("id"), minhashSig(col("sh"), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsDf = sigDf.select(col("id"),
-      explode(bandKeys(col("sig"), bands, k / bands)).as("__bk"))
-    // ids-only bucket self-join (shuffle carries 16-byte keys, not arrays)
-    val cand = bandsDf.select(col("id").as("a_id"), col("__bk"))
-      .join(bandsDf.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val cand = bandJoinCandidates(sigDf.select(col("id"),
+      explode(bandKeys(col("sig"), bands, k / bands)).as("__bk")))
     // exact verify: join the shingle sets back per side
     val out = cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -146,28 +164,55 @@ object Dedup {
     CacheScope.scoped(out, Seq(sh, sigDf), cleanup)
   }
 
-  /** Edit-distance near-duplicate pairs via prefix blocking — the classic
-    * record-linkage shape for typo-class duplicates that shingle Jaccard
-    * misses (single-character edits leave most shingles intact but exact
-    * dedup apart).
+  /** Candidate stage of [[editDistancePairs]] — exposed so candidate-mass
+    * audits certify the REAL blocking, not a re-derivation. Returns
+    * (a_id, b_id, a_txt, b_txt), a_id < b_id, one row per candidate pair.
     *
-    * Block on the first `blockLen` characters: candidate pairs form only
-    * inside a block (one shuffle on the block key, pair fan-out bounded by
-    * block size), then each candidate is verified with the exact
-    * Levenshtein DP — O(|a|·|b|) per PAIR, never per corpus. At 100 TB the
-    * blocking key is the whole game: the quadratic verify touches only
-    * same-prefix groups, which stay small under any real key distribution
-    * (add the length band to the key if prefixes skew). Returns
-    * (a_id, b_id, dist ≤ maxDist), a_id < b_id.
+    * Block key = (prefix, length band). The prefix alone is a skew trap: a
+    * corpus where many docs share one `blockLen`-char prefix (boilerplate
+    * headers, templated records) turns that block into a Θ(block²) pair
+    * bomb. Banding by ⌊len/(maxDist+1)⌋ splits such a block by length at
+    * ZERO recall cost: |len(a)−len(b)| ≤ edit distance, so any pair within
+    * `maxDist` differs in length by ≤ maxDist < bandWidth and lands in the
+    * same or adjacent band — the A side replicates into its own and both
+    * neighbor bands (3× one side's key rows, never 3× the pairs: each pair
+    * matches on exactly B's band). Pairs ≥2 bands apart are provably
+    * > maxDist and never candidates. The length prefilter then drops
+    * adjacent-band pairs past maxDist before any DP runs.
+    */
+  def editDistanceCandidates(docs: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 24, maxDist: Int = 4): DataFrame = {
+    val bandW = maxDist + 1
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+      substring(col(textCol), 1, blockLen).as("__pfx"),
+      floor(length(col(textCol)) / lit(bandW)).cast("long").as("__band"))
+    keyed
+      .withColumn("__jb", explode(array(
+        col("__band") - 1, col("__band"), col("__band") + 1)))
+      .select(col("id").as("a_id"), col("txt").as("a_txt"),
+        col("__pfx"), col("__jb").as("__band"))
+      .join(keyed.select(col("id").as("b_id"), col("txt").as("b_txt"),
+        col("__pfx"), col("__band")), Seq("__pfx", "__band"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(length(col("a_txt")) - length(col("b_txt"))) <= maxDist)
+      .select("a_id", "b_id", "a_txt", "b_txt")
+  }
+
+  /** Edit-distance near-duplicate pairs via (prefix, length-band) blocking
+    * — the classic record-linkage shape for typo-class duplicates that
+    * shingle Jaccard misses (single-character edits leave most shingles
+    * intact but exact dedup apart).
+    *
+    * Candidate pairs form only inside a block (one shuffle on the block
+    * key, pair fan-out bounded by block size — see
+    * [[editDistanceCandidates]] for the skew-proof key design), then each
+    * candidate is verified with the exact Levenshtein DP — O(|a|·|b|) per
+    * PAIR, never per corpus. Returns (a_id, b_id, dist ≤ maxDist),
+    * a_id < b_id.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       blockLen: Int = 24, maxDist: Int = 4): DataFrame = {
-    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
-      substring(col(textCol), 1, blockLen).as("__blk"))
-    keyed.select(col("id").as("a_id"), col("txt").as("a_txt"), col("__blk"))
-      .join(keyed.select(col("id").as("b_id"), col("txt").as("b_txt"),
-        col("__blk")), Seq("__blk"))
-      .filter(col("a_id") < col("b_id"))
+    editDistanceCandidates(docs, idCol, textCol, blockLen, maxDist)
       // banded DP: the threshold argument caps the per-pair cost at
       // O(maxDist·|a|) and returns -1 past the band — far-apart same-block
       // pairs bail out early instead of filling the full |a|·|b| matrix.

@@ -129,12 +129,42 @@ object Similarity {
     centroids
   }
 
+  /** Corpus-adaptive banded-LSH parameters (bands, bitsPerBand).
+    *
+    * A FIXED bits-per-band r is a scale defect: the band key space is 2^r
+    * buckets, so random-collision candidate pairs grow Θ(b·n²/2^r+1) —
+    * quadratic in the corpus regardless of how many true near-dups exist
+    * (at 100k vectors and r=8 that is ~58M random candidates dwarfing
+    * ~2.4M true pairs; at 100-TB vector counts it is catastrophic).
+    *
+    * Fix: grow r with the corpus — r = min k ≥ baseBits with 2^k·slack ≥ n
+    * — which pins expected random collisions per band at ≤ n·slack/2, i.e.
+    * LINEAR in n (the same discipline as q116's df-constant tag modulus).
+    * Growing r shrinks per-band recall p^r, so bands grow alongside:
+    * b = baseBands + ⌈(r − baseBits)/2⌉ holds pair recall ≈0.99 for
+    * cosine-0.99 near-dups (p ≈ 0.955: r=8,b=3 → 0.971; r=13,b=6 → 0.992;
+    * r=24,b=11 → 0.988) while total random candidates stay ≤ b·n·slack/2.
+    * n ≤ 2^baseBits·slack (all certification SFs) yields exactly
+    * (baseBands, baseBits) — results there are bit-identical to the fixed
+    * form. The n lookup is one driver-side scalar, same class as the
+    * literal-set guards; the oracle mirrors the formula in SQL.
+    */
+  def bandParams(n: Long, baseBands: Int = 3, baseBits: Int = 8,
+      slack: Int = 16): (Int, Int) = {
+    require(n >= 0 && baseBands >= 1 && baseBits >= 1 && slack >= 1)
+    var r = baseBits
+    while ((1L << r) * slack < n && r < 40) r += 1
+    (baseBands + (r - baseBits + 1) / 2, r)
+  }
+
   /** Banded (multi-table) LSH keys: `planes` sign bits split into `bands`
     * groups of planes/bands bits; vectors sharing ANY band key are
     * candidates. With r bits per band and b bands, a pair agreeing on each
     * plane with prob p is recalled with prob 1-(1-p^r)^b — near-certain for
     * near-dups while random pairs stay below b/2^r. The cosine analogue of
     * MinHash banding, and the recall fix for the single-bucket variant.
+    * Callers pairing a whole corpus must size (bands, planes/bands) to the
+    * corpus via [[bandParams]] — see [[bandedNearDupPairs]].
     */
   def lshBandKeys(vec: Column, planes: Int, bands: Int, maxDims: Int = 64): Column = {
     val r = planes / bands
@@ -229,18 +259,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
-  /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
-    * band key, verified at `minCosine`. Returns (a_id, b_id). */
-  def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
-      planes: Int, bands: Int, minCosine: Double,
-      cleanup: Boolean = false): DataFrame = {
+  /** The EXACT candidate set [[bandedNearDupPairs]] verifies — exposed so
+    * the candidate-mass audit (q231) certifies the real band join under
+    * the adaptive geometry. Returns (a_id, b_id). */
+  def bandedCandidates(df: DataFrame, id: String, vec: String,
+      baseBits: Int, baseBands: Int,
+      corpusSize: Option[Long] = None): DataFrame =
+    bandedCandidatesKeyed(df, id, vec, baseBits, baseBands, corpusSize)._1
+
+  private def bandedCandidatesKeyed(df: DataFrame, id: String, vec: String,
+      baseBits: Int, baseBands: Int,
+      corpusSize: Option[Long]): (DataFrame, DataFrame) = {
+    val n = corpusSize.getOrElse(df.count())
+    val (bands, r) = bandParams(n, baseBands, baseBits)
     val keyed = df.select(col(id).as("id"), col(vec).as("v"))
-      .withColumn("__bk", explode(lshBandKeys(col("v"), planes, bands)))
+      .withColumn("__bk", explode(lshBandKeys(col("v"), bands * r, bands)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = keyed.select(col("id").as("a_id"), col("__bk"))
       .join(keyed.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    (cand, keyed)
+  }
+
+  /** Banded ANN near-dup pairs: distinct candidate pairs from any shared
+    * band key, verified at `minCosine`. Returns (a_id, b_id).
+    *
+    * Band geometry ADAPTS to the corpus via [[bandParams]] so random
+    * collisions stay linear in n instead of Θ(n²/2^r) — `corpusSize`
+    * short-circuits the driver-side count when the caller already knows it
+    * (e.g. a metadata-only parquet count-star). */
+  def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
+      baseBits: Int, baseBands: Int, minCosine: Double,
+      corpusSize: Option[Long] = None,
+      cleanup: Boolean = false): DataFrame = {
+    val (cand, keyed) = bandedCandidatesKeyed(
+      df, id, vec, baseBits, baseBands, corpusSize)
     val vecs = df.select(col(id).as("id"), col(vec).as("v"))
     val out = cand
       .join(vecs.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))

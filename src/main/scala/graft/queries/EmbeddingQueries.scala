@@ -84,10 +84,15 @@ object EmbeddingQueries {
     },
 
     // Embedding-cosine near-dup detection: corpus ∪ deterministically
-    // perturbed copies; candidates via banded (multi-table) LSH — 24 planes
-    // in 3 bands of 8 bits, pairs sharing ANY band key — verified at
-    // cosine ≥ 0.99. The embedding-space flavour of MinHash banding; the
-    // single-bucket variant recalled ~8% of planted pairs, this ≥99%.
+    // perturbed copies; candidates via banded (multi-table) LSH, pairs
+    // sharing ANY band key, verified at cosine ≥ 0.99. The embedding-space
+    // flavour of MinHash banding; the single-bucket variant recalled ~8% of
+    // planted pairs, this ≥99%. Band geometry ADAPTS to the corpus
+    // (Similarity.bandParams): bits-per-band r = min k ≥ 8 with 2^k·16 ≥ n
+    // pins random collisions linear in n (a FIXED r made them Θ(n²/2^r):
+    // the 25× ladder measured ~58M random candidates vs 2.4M true pairs),
+    // and bands = 3 + ⌈(r−8)/2⌉ holds recall ≈0.99. n ≤ 4096 (all
+    // certification SFs) yields r=8, b=3 — bit-identical to the fixed form.
     QueryDef(
       "q46_embed_neardup",
       s"""WITH o AS (SELECT vec_id,
@@ -100,16 +105,20 @@ object EmbeddingQueries {
          |               ELSE cast(embedding[i] as double) END) AS v
          |      FROM embeddings),
          |c AS (SELECT * FROM o UNION ALL SELECT * FROM m),
-         |b AS (SELECT vec_id, unnest(list_transform(range(0, 3), bb ->
-         |        concat(bb, ':', cast(list_sum(list_transform(range(0, 8), j ->
+         |params AS (SELECT cast(r as int) AS r, cast(3 + (r - 7) // 2 as int) AS b
+         |           FROM (SELECT min(k) AS r FROM range(8, 41) t(k)
+         |                 WHERE (cast(1 as bigint) << cast(k as int)) * 16
+         |                       >= (SELECT count(*) FROM c))),
+         |b AS (SELECT vec_id, unnest(list_transform(range(0, p.b), bb ->
+         |        concat(bb, ':', cast(list_sum(list_transform(range(0, p.r), j ->
          |          CASE WHEN list_reduce(list_transform(range(1, 65), i ->
          |                 cast(v[i] as double) *
          |                 (cast((${XHash.bucketHashSql("plane",
-                              "cast(bb*8 + j as varchar)", "cast(i - 1 as varchar)")}
+                              "cast(bb*p.r + j as varchar)", "cast(i - 1 as varchar)")}
          |                   % 2001 - 1000) as double) / 1000.0)),
          |               (x, y) -> x + y) >= 0
          |          THEN (1 << j) ELSE 0 END)) as varchar)))) AS bk
-         |      FROM c),
+         |      FROM c, params p),
          |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
          |         FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id)
          |SELECT a_id, b_id FROM cand
@@ -123,7 +132,8 @@ object EmbeddingQueries {
         transform(col("embedding"), (x, i) =>
           when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
       Similarity.bandedNearDupPairs(o.unionByName(m), "vec_id", "v",
-        planes = 24, bands = 3, minCosine = 0.99)
+        baseBits = 8, baseBands = 3, minCosine = 0.99,
+        corpusSize = Some(2L * e.count()))
     },
 
     // Per-label corpus statistics over exact-selection aggregates (norms are

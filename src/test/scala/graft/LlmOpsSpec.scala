@@ -1043,6 +1043,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(expect.nonEmpty) // the planted mutants guarantee real pairs
   }
 
+  test("editDistanceCandidates: length band defuses a skewed shared prefix") {
+    // the r9-verdict fixture: a whole corpus sharing one 24-char blocking
+    // prefix (boilerplate header). A prefix-only block key would generate
+    // C(1000,2) ≈ 500k candidate pairs from the single block; the
+    // (prefix, ⌊len/(maxDist+1)⌋) key + ±band replication caps candidates
+    // at pairs within maxDist characters of each other — and loses nothing,
+    // since |len(a)−len(b)| ≤ dist(a,b).
+    val rnd = new scala.util.Random(11)
+    val pref = "shared-boilerplate-head-" // exactly 24 chars = blockLen
+    assert(pref.length == 24)
+    def randStr(n: Int) = Seq.fill(n)("abcdefgh"(rnd.nextInt(8))).mkString
+    val rows = (0 until 500).flatMap { i =>
+      val tail = randStr(10 + (i % 250))
+      val mut = tail.updated(rnd.nextInt(tail.length), 'z') // dist 1, same len
+      Seq((i * 2L, pref + tail), (i * 2L + 1, pref + mut))
+    }
+    val df = rows.toDF("id", "text")
+    val nCand = Dedup.editDistanceCandidates(df, "id", "text").count()
+    assert(nCand < 40000, s"length band failed to split the block: $nCand")
+    // exactness on the skewed fixture: equals brute force (lev ≤ 4); the
+    // brute force only needs pairs with |len diff| ≤ 4 — a lower bound on
+    // edit distance — so it certifies the banding drops nothing
+    def levCapped(a: String, b: String, cap: Int): Int = {
+      if (math.abs(a.length - b.length) > cap) return cap + 1
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1); cur(0) = i
+        var rowMin = cur(0)
+        for (j <- 1 to b.length) {
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          rowMin = math.min(rowMin, cur(j))
+        }
+        if (rowMin > cap) return cap + 1
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val byId = rows.toMap
+    val ids = rows.map(_._1)
+    val expect = (for {
+      a <- ids; b <- ids
+      if a < b && math.abs(byId(a).length - byId(b).length) <= 4
+      d = levCapped(byId(a), byId(b), 4) if d <= 4
+    } yield (a, b, d)).toSet
+    val got = Dedup.editDistancePairs(df, "id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expect)
+    assert(expect.size >= 500) // every planted mutation pair found
+  }
+
   test("gapFillDaily: zero fill inside gaps, forward fill, per-key spans") {
     import graft.operators.Relational
     val daily = Seq(
@@ -1454,5 +1505,59 @@ class LlmOpsSpec extends SparkSpec {
       cum += d; if (cum > peak) { peak = cum; at = t }
     }
     assert((rgot._2, rgot._3) == ((peak, at)))
+  }
+
+  test("bandParams: bits-per-band scales with corpus, bands hold recall") {
+    // base geometry at every certification SF (n <= 2^8 * 16 = 4096)
+    assert(Similarity.bandParams(0) == ((3, 8)))
+    assert(Similarity.bandParams(1000) == ((3, 8)))
+    assert(Similarity.bandParams(4096) == ((3, 8)))
+    // past the base window r grows: min k >= 8 with 2^k * 16 >= n
+    assert(Similarity.bandParams(4097) == ((4, 9)))   // 2^9*16 = 8192
+    assert(Similarity.bandParams(100000) == ((6, 13))) // 25x-ladder corpus
+    assert(Similarity.bandParams(400000) == ((7, 15))) // 100x-ladder corpus
+    assert(Similarity.bandParams(1L << 40) == ((17, 36)))
+    // the invariant that kills the quadratic: random collisions per band
+    // are ~n^2 / 2^(r+1) <= n * slack / 2 -> linear in n
+    for (n <- Seq(5000L, 50000L, 500000L, 5000000L, 1L << 33)) {
+      val (_, r) = Similarity.bandParams(n)
+      assert((1L << r) * 16 >= n, s"n=$n r=$r")
+      assert(r == 8 || (1L << (r - 1)) * 16 < n, s"r minimal at n=$n")
+    }
+  }
+
+  test("bandedNearDupPairs: adaptive geometry still recalls planted near-dups") {
+    // force the 25x-ladder geometry (r=13, b=6) on a small corpus via
+    // corpusSize: planted pairs are near-identical (cos ~ 0.99997, per-plane
+    // agreement p ~ 0.996, p^13 ~ 0.95 per band, 6 bands -> recall ~ 1-4e-8)
+    // so every planted pair must still appear; far-apart vectors never pass
+    // the cosine verify regardless of banding.
+    val rnd = new scala.util.Random(7L)
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      (i.toLong, v.toSeq)
+    }
+    val mirrors = base.map { case (i, v) =>
+      (i + 1000L, (v.head + 0.02 * math.abs(v.head).max(1.0)) +: v.tail)
+    }
+    val df = (base ++ mirrors).toDF("id", "v")
+    for (cs <- Seq(None, Some(100000L))) {
+      val pairs = Similarity.bandedNearDupPairs(df, "id", "v",
+          baseBits = 8, baseBands = 3, minCosine = 0.999, corpusSize = cs)
+        .as[(Long, Long)].collect().toSet
+      val planted = base.map { case (i, _) => (i, i + 1000L) }.toSet
+      assert(planted.subsetOf(pairs), s"corpusSize=$cs missing=${planted -- pairs}")
+      // every reported pair really is a near-dup (the verify step is exact)
+      assert(pairs.forall { case (a, b) =>
+        (a + 1000L == b) || (b + 1000L == a) || {
+          val va = (base ++ mirrors).toMap.apply(a)
+          val vb = (base ++ mirrors).toMap.apply(b)
+          val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+          val na = math.sqrt(va.map(x => x * x).sum)
+          val nb = math.sqrt(vb.map(x => x * x).sum)
+          dot / (na * nb) >= 0.999
+        }
+      })
+    }
   }
 }
