@@ -227,6 +227,110 @@ object DedupQueries {
       val corpus = docs.unionByName(subbed).unionByName(deleted)
       Dedup.editDistancePairs(corpus, "doc_id", "text",
         blockLen = 24, maxDist = 4)
+    },
+
+    // Candidate-mass audit, MinHash band family: a standing certifier that
+    // the band join's candidate set tracks TRUE near-dup output, never
+    // corpus² — the regression-proof form of the scale-ladder adjudication
+    // (md5 slice band keys have an unbounded key space, so random
+    // collisions scale with Jaccard⁴, not N²/keyspace). The bound
+    // candidates ≤ 2·pairs + 2·n has ~2× headroom at both certification
+    // SFs (sf0.1: 5,963 candidates = exactly the 5,963 verified pairs) and
+    // fails loudly if a bounded-key-space defect (the q46 class) ever
+    // creeps in. Audits [[Dedup.minhashBandCandidates]] — the EXACT
+    // candidate stage minhashLshPairs verifies.
+    QueryDef(
+      "q230_minhash_cand_audit",
+      s"""$mutantCorpusSql,
+         |sh AS (${shingleSql("c")}),
+         |sig AS (${sigSql("sh")}),
+         |bk AS (SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |         md5(concat(cast(b as varchar), chr(1), array_to_string(
+         |           list_transform(sig[(b*4+1):(b*4+4)], v -> cast(v as varchar)),
+         |           chr(1)))))) AS bk
+         |       FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bk a JOIN bk b USING (bk) WHERE a.doc_id < b.doc_id),
+         |outp AS (SELECT a_id FROM cand
+         |         JOIN sh x ON x.doc_id = a_id
+         |         JOIN sh y ON y.doc_id = b_id
+         |         WHERE cast(len(list_intersect(x.sh, y.sh)) as double)
+         |               / len(list_distinct(x.sh || y.sh)) >= 0.5)
+         |SELECT cast((SELECT count(*) FROM c) as bigint) AS n_corpus,
+         |  cast((SELECT count(*) FROM cand) as bigint) AS n_candidates,
+         |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
+         |  ((SELECT count(*) FROM cand) <=
+         |   2 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM c))
+         |    AS within_bound""".stripMargin) { (s, dir) =>
+      val sh = mutantCorpus(s, dir)
+        .select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("toks"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.minhashBandCandidates(sh, "id", "sh", k = 16, bands = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cand
+        .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .filter(Dedup.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+      sh.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
+          (col("n_candidates") <= lit(2) * col("n_pairs")
+            + lit(2) * col("n_corpus")).as("within_bound"))
+    },
+
+    // Candidate-mass audit, prefix-block family (q91): certifies the
+    // (prefix, length-band) blocking — candidates ≤ 2·pairs + 2·n. After
+    // the length band the candidate set is EXACTLY {same prefix ∧
+    // |len(a)−len(b)| ≤ maxDist} (bands ≥2 apart are provably > maxDist),
+    // which the oracle states directly. sf0.1: 1,341 candidates for 1,261
+    // verified pairs. Audits [[Dedup.editDistanceCandidates]].
+    QueryDef(
+      "q233_prefixblock_cand_audit",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         substr(text, 1, 39) || 'X' || substr(text, 41)
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substr(text, 1, 44) || substr(text, 46)
+        |  FROM documents WHERE doc_id % 15 = 0),
+        |k AS (SELECT doc_id, text, substr(text, 1, 24) AS blk FROM corpus),
+        |cand AS (SELECT a.doc_id AS a_id, a.text AS a_t, b.text AS b_t
+        |         FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |         WHERE abs(len(a.text) - len(b.text)) <= 4),
+        |outp AS (SELECT a_id FROM cand WHERE levenshtein(a_t, b_t) <= 4)
+        |SELECT cast((SELECT count(*) FROM corpus) as bigint) AS n_corpus,
+        |  cast((SELECT count(*) FROM cand) as bigint) AS n_candidates,
+        |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
+        |  ((SELECT count(*) FROM cand) <=
+        |   2 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM corpus))
+        |    AS within_bound""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val subbed = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 39), lit("X"),
+            substring(col("text"), 41, Int.MaxValue)).as("text"))
+      val deleted = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 44),
+            substring(col("text"), 46, Int.MaxValue)).as("text"))
+      val corpus = docs.unionByName(subbed).unionByName(deleted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.editDistanceCandidates(corpus, "doc_id", "text",
+          blockLen = 24, maxDist = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cand
+        .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), 4))
+        .filter(col("dist") >= 0 && col("dist") <= 4)
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
+          (col("n_candidates") <= lit(2) * col("n_pairs")
+            + lit(2) * col("n_corpus")).as("within_bound"))
     }
   )
 }

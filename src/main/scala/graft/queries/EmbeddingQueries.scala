@@ -136,6 +136,79 @@ object EmbeddingQueries {
         corpusSize = Some(2L * e.count()))
     },
 
+    // Candidate-mass audit, banded-LSH family (q46): the standing
+    // certifier for the r10 fix — with adaptive geometry, random band
+    // collisions are ≤ b·slack·n/2 in expectation (slack=16), so
+    // candidates ≤ 2·pairs + 2·slack·b·n holds with ~3× headroom at the
+    // certification SFs (sf0.1: 114,256 candidates, bound 396k) and FAILS
+    // on the pre-fix fixed-256-bucket geometry at ladder scale (25×: ~58M
+    // random candidates vs a 24M bound). Audits
+    // [[Similarity.bandedCandidates]] — the EXACT candidate stage
+    // bandedNearDupPairs verifies.
+    QueryDef(
+      "q231_lshband_cand_audit",
+      s"""WITH o AS (SELECT vec_id,
+         |             list_transform(range(1, 65),
+         |               i -> cast(embedding[i] as double)) AS v
+         |           FROM embeddings),
+         |m AS (SELECT vec_id + 1000000 AS vec_id,
+         |        list_transform(range(1, 65),
+         |          i -> CASE WHEN i = 1 THEN cast(embedding[1] as double) + 0.05
+         |               ELSE cast(embedding[i] as double) END) AS v
+         |      FROM embeddings),
+         |c AS (SELECT * FROM o UNION ALL SELECT * FROM m),
+         |params AS (SELECT cast(r as int) AS r, cast(3 + (r - 7) // 2 as int) AS b
+         |           FROM (SELECT min(k) AS r FROM range(8, 41) t(k)
+         |                 WHERE (cast(1 as bigint) << cast(k as int)) * 16
+         |                       >= (SELECT count(*) FROM c))),
+         |b AS (SELECT vec_id, unnest(list_transform(range(0, p.b), bb ->
+         |        concat(bb, ':', cast(list_sum(list_transform(range(0, p.r), j ->
+         |          CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+         |                 cast(v[i] as double) *
+         |                 (cast((${XHash.bucketHashSql("plane",
+                              "cast(bb*p.r + j as varchar)", "cast(i - 1 as varchar)")}
+         |                   % 2001 - 1000) as double) / 1000.0)),
+         |               (x, y) -> x + y) >= 0
+         |          THEN (1 << j) ELSE 0 END)) as varchar)))) AS bk
+         |      FROM c, params p),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+         |         FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id),
+         |outp AS (SELECT a_id FROM cand
+         |         JOIN c x ON x.vec_id = a_id
+         |         JOIN c y ON y.vec_id = b_id
+         |         WHERE ${cosSql("x.v", "y.v")} >= 0.99)
+         |SELECT cast((SELECT count(*) FROM c) as bigint) AS n_corpus,
+         |  cast((SELECT count(*) FROM cand) as bigint) AS n_candidates,
+         |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
+         |  ((SELECT count(*) FROM cand) <=
+         |   2 * (SELECT count(*) FROM outp)
+         |   + 32 * (SELECT b FROM params) * (SELECT count(*) FROM c))
+         |    AS within_bound""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val n = 2L * e.count()
+      val (bands, _) = Similarity.bandParams(n)
+      val o = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val m = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
+      val c = o.unionByName(m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Similarity.bandedCandidates(c, "vec_id", "v",
+          baseBits = 8, baseBands = 3, corpusSize = Some(n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = cand
+        .join(c.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+        .join(c.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+        .filter(Similarity.cosine(col("a_v"), col("b_v")) >= 0.99)
+      c.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
+          (col("n_candidates") <= lit(2) * col("n_pairs")
+            + lit(32L) * lit(bands) * col("n_corpus")).as("within_bound"))
+    },
+
     // Per-label corpus statistics over exact-selection aggregates (norms are
     // per-row deterministic; min/max pick identical doubles in both engines).
     QueryDef(

@@ -29,6 +29,44 @@ object WarehouseQueries {
        |  i -> (cast($a[i] as double) - cast($b[i] as double))
        |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
 
+  /** Shared q179/q232 pipeline: rare-shingle (2 ≤ df ≤ 10) blocked
+    * containment candidates + exact-intersection verify. Returns
+    * (eligible docs, candidate pairs, verified pairs) so the candidate-
+    * mass audit certifies the EXACT candidate stage q179 verifies. */
+  private def containmentPipeline(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val t5 = Tables.documents(s, dir)
+      .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val sh = t5
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 5)," +
+          " p -> array_join(slice(toks, p + 1, 5), ' '))")).as("sh"))
+      .distinct()
+      // feeds the df counts, the inverted index, AND the per-pair
+      // intersection probe — unpinned, each consumer re-tokenizes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, 10)).select("sh")
+    val inv = sh.join(rare, "sh")
+    val cand = inv.select(col("sh"), col("doc_id").as("a_id"))
+      .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      // the audit counts it AND probes intersections through it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    val outp = inter
+      .join(na.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(na.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+      .filter(lit(2) * col("n_inter") >= least(col("n_a"), col("n_b")))
+    (t5, cand, outp)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Changelog compaction (CDC apply): events form a changelog keyed by
@@ -272,33 +310,54 @@ object WarehouseQueries {
         |       cast(x.n as bigint) AS n_a, cast(y.n as bigint) AS n_b
         |FROM inter JOIN na x ON x.doc_id = a_id JOIN na y ON y.doc_id = b_id
         |WHERE 2 * n_inter >= least(x.n, y.n)""".stripMargin) { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks) - 5)," +
-            " p -> array_join(slice(toks, p + 1, 5), ' '))")).as("sh"))
-        .distinct()
-        // feeds the df counts, the inverted index, AND the per-pair
-        // intersection probe — unpinned, each consumer re-tokenizes
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("c"))
-        .filter(col("c").between(2, 10)).select("sh")
-      val inv = sh.join(rare, "sh")
-      val cand = inv.select(col("sh"), col("doc_id").as("a_id"))
-        .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(na.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
-        .join(na.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
-        .filter(lit(2) * col("n_inter") >= least(col("n_a"), col("n_b")))
-        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_a"), col("n_b"))
+      val (_, _, outp) = containmentPipeline(s, dir)
+      outp.select(col("a_id"), col("b_id"), col("n_inter"),
+        col("n_a"), col("n_b"))
+    },
+
+    // Candidate-mass audit, rare-shingle-block family (q179): certifies
+    // that df-windowed blocking (2 ≤ df ≤ 10) caps candidate fan-out —
+    // each rare shingle contributes ≤ C(10,2) pairs, so candidates stay
+    // linear in the corpus no matter how the shingle distribution skews.
+    // Bound candidates ≤ 4·pairs + 2·docs (sf0.1: 1,460 candidates for
+    // 256 pairs over 5,000 docs, bound 11,024). Audits the EXACT candidate
+    // stage q179 verifies (shared pipeline).
+    QueryDef(
+      "q232_shingleblock_cand_audit",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t5 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+        |s AS (SELECT DISTINCT doc_id,
+        |        array_to_string(toks[p + 1 : p + 5], ' ') AS sh
+        |      FROM t5, unnest(range(0, len(toks) - 4)) u(p)),
+        |df AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
+        |inv AS (SELECT doc_id, sh FROM s
+        |        WHERE sh IN (SELECT sh FROM df WHERE c BETWEEN 2 AND 10)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM inv a JOIN inv b USING (sh) WHERE a.doc_id < b.doc_id),
+        |na AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        |inter AS (SELECT a_id, b_id, count(*) AS n_inter
+        |          FROM cand
+        |          JOIN s sa ON sa.doc_id = a_id
+        |          JOIN s sb ON sb.doc_id = b_id AND sa.sh = sb.sh
+        |          GROUP BY a_id, b_id),
+        |outp AS (SELECT a_id FROM inter
+        |         JOIN na x ON x.doc_id = a_id JOIN na y ON y.doc_id = b_id
+        |         WHERE 2 * n_inter >= least(x.n, y.n))
+        |SELECT cast((SELECT count(*) FROM t5) as bigint) AS n_docs,
+        |  cast((SELECT count(*) FROM cand) as bigint) AS n_candidates,
+        |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
+        |  ((SELECT count(*) FROM cand) <=
+        |   4 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM t5))
+        |    AS within_bound""".stripMargin) { (s, dir) =>
+      val (t5, cand, outp) = containmentPipeline(s, dir)
+      t5.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(outp.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_docs"), col("n_candidates"), col("n_pairs"),
+          (col("n_candidates") <= lit(4) * col("n_pairs")
+            + lit(2) * col("n_docs")).as("within_bound"))
     },
 
     // RFM segmentation: per-user recency/frequency/monetary over purchase
