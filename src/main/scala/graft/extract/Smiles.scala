@@ -91,9 +91,15 @@ object Smiles {
   /** `hCount` is the concrete total hydrogen count — parseComponent fills
     * it in for organic-subset atoms via [[readerImplicitH]]. `chiral`:
     * 0 = none, 1 = `@`, 2 = `@@` — as WRITTEN; the config it denotes is
-    * only meaningful together with [[Mol.nbOrder]]. */
+    * only meaningful together with [[Mol.nbOrder]]. `chiralClass`: the
+    * NAMED shape class as written — 0 = bare `@`/`@@` (shape inferred
+    * from geometry), 1 = `@TH1`/`@TH2` (must resolve tetrahedral), 2 =
+    * `@AL1`/`@AL2` (must resolve to a cumulene axial center). Parse-time
+    * metadata only — stripped after shape validation so it never leaks
+    * into canonical comparisons. */
   final case class Atom(elem: String, aromatic: Boolean, isotope: Int,
-      charge: Int, hCount: Int, atomMap: Int, chiral: Int = 0)
+      charge: Int, hCount: Int, atomMap: Int, chiral: Int = 0,
+      chiralClass: Int = 0)
   /** order: 1, 2, 3; 4 = aromatic. `dir`: E/Z direction mark on a single
     * bond in a→b orientation — +1 = `/`, -1 = `\`, 0 = none. */
   final case class Bond(a: Int, b: Int, order: Int, dir: Int = 0)
@@ -285,10 +291,18 @@ object Smiles {
       resolved.zipWithIndex.foreach { case (a, idx) =>
         if (a.chiral != 0) {
           val deg = nbOrder(idx).length
-          if (deg == 3 && a.hCount <= 1)
+          val axialShape = deg == 2 && a.hCount == 0 && a.elem == "C" &&
+            mol0.adj(idx).forall(_._2 == 2)
+          // a NAMED class must match the resolved geometry: @TH* on a
+          // tetrahedral center, @AL* on a cumulene axial center. A
+          // mismatch (e.g. [C@AL1] with four single-bond neighbors)
+          // degrades to identity passthrough instead of silently
+          // canonicalizing under the wrong shape class.
+          if (a.chiralClass == 2 && !axialShape) ok = false
+          else if (a.chiralClass == 1 && axialShape) ok = false
+          else if (deg == 3 && a.hCount <= 1)
             nbOrder(idx).insert(if (hadPreceder(idx)) 1 else 0, -1)
-          else if (deg == 2 && a.hCount == 0 && a.elem == "C" &&
-              mol0.adj(idx).forall(_._2 == 2)) {
+          else if (axialShape) {
             // axial candidate: walk the cumulated chain outward on both
             // sides to its sp2 termini (allene = 1 step, pentatetraene =
             // 2, ...). Both walks must be the same length — the mark sits
@@ -317,7 +331,11 @@ object Smiles {
         }
       }
       if (!ok) None
-      else normalizeEz(Mol(resolved, mol0.bonds, nbOrder.map(_.toVector).toVector))
+      // class validated — strip it so writing-dependent parse metadata
+      // never reaches canonical comparisons ([C@] ≡ [C@TH1] downstream)
+      else normalizeEz(Mol(resolved.map(a =>
+        if (a.chiralClass == 0) a else a.copy(chiralClass = 0)),
+        mol0.bonds, nbOrder.map(_.toVector).toVector))
     }
   }
 
@@ -569,16 +587,21 @@ object Smiles {
     var charge = 0
     var map = 0
     var chiral = 0
+    var chiralClass = 0
     if (i < b.length && b.charAt(i) == '@') {
       i += 1
       if (i < b.length && b.charAt(i) == '@') { chiral = 2; i += 1 }
       else chiral = 1
-      // named tetrahedral/allene classes are aliases (OpenSMILES:
-      // @TH1 = @, @TH2 = @@, and @AL1/@AL2 likewise for axial centers —
-      // the resolution step validates the 2-double-bond shape either
-      // way); other classes (@SP/@TB/@OH) are out of subset
+      // named tetrahedral/allene classes carry parity like the bare marks
+      // (OpenSMILES: @TH1 = @, @TH2 = @@, @AL1/@AL2 likewise) BUT also
+      // assert the shape — the class is recorded here and the resolution
+      // step REJECTS a named class on the wrong geometry (@AL on a
+      // 4-connected tetrahedral atom must passthrough, not silently
+      // canonicalize as @TH); other classes (@SP/@TB/@OH) are out of
+      // subset
       if (chiral == 1 && (b.regionMatches(i, "TH", 0, 2) ||
           b.regionMatches(i, "AL", 0, 2))) {
+        chiralClass = if (b.charAt(i) == 'T') 1 else 2
         if (b.regionMatches(i + 2, "1", 0, 1)) { i += 3 }
         else if (b.regionMatches(i + 2, "2", 0, 1)) { chiral = 2; i += 3 }
         else return None
@@ -607,7 +630,7 @@ object Smiles {
         case _ => return None // anything else: out of subset
       }
     }
-    Some(Atom(elem, aromatic, isotope, charge, h, map, chiral))
+    Some(Atom(elem, aromatic, isotope, charge, h, map, chiral, chiralClass))
   }
 
   // ---- aromatization -------------------------------------------------------
@@ -691,10 +714,19 @@ object Smiles {
         case (b, 4) if mol.atoms(b).aromatic && need(b) == 1 => b }
     }.toMap
     var found: Option[Set[(Int, Int)]] = None
+    // Backtrack budget: min-first matching finds a perfect matching of a
+    // real aromatic system near-linearly, but an adversarial/degenerate
+    // aromatic claim with NO perfect matching could force exponential
+    // exhaustion. Past the budget we stop and return None — the sanitize
+    // path then trusts the input's aromatic flags, the same degradation
+    // as a proven non-matching (and the bounded-enumeration discipline
+    // the test-side matcher already applies).
+    var steps = 0L
     def go(free: Set[Int], acc: List[(Int, Int)]): Unit =
-      if (found.isDefined) ()
+      if (found.isDefined || steps > 500000L) ()
       else if (free.isEmpty) found = Some(acc.toSet)
       else {
+        steps += 1
         val a = free.min
         adj(a).foreach { b =>
           if (found.isEmpty && free(b)) go(free - a - b, ek(a, b) :: acc)

@@ -254,18 +254,38 @@ object Dedup {
     * Scale shape: each iteration is one grouped min over the edge list —
     * the standard big-graph CC kernel (no driver-side graph).
     */
+  /** Lineage-truncation point for the CC loop. Default: `localCheckpoint`
+    * — executor-local blocks, fastest, fine on local[n]. On a REAL cluster
+    * localCheckpoint loses fault-tolerance (an executor loss kills the
+    * lineage-free blocks with no way to recompute) and pins executor
+    * storage for the whole loop; set `spark.graft.cc.checkpointDir` to a
+    * reliable path (HDFS/S3) to switch every loop checkpoint to the
+    * fault-tolerant `checkpoint()` instead. The spark-wide checkpoint dir
+    * is initialized from the config once per session (Spark appends a
+    * per-call UUID subdir, so re-setting it every call would leak dirs). */
+  private def ccCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.getOption("spark.graft.cc.checkpointDir") match {
+      case Some(dir) =>
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint() // eager + reliable
+      case None => df.localCheckpoint()
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // localCheckpoint (not persist): an iterative loop's logical plan
+    // checkpoint (not persist): an iterative loop's logical plan
     // otherwise nests every previous iteration, and Catalyst re-analysis
     // grows super-linearly — measured 5 s -> 24 s per iteration by iter 3.
-    // Checkpointing truncates lineage each round.
+    // Checkpointing truncates lineage each round ([[ccCheckpoint]] picks
+    // local vs reliable).
     //
     // IMPORTANT: edges materializes HERE, at the session's full shuffle
     // width — the upstream pair-generation pipeline (band joins, verify)
     // is the heavy part and must not run under the narrowed width below.
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+    val edges = ccCheckpoint(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // The label table is |nodes|-sized — tiny next to the corpus that
     // produced the pairs. Iterating it across the session's full shuffle
     // width (32+) pays fixed per-partition cost each round for near-empty
@@ -279,8 +299,8 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    var labels = ccCheckpoint(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     // Convergence test: per-node labels are monotonically non-increasing
     // (every step takes a `least`), so the label sum strictly decreases
     // until the fixpoint — one aggregate over the checkpointed labels
@@ -306,10 +326,10 @@ object Dedup {
       // logarithmic in component diameter instead of linear, which is what
       // keeps the iteration count (and driver round trips) down on chains
       val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = stepped.join(jump, stepped("lbl") === col("jid"), "left")
-        .select(stepped("id"),
-          least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val next = ccCheckpoint(
+        stepped.join(jump, stepped("lbl") === col("jid"), "left")
+          .select(stepped("id"),
+            least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl")))
       val t0 = System.nanoTime()
       val curSum = lblSum(next)
       changed = if (curSum.compareTo(prevSum) == 0) 0L else 1L

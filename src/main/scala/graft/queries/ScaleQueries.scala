@@ -22,11 +22,23 @@ object ScaleQueries {
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Session-scoped token: two concurrent SparkSessions in one JVM get
-    * distinct catalog names and scratch paths (identityHashCode is stable
-    * for the session object's lifetime, which is exactly the lifetime of
-    * its catalog entries). */
+    * distinct catalog names and scratch paths. Weak-keyed on the session
+    * OBJECT — a per-session random suffix is minted on first use and dies
+    * with the session, so a later session can never alias onto a dead
+    * session's fixture entries (identityHashCode could be reused after
+    * GC) and the map never accumulates dead keys. */
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
   private def sessionToken(s: org.apache.spark.sql.SparkSession): String =
-    runToken + "_" + Integer.toHexString(System.identityHashCode(s))
+    runToken + "_" + sessionIds.synchronized {
+      val cur = sessionIds.get(s)
+      if (cur != null) cur
+      else {
+        val tok = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        sessionIds.put(s, tok)
+        tok
+      }
+    }
 
   /** ONE scratch directory per JVM for the layout round-trip queries
     * (q211/q212), recursively deleted on JVM exit — repeated runs

@@ -50,6 +50,24 @@ class AlleneStereoSpec extends AnyFunSuite {
     assert(c("NC(Br)=[C@AL1]=C(O)C") == c("NC(Br)=[C@]=C(O)C"))
   }
 
+  test("named class on the WRONG geometry degrades to passthrough, never merges") {
+    // @AL on a 4-connected tetrahedral atom: the shape assertion fails —
+    // identity passthrough, NOT silently canonicalized as @TH1
+    assert(c("C[C@AL1](N)(O)F") == "C[C@AL1](N)(O)F")
+    assert(c("C[C@AL2](N)(O)F") == "C[C@AL2](N)(O)F")
+    assert(c("C[C@AL1](N)(O)F") != c("C[C@](N)(O)F"))
+    // @AL on a 3-connected (implicit-H) tetrahedral atom likewise
+    assert(c("C[C@AL1](N)O") == "C[C@AL1](N)O")
+    assert(c("C[C@AL1](N)O") != c("C[C@](N)O"))
+    // @TH on a cumulene axial center: same degradation the other way
+    assert(c("CC=[C@TH1]=CC") == "CC=[C@TH1]=CC")
+    assert(c("CC=[C@TH1]=CC") != c("CC=[C@]=CC"))
+    assert(c("NC(Br)=[C@TH2]=C(O)C") == "NC(Br)=[C@TH2]=C(O)C")
+    // correctly-shaped named classes still canonicalize (not passthrough)
+    assert(c("C[C@TH1](N)(O)F") == c("C[C@](N)(O)F"))
+    assert(c("CC=[C@AL1]=CC") != "CC=[C@AL1]=CC")
+  }
+
   test("idempotence: canonical of canonical is canonical") {
     for (s <- Seq("NC(Br)=[C@]=C(O)C", "CC=[C@]=CC", "CC=[C@@]=CC")) {
       val k = c(s)

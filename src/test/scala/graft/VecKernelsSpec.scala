@@ -145,6 +145,27 @@ class VecKernelsSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("connected components: reliable checkpoint path (spark.graft.cc.checkpointDir)") {
+    import graft.operators.Dedup
+    // off-box clusters set this to HDFS/S3 for fault-tolerant lineage
+    // truncation; localCheckpoint blocks die with their executor
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+        .toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(chain)
+        .as[(Long, Long)].collect().toMap
+      assert((1L to 5L).forall(got(_) == 1L))
+      assert(got(10L) == 10L && got(11L) == 10L)
+      // the reliable path really engaged: checkpoint data landed on disk
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no reliable checkpoint files written")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("kernels are SQL-callable after extension registration") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -27,8 +27,12 @@ def repro(a_path, b_path, min_sec=1.0, tol=0.25):
         if rel > tol:
             bad.append(q)
         print(f"{flag:4} {q:40} {ta:8.3f} {tb:8.3f} {rel * 100:6.1f}%")
-    ta, tb = sum(a.values()), sum(b.values())
-    print(f"\ntotals: {ta:.1f}s vs {tb:.1f}s "
+    # totals over the COMMON query set only: comparing a 229-query sweep
+    # to a 233-query sweep must not report the new queries as drift
+    common = set(a) & set(b)
+    ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
+    print(f"\ntotals over {len(common)} common queries: "
+          f"{ta:.1f}s vs {tb:.1f}s "
           f"({abs(ta - tb) / max(ta, tb) * 100:.1f}% apart)")
     print(f"queries >= {min_sec}s outside +-{tol * 100:.0f}%: {len(bad)}"
           + (f" -> {bad}" if bad else ""))
@@ -58,7 +62,7 @@ def ladder(small_path, big_path, factor=5.0, exp=1.5):
 if __name__ == "__main__":
     mode = sys.argv[1]
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
-    opts = dict(a.lstrip("-").split("=") for a in sys.argv[2:]
+    opts = dict(a.lstrip("-").split("=", 1) for a in sys.argv[2:]
                 if a.startswith("--"))
     if mode == "repro":
         sys.exit(repro(args[0], args[1],
