@@ -720,7 +720,11 @@ object Smiles {
     // exhaustion. Past the budget we stop and return None — the sanitize
     // path then trusts the input's aromatic flags, the same degradation
     // as a proven non-matching (and the bounded-enumeration discipline
-    // the test-side matcher already applies).
+    // the test-side matcher already applies). Known corner: a CONSTRUCTED
+    // molecule that both needs >budget steps AND has a matching would
+    // skip the kekulize-then-reperceive repair for this writing only — an
+    // input-order-dependent split accepted as the price of bounded time;
+    // no chemical-graph input approaches the budget.
     var steps = 0L
     def go(free: Set[Int], acc: List[(Int, Int)]): Unit =
       if (found.isDefined || steps > 500000L) ()

@@ -82,14 +82,17 @@ object Dedup {
   /** The EXACT candidate set [[minhashLshPairs]] verifies — exposed so the
     * candidate-mass audit certifies the real band join (md5 slice keys:
     * unbounded key space, so random collisions track Jaccard, never
-    * corpus²). Returns (a_id, b_id). */
+    * corpus²). Returns (a_id, b_id). `cleanup = true` frees the persisted
+    * signature barrier eagerly (see [[CacheScope]]). */
   def minhashBandCandidates(docs: DataFrame, idCol: String,
-      shinglesCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+      shinglesCol: String, k: Int = 16, bands: Int = 4,
+      cleanup: Boolean = false): DataFrame = {
     val sigDf = docs.select(col(idCol).as("id"),
         minhashSig(col(shinglesCol), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandJoinCandidates(sigDf.select(col("id"),
+    val cand = bandJoinCandidates(sigDf.select(col("id"),
       explode(bandKeys(col("sig"), bands, k / bands)).as("__bk")))
+    CacheScope.scoped(cand, Seq(sigDf), cleanup)
   }
 
   /** MinHash+LSH near-duplicate pairs over (id, shingles):
@@ -262,16 +265,44 @@ object Dedup {
     * reliable path (HDFS/S3) to switch every loop checkpoint to the
     * fault-tolerant `checkpoint()` instead. The spark-wide checkpoint dir
     * is initialized from the config once per session (Spark appends a
-    * per-call UUID subdir, so re-setting it every call would leak dirs). */
-  private def ccCheckpoint(df: DataFrame): DataFrame = {
+    * per-call UUID subdir, so re-setting it every call would leak dirs).
+    *
+    * Returns the created `rdd-*` checkpoint path (reliable mode only) so
+    * the loop can PRUNE superseded checkpoints: Spark never deletes
+    * reliable checkpoint data unless `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is on (default off), so without pruning every CC
+    * call would leave ~2·iterations directories on HDFS/S3 forever. The
+    * edges checkpoint and the FINAL labels checkpoint stay (the returned
+    * frame's lineage reads them) — bounded at 2 per call, cleaned with
+    * the app's checkpoint dir. */
+  private def ccCheckpoint(df: DataFrame)
+      : (DataFrame, Option[org.apache.hadoop.fs.Path]) = {
     val sc = df.sparkSession.sparkContext
     df.sparkSession.conf.getOption("spark.graft.cc.checkpointDir") match {
       case Some(dir) =>
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint() // eager + reliable
-      case None => df.localCheckpoint()
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        def rddDirs(): Set[String] =
+          if (!fs.exists(root)) Set.empty
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("rdd-")).toSet
+        val before = rddDirs()
+        val out = df.checkpoint() // eager + reliable
+        val created = (rddDirs() -- before).toSeq.sorted.lastOption
+          .map(n => new org.apache.hadoop.fs.Path(root, n))
+        (out, created)
+      case None => (df.localCheckpoint(), None)
     }
   }
+
+  /** Best-effort delete of a superseded reliable checkpoint. */
+  private def dropCheckpoint(sc: org.apache.spark.SparkContext,
+      p: Option[org.apache.hadoop.fs.Path]): Unit =
+    p.foreach { path =>
+      try { path.getFileSystem(sc.hadoopConfiguration).delete(path, true); () }
+      catch { case _: Throwable => () }
+    }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // checkpoint (not persist): an iterative loop's logical plan
@@ -283,7 +314,7 @@ object Dedup {
     // IMPORTANT: edges materializes HERE, at the session's full shuffle
     // width — the upstream pair-generation pipeline (band joins, verify)
     // is the heavy part and must not run under the narrowed width below.
-    val edges = ccCheckpoint(
+    val (edges, _) = ccCheckpoint(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // The label table is |nodes|-sized — tiny next to the corpus that
@@ -299,8 +330,9 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    var labels = ccCheckpoint(edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+    var (labels, labelsCkpt) = ccCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     // Convergence test: per-node labels are monotonically non-increasing
     // (every step takes a `least`), so the label sum strictly decreases
     // until the fixpoint — one aggregate over the checkpointed labels
@@ -326,7 +358,7 @@ object Dedup {
       // logarithmic in component diameter instead of linear, which is what
       // keeps the iteration count (and driver round trips) down on chains
       val jump = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val next = ccCheckpoint(
+      val (next, nextCkpt) = ccCheckpoint(
         stepped.join(jump, stepped("lbl") === col("jid"), "left")
           .select(stepped("id"),
             least(stepped("lbl"), coalesce(col("jlbl"), stepped("lbl"))).as("lbl")))
@@ -336,7 +368,11 @@ object Dedup {
       prevSum = curSum
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] iter=$i changed=$changed sum_s=${(System.nanoTime()-t0)/1e9}%.1f")
+      // the previous labels checkpoint is dead once `next` materialized —
+      // prune it so a long session doesn't accumulate loop checkpoints
+      dropCheckpoint(edges.sparkSession.sparkContext, labelsCkpt)
       labels = next
+      labelsCkpt = nextCkpt
       i += 1
     }
     labels.select(col("id"), col("lbl").as("cluster_rep"))

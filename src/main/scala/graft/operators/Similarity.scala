@@ -174,7 +174,11 @@ object Similarity {
         val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
         when(
           graft.plans.VecKernels.dot(vec, slice(w, lit(1), size(vec))) >= 0,
-          lit(1 << j)).otherwise(0)
+          // LONG shift: bandParams grows r past 31 at extreme corpora,
+          // where an Int `1 << j` would alias j=32 back onto j=0 and
+          // silently collapse the band key space — the exact bounded-key
+          // defect the adaptive geometry exists to prevent
+          lit(1L << j)).otherwise(0L)
       }.reduce(_ + _)
       concat_ws(":", lit(b.toString), bits.cast("string"))
     }: _*)
@@ -261,11 +265,16 @@ object Similarity {
 
   /** The EXACT candidate set [[bandedNearDupPairs]] verifies — exposed so
     * the candidate-mass audit (q231) certifies the real band join under
-    * the adaptive geometry. Returns (a_id, b_id). */
+    * the adaptive geometry. Returns (a_id, b_id). `cleanup = true` frees
+    * the persisted band-key frame eagerly (see [[CacheScope]]). */
   def bandedCandidates(df: DataFrame, id: String, vec: String,
       baseBits: Int, baseBands: Int,
-      corpusSize: Option[Long] = None): DataFrame =
-    bandedCandidatesKeyed(df, id, vec, baseBits, baseBands, corpusSize)._1
+      corpusSize: Option[Long] = None,
+      cleanup: Boolean = false): DataFrame = {
+    val (cand, keyed) = bandedCandidatesKeyed(
+      df, id, vec, baseBits, baseBands, corpusSize)
+    CacheScope.scoped(cand, Seq(keyed), cleanup)
+  }
 
   private def bandedCandidatesKeyed(df: DataFrame, id: String, vec: String,
       baseBits: Int, baseBands: Int,

@@ -117,7 +117,7 @@ object EmbeddingQueries {
                               "cast(bb*p.r + j as varchar)", "cast(i - 1 as varchar)")}
          |                   % 2001 - 1000) as double) / 1000.0)),
          |               (x, y) -> x + y) >= 0
-         |          THEN (1 << j) ELSE 0 END)) as varchar)))) AS bk
+         |          THEN (cast(1 as bigint) << j) ELSE 0 END)) as varchar)))) AS bk
          |      FROM c, params p),
          |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
          |         FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id)
@@ -169,7 +169,7 @@ object EmbeddingQueries {
                               "cast(bb*p.r + j as varchar)", "cast(i - 1 as varchar)")}
          |                   % 2001 - 1000) as double) / 1000.0)),
          |               (x, y) -> x + y) >= 0
-         |          THEN (1 << j) ELSE 0 END)) as varchar)))) AS bk
+         |          THEN (cast(1 as bigint) << j) ELSE 0 END)) as varchar)))) AS bk
          |      FROM c, params p),
          |cand AS (SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
          |         FROM b a JOIN b b2 USING (bk) WHERE a.vec_id < b2.vec_id),

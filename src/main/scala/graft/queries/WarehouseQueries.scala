@@ -34,7 +34,7 @@ object WarehouseQueries {
     * (eligible docs, candidate pairs, verified pairs) so the candidate-
     * mass audit certifies the EXACT candidate stage q179 verifies. */
   private def containmentPipeline(s: org.apache.spark.sql.SparkSession,
-      dir: String) = {
+      dir: String, persistCand: Boolean = false) = {
     val t5 = Tables.documents(s, dir)
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
@@ -49,12 +49,15 @@ object WarehouseQueries {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c").between(2, 10)).select("sh")
     val inv = sh.join(rare, "sh")
-    val cand = inv.select(col("sh"), col("doc_id").as("a_id"))
+    val cand0 = inv.select(col("sh"), col("doc_id").as("a_id"))
       .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      // the audit counts it AND probes intersections through it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only the audit (two consumers: count + intersection probe) pays the
+    // cache; q179 consumes cand exactly once and must not
+    val cand = if (persistCand)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
     val na = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
@@ -351,7 +354,7 @@ object WarehouseQueries {
         |  ((SELECT count(*) FROM cand) <=
         |   4 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM t5))
         |    AS within_bound""".stripMargin) { (s, dir) =>
-      val (t5, cand, outp) = containmentPipeline(s, dir)
+      val (t5, cand, outp) = containmentPipeline(s, dir, persistCand = true)
       t5.agg(count(lit(1)).as("n_docs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(outp.agg(count(lit(1)).as("n_pairs")))

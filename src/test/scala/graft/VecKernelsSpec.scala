@@ -163,6 +163,13 @@ class VecKernelsSpec extends SparkSpec {
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(files > 0, "no reliable checkpoint files written")
+      // superseded loop checkpoints were pruned: only the edges frame and
+      // the final labels frame may remain (Spark never cleans reliable
+      // checkpoint data on its own)
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p)
+          && p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs <= 3, s"loop checkpoints leaked: $rddDirs rdd-* dirs")
     } finally spark.conf.unset("spark.graft.cc.checkpointDir")
   }
 

@@ -31,9 +31,12 @@ def repro(a_path, b_path, min_sec=1.0, tol=0.25):
     # to a 233-query sweep must not report the new queries as drift
     common = set(a) & set(b)
     ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
-    print(f"\ntotals over {len(common)} common queries: "
-          f"{ta:.1f}s vs {tb:.1f}s "
-          f"({abs(ta - tb) / max(ta, tb) * 100:.1f}% apart)")
+    if common and max(ta, tb) > 0:
+        print(f"\ntotals over {len(common)} common queries: "
+              f"{ta:.1f}s vs {tb:.1f}s "
+              f"({abs(ta - tb) / max(ta, tb) * 100:.1f}% apart)")
+    else:
+        print("\nno common queries between the two sweeps — no totals line")
     print(f"queries >= {min_sec}s outside +-{tol * 100:.0f}%: {len(bad)}"
           + (f" -> {bad}" if bad else ""))
     return 1 if bad else 0
