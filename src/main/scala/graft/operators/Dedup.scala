@@ -216,12 +216,17 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       blockLen: Int = 24, maxDist: Int = 4): DataFrame = {
     editDistanceCandidates(docs, idCol, textCol, blockLen, maxDist)
-      // banded DP: the threshold argument caps the per-pair cost at
-      // O(maxDist·|a|) and returns -1 past the band — far-apart same-block
-      // pairs bail out early instead of filling the full |a|·|b| matrix.
-      // Result set is unchanged (we only keep dist ≤ maxDist), so the
-      // full-DP oracle still matches.
-      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), maxDist))
+      // native banded DP (graft.plans.EditDistAtMost): 3-arg-levenshtein
+      // semantics (exact dist ≤ maxDist, −1 past it) at ~2 orders of
+      // magnitude less per-pair cost than the builtin — measured
+      // ~1.1 ms/pair for the builtin at ~300 chars (threshold variant
+      // included), which at 100× ladder scale (34.8 M candidate pairs)
+      // made the verify stage the whole operator. Result set is
+      // unchanged (we only keep dist ≤ maxDist), so the full-DP oracle
+      // still matches.
+      .withColumn("dist",
+        graft.plans.TextKernels.editDistAtMost(
+          col("a_txt"), col("b_txt"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
   }

@@ -323,7 +323,8 @@ object DedupQueries {
           blockLen = 24, maxDist = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = cand
-        .withColumn("dist", levenshtein(col("a_txt"), col("b_txt"), 4))
+        .withColumn("dist",
+          graft.plans.TextKernels.editDistAtMost(col("a_txt"), col("b_txt"), 4))
         .filter(col("dist") >= 0 && col("dist") <= 4)
       corpus.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
