@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecL2Sq].getName, "fvec_l2sq"),
       exprs => FloatVecL2Sq(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("edit_dist_at_most"),
+      new ExpressionInfo(classOf[EditDistAtMost].getName, "edit_dist_at_most"),
+      exprs => EditDistAtMost(exprs(0), exprs(1),
+        GraftExtensions.litInt(exprs(2)))))
+    e.injectFunction((
       FunctionIdentifier("hll64_agg"),
       new ExpressionInfo(classOf[Hll64Agg].getName, "hll64_agg"),
       exprs => new Hll64Agg(exprs.head).toAggregateExpression()))
