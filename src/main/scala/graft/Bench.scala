@@ -40,7 +40,12 @@ object Bench {
     // per-query), so the published performance band is stated as
     // total/calibration — a ratio both the committed close-out run and the
     // driver's run reproduce regardless of ambient load. Probed at sweep
-    // START and END so within-sweep drift is visible too.
+    // START, MID, and END and normalized by the MEDIAN of the three: the
+    // r10 driver run proved a single start probe over-corrects when load
+    // is transient (start 1.685 vs end 0.918 — the start probe absorbed a
+    // load spike that dissipated mid-sweep, pushing the normalized total
+    // 35% below the band); the median of three interleaved probes tracks
+    // the load level the sweep actually ran under.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -110,8 +115,11 @@ object Bench {
       System.gc()
       sec
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only(q._1)).map { case (name, fn) =>
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1))
+    val midIdx = toRun.size / 2
+    var calMid = calStart // overwritten at the sweep midpoint (kept if empty)
+    val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midIdx) calMid = calibrate()
       val first = measure(fn)
       val samples =
         if (first >= repeatThreshold && repeats > 1)
@@ -131,10 +139,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calEnd = calibrate()
-    println(f"[bench-cal] start=$calStart%.3f end=$calEnd%.3f " +
-      f"normalized_total=${total / calStart}%.1f")
+    val calMedian = Seq(calStart, calMid, calEnd).sorted.apply(1)
+    println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
+      f"end=$calEnd%.3f median=$calMedian%.3f " +
+      f"normalized_total=${total / calMedian}%.1f")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      f""""calibration":$calStart%.3f,"calibration_end":$calEnd%.3f,""" +
+      f""""calibration":$calStart%.3f,"calibration_mid":$calMid%.3f,""" +
+      f""""calibration_end":$calEnd%.3f,""" +
+      f""""calibration_median":$calMedian%.3f,""" +
+      f""""normalized_total":${total / calMedian}%.1f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Recovery channels for truncated captures: one short line per query
     // immediately before the final JSON (a tail keeps the end of output),

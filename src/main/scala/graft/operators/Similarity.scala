@@ -276,10 +276,51 @@ object Similarity {
     CacheScope.scoped(cand, Seq(keyed), cleanup)
   }
 
+  /** Corpus row count WITHOUT a Spark job when the frame is a bare
+    * row-preserving projection over a parquet file scan: sum the row
+    * counts recorded in the parquet footers (driver-side metadata reads,
+    * O(files), no cluster stage — vs `df.count()`'s full scan job, which
+    * at 100 TB is an extra pass over the corpus just to pick band
+    * geometry). Returns None when the plan filters/joins/aggregates (row
+    * count not derivable from metadata) or the source is not parquet. */
+  private[graft] def metadataRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child)       => unwrap(child) // row-preserving
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other                   => other
+    }
+    unwrap(df.queryExecution.analyzed) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
+          scala.util.Try {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            fs.location.listFiles(Nil, Nil).iterator
+              .flatMap(_.files)
+              .filter(_.getLen > 0)
+              .map { st =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(st.getPath, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+          }.toOption
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def bandedCandidatesKeyed(df: DataFrame, id: String, vec: String,
       baseBits: Int, baseBands: Int,
       corpusSize: Option[Long]): (DataFrame, DataFrame) = {
-    val n = corpusSize.getOrElse(df.count())
+    // geometry needs n before the plan runs; prefer caller-supplied, then
+    // parquet-footer metadata, and only fall back to a count() job when
+    // the input is a derived frame whose size metadata cannot know
+    val n = corpusSize.orElse(metadataRowCount(df)).getOrElse(df.count())
     val (bands, r) = bandParams(n, baseBands, baseBits)
     val keyed = df.select(col(id).as("id"), col(vec).as("v"))
       .withColumn("__bk", explode(lshBandKeys(col("v"), bands * r, bands)))

@@ -98,10 +98,12 @@ object EditDistAtMost {
     * contract. Banded DP over two reused int rows, cells confined to the
     * ±k diagonal, early abort when a row's minimum exceeds k. */
   def compute(a: UTF8String, b: UTF8String, k: Int): Int = {
-    // cheap length gate before any decode: code-point counts differ by
-    // more than the byte-length bound allows ⇒ still need real counts,
-    // but byte lengths differing by > 4·k (max 4 bytes per code point)
-    // can never be within k
+    // cheap byte-length gate before any decode: every single edit moves
+    // the UTF-8 byte length by at most 4 (insert/delete a 4-byte code
+    // point; a substitution by at most 3), so |aBytes − bBytes| > 4·k
+    // implies distance > k — matched code points contribute equal bytes
+    // to both sides
+    if (math.abs(a.numBytes - b.numBytes) > 4L * k) return -1
     if (a.numBytes == 0 && b.numBytes == 0) return 0
     val x = codePoints(a)
     val y = codePoints(b)

@@ -82,5 +82,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("bottom_k",
       exprs => new BottomKAgg(exprs(0), litInt(exprs(1)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("edit_dist_at_most",
+      exprs => EditDistAtMost(exprs(0), exprs(1), litInt(exprs(2))),
+      "built-in")
   }
 }

@@ -81,6 +81,23 @@ class EditDistKernelSpec extends SparkSpec {
     }
   }
 
+  test("SQL-text invocation via register() matches the Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq(("kitten", "sitting"), ("same", "same"), ("aé漢🎉", "aéx🎉"))
+      .toDF("a", "b").createOrReplaceTempView("edit_dist_sql_probe")
+    val got = spark.sql(
+      "SELECT edit_dist_at_most(a, b, 3) AS d FROM edit_dist_sql_probe")
+      .as[Int].collect().toSeq
+    assert(got === Seq(3, 0, 1))
+    // threshold must be a literal — non-foldable k is rejected at build
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT edit_dist_at_most(a, b, length(a)) FROM edit_dist_sql_probe")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("interpreted eval path matches codegen semantics") {
     import org.apache.spark.unsafe.types.UTF8String
     val cases = Seq(
@@ -91,7 +108,13 @@ class EditDistKernelSpec extends SparkSpec {
       ("aé漢🎉", "aéx🎉", 1, 1),
       ("aé漢🎉", "xxxx", 2, -1),
       ("abc", "abc", 0, 0),
-      ("abc", "abd", 0, -1))
+      ("abc", "abd", 0, -1),
+      // byte-length pre-gate: diff 11 > 4·2 ⇒ reject before decode
+      ("aaaaaaaaaaaa", "a", 2, -1),
+      // 4-byte cps vs ASCII: byte diff 9 > 4·2 gates at k=2 (true dist 3)…
+      ("🎉🎉🎉", "abc", 2, -1),
+      // …and at k=3 the gate must NOT fire (9 ≤ 12): exact dist 3
+      ("🎉🎉🎉", "abc", 3, 3))
     cases.foreach { case (a, b, k, want) =>
       assert(EditDistAtMost.compute(
         UTF8String.fromString(a), UTF8String.fromString(b), k) === want,

@@ -534,6 +534,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // per-domain agg combines map-side
   }
 
+  test("bandedCandidates on a parquet scan sizes geometry with NO Spark job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // footer metadata path agrees with the real count on a bare scan…
+    assert(graft.operators.Similarity.metadataRowCount(emb) === Some(500L))
+    // …declines on a filtered frame (row count not derivable)
+    assert(graft.operators.Similarity.metadataRowCount(
+      emb.filter(col("vec_id") > 10)).isEmpty)
+    // and plan-BUILD of the banded candidate frame with corpusSize absent
+    // triggers no job (the r10 defect: a driver-side count() full-scan at
+    // geometry-selection time — an extra corpus pass at 100 TB)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cand = graft.operators.Similarity.bandedCandidates(
+        emb, "vec_id", "embedding", baseBits = 8, baseBands = 3)
+      assert(cand.columns.toSeq === Seq("a_id", "b_id"))
+      Thread.sleep(1500) // listener bus drains async; events post in ms
+      assert(jobs.get() === 0,
+        s"plan-build triggered ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
