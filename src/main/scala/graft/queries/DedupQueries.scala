@@ -262,11 +262,14 @@ object DedupQueries {
          |  ((SELECT count(*) FROM cand) <=
          |   2 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM c))
          |    AS within_bound""".stripMargin) { (s, dir) =>
+      val m = AuditSampling.mod(s)
       val sh = mutantCorpus(s, dir)
         .select(col("doc_id").as("id"),
           Dedup.wordShingles(col("toks"), 3).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.minhashBandCandidates(sh, "id", "sh", k = 16, bands = 4)
+      val cand = AuditSampling.sample(
+          Dedup.minhashBandCandidates(sh, "id", "sh", k = 16, bands = 4),
+          "a_id", "b_id", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = cand
         .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -275,9 +278,12 @@ object DedupQueries {
       sh.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
-        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
-          (col("n_candidates") <= lit(2) * col("n_pairs")
-            + lit(2) * col("n_corpus")).as("within_bound"))
+        .select(col("n_corpus"),
+          AuditSampling.scaled(col("n_candidates"), m).as("n_candidates"),
+          AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
+          AuditSampling.bound(col("n_candidates"), col("n_pairs"),
+            alpha = 2, linear = lit(2) * col("n_corpus"), m = m)
+            .as("within_bound"))
     },
 
     // Candidate-mass audit, prefix-block family (q91): certifies the
@@ -317,10 +323,13 @@ object DedupQueries {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(substring(col("text"), 1, 44),
             substring(col("text"), 46, Int.MaxValue)).as("text"))
+      val m = AuditSampling.mod(s)
       val corpus = docs.unionByName(subbed).unionByName(deleted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.editDistanceCandidates(corpus, "doc_id", "text",
-          blockLen = 24, maxDist = 4)
+      val cand = AuditSampling.sample(
+          Dedup.editDistanceCandidates(corpus, "doc_id", "text",
+            blockLen = 24, maxDist = 4),
+          "a_id", "b_id", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = cand
         .withColumn("dist",
@@ -329,9 +338,12 @@ object DedupQueries {
       corpus.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
-        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
-          (col("n_candidates") <= lit(2) * col("n_pairs")
-            + lit(2) * col("n_corpus")).as("within_bound"))
+        .select(col("n_corpus"),
+          AuditSampling.scaled(col("n_candidates"), m).as("n_candidates"),
+          AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
+          AuditSampling.bound(col("n_candidates"), col("n_pairs"),
+            alpha = 2, linear = lit(2) * col("n_corpus"), m = m)
+            .as("within_bound"))
     }
   )
 }

@@ -192,10 +192,13 @@ object EmbeddingQueries {
       val m = e.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x.cast("double") + 0.05).otherwise(x.cast("double"))).as("v"))
+      val smod = AuditSampling.mod(s)
       val c = o.unionByName(m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Similarity.bandedCandidates(c, "vec_id", "v",
-          baseBits = 8, baseBands = 3, corpusSize = Some(n))
+      val cand = AuditSampling.sample(
+          Similarity.bandedCandidates(c, "vec_id", "v",
+            baseBits = 8, baseBands = 3, corpusSize = Some(n)),
+          "a_id", "b_id", smod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = cand
         .join(c.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
@@ -204,9 +207,12 @@ object EmbeddingQueries {
       c.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
-        .select(col("n_corpus"), col("n_candidates"), col("n_pairs"),
-          (col("n_candidates") <= lit(2) * col("n_pairs")
-            + lit(32L) * lit(bands) * col("n_corpus")).as("within_bound"))
+        .select(col("n_corpus"),
+          AuditSampling.scaled(col("n_candidates"), smod).as("n_candidates"),
+          AuditSampling.scaled(col("n_pairs"), smod).as("n_pairs"),
+          AuditSampling.bound(col("n_candidates"), col("n_pairs"),
+            alpha = 2, linear = lit(32L) * lit(bands) * col("n_corpus"),
+            m = smod).as("within_bound"))
     },
 
     // Per-label corpus statistics over exact-selection aggregates (norms are

@@ -32,9 +32,11 @@ object WarehouseQueries {
   /** Shared q179/q232 pipeline: rare-shingle (2 ≤ df ≤ 10) blocked
     * containment candidates + exact-intersection verify. Returns
     * (eligible docs, candidate pairs, verified pairs) so the candidate-
-    * mass audit certifies the EXACT candidate stage q179 verifies. */
+    * mass audit certifies the EXACT candidate stage q179 verifies.
+    * `sampleMod` > 1 thins the candidate set (audit routine rungs only —
+    * see [[AuditSampling]]); q179 always passes the default 1. */
   private def containmentPipeline(s: org.apache.spark.sql.SparkSession,
-      dir: String, persistCand: Boolean = false) = {
+      dir: String, persistCand: Boolean = false, sampleMod: Int = 1) = {
     val t5 = Tables.documents(s, dir)
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
@@ -49,10 +51,12 @@ object WarehouseQueries {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("c"))
       .filter(col("c").between(2, 10)).select("sh")
     val inv = sh.join(rare, "sh")
-    val cand0 = inv.select(col("sh"), col("doc_id").as("a_id"))
-      .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val cand0 = AuditSampling.sample(
+      inv.select(col("sh"), col("doc_id").as("a_id"))
+        .join(inv.select(col("sh"), col("doc_id").as("b_id")), "sh")
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct(),
+      "a_id", "b_id", sampleMod)
     // only the audit (two consumers: count + intersection probe) pays the
     // cache; q179 consumes cand exactly once and must not
     val cand = if (persistCand)
@@ -354,13 +358,18 @@ object WarehouseQueries {
         |  ((SELECT count(*) FROM cand) <=
         |   4 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM t5))
         |    AS within_bound""".stripMargin) { (s, dir) =>
-      val (t5, cand, outp) = containmentPipeline(s, dir, persistCand = true)
+      val m = AuditSampling.mod(s)
+      val (t5, cand, outp) =
+        containmentPipeline(s, dir, persistCand = true, sampleMod = m)
       t5.agg(count(lit(1)).as("n_docs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(outp.agg(count(lit(1)).as("n_pairs")))
-        .select(col("n_docs"), col("n_candidates"), col("n_pairs"),
-          (col("n_candidates") <= lit(4) * col("n_pairs")
-            + lit(2) * col("n_docs")).as("within_bound"))
+        .select(col("n_docs"),
+          AuditSampling.scaled(col("n_candidates"), m).as("n_candidates"),
+          AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
+          AuditSampling.bound(col("n_candidates"), col("n_pairs"),
+            alpha = 4, linear = lit(2) * col("n_docs"), m = m)
+            .as("within_bound"))
     },
 
     // RFM segmentation: per-user recency/frequency/monetary over purchase
