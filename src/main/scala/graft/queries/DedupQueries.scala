@@ -344,6 +344,55 @@ object DedupQueries {
           AuditSampling.bound(col("n_candidates"), col("n_pairs"),
             alpha = 2, linear = lit(2) * col("n_corpus"), m = m)
             .as("within_bound"))
+    },
+
+    // Per-document duplication-density score: the doc-level FILTER signal
+    // of exact-substring dedup à la Lee et al. 2022 ("Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499) —
+    // what fraction of a doc's 8-token spans also occur verbatim in some
+    // OTHER doc. Complements q81 (which extracts the maximal duplicated
+    // span EXTENTS for surgical removal): a pipeline scores docs with
+    // q234 to drop boilerplate-heavy ones wholesale, and q81-cuts the
+    // spans out of the keepers. Machinery: every 8-token window becomes a
+    // span key, a combining count gives each span's cross-corpus
+    // frequency, and each doc rolls up how many of its distinct spans are
+    // shared. Scale shape: spans ∝ tokens (linear), ONE hash shuffle on
+    // the span key for the df count (map-side combinable) + one shuffle
+    // join back (AQE handles hot-span skew); per-doc rollup is a
+    // combining aggregate. No pairwise stage at all — inherently linear
+    // where the pair-emitting family members need blocking.
+    QueryDef(
+      "q234_dup_span_detect",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t8 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |s AS (SELECT DISTINCT doc_id,
+        |        array_to_string(toks[p + 1 : p + 8], ' ') AS sp
+        |      FROM t8, unnest(range(0, len(toks) - 7)) u(p)),
+        |df AS (SELECT sp, count(*) AS d FROM s GROUP BY sp),
+        |per AS (SELECT doc_id, count(*) AS n_spans,
+        |          sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS dup_spans
+        |        FROM s JOIN df USING (sp) GROUP BY doc_id)
+        |SELECT doc_id, cast(n_spans as bigint) AS n_spans,
+        |       cast(dup_spans as bigint) AS dup_spans
+        |FROM per WHERE dup_spans >= 1""".stripMargin) { (s, dir) =>
+      val sp = Tables.documents(s, dir)
+        .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8)," +
+            " p -> array_join(slice(toks, p + 1, 8), ' '))")).as("sp"))
+        .distinct()
+        // feeds the df count AND the per-doc rollup
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = sp.groupBy("sp").agg(count(lit(1)).as("d"))
+      sp.join(df, "sp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("d") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+        .filter(col("dup_spans") >= 1)
+        .select(col("doc_id"), col("n_spans"), col("dup_spans"))
     }
   )
 }

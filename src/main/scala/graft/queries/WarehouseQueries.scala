@@ -649,6 +649,101 @@ object WarehouseQueries {
           coalesce(sum(when(col("k") < 5, col("k"))), lit(0L))
             .as("n_risky_rows"),
           count(when(col("l") < 2, 1)).as("n_undiverse"))
+    },
+
+    // Funnel time-to-convert: per user, first 'view' then the first
+    // 'purchase' at-or-after it; the view→purchase latency distribution is
+    // summarized per weekday-of-first-view cohort with EXACT discrete
+    // quantiles — rank selection over the group (rank (n+1)÷2 = median,
+    // ⌈0.9n⌉ = p90), never an interpolating percentile (whose float
+    // midpoint arithmetic is engine-specific). All times are integer µs;
+    // deltas bucket to whole hours by floor division. Scale shape: two
+    // combining pre-aggregates keyed on user_id (first view, first
+    // qualifying purchase — map-side combinable min), then a window over
+    // the 7-row-bounded cohort key only AFTER the per-user reduction, so
+    // the sort is over one row per converting user, not raw events.
+    QueryDef(
+      "q235_funnel_convert",
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_us(cast(ts as timestamp)) AS us
+        |           FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT p.user_id, v.v_us, min(p.us) AS p_us
+        |      FROM e p JOIN v ON p.user_id = v.user_id
+        |      WHERE p.event_type = 'purchase' AND p.us >= v.v_us
+        |      GROUP BY 1, 2),
+        |w AS (SELECT user_id, (p_us - v_us) // 3600000000 AS delta_hr,
+        |        ((v_us // 86400000000) + 4) % 7 AS wd FROM c),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY wd
+        |                           ORDER BY delta_hr, user_id) AS rk,
+        |        count(*) OVER (PARTITION BY wd) AS n
+        |      FROM w)
+        |SELECT cast(wd as bigint) AS wd, cast(max(n) as bigint) AS n_conv,
+        |  cast(max(CASE WHEN rk = (n + 1) // 2 THEN delta_hr END) as bigint)
+        |    AS med_hr,
+        |  cast(max(CASE WHEN rk = (9 * n + 9) // 10 THEN delta_hr END)
+        |    as bigint) AS p90_hr
+        |FROM r GROUP BY wd""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy("user_id", "v_us").agg(min(col("us")).as("p_us"))
+        .select(col("user_id"),
+          expr("(p_us - v_us) div 3600000000").as("delta_hr"),
+          expr("pmod((v_us div 86400000000) + 4, 7)").as("wd"))
+      val ranked = conv
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("wd").orderBy(col("delta_hr"), col("user_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("wd")))
+      ranked.groupBy("wd").agg(
+        max(col("n")).as("n_conv"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("delta_hr")))
+          .as("med_hr"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("delta_hr")))
+          .as("p90_hr"))
+    },
+
+    // Cohort LTV matrix: users cohorted by the epoch-week of their FIRST
+    // purchase; each later purchase lands in (cohort_week, week_offset)
+    // with exact integer cents — the retention/LTV triangle every
+    // subscription warehouse derives. Scale shape: one per-user combining
+    // min for the cohort, one shuffle join back on user_id (both sides
+    // co-partitioned on the same key — a single exchange each), one
+    // combining aggregate; count(DISTINCT user_id) per cell is Spark's
+    // two-phase distinct expansion, still map-side partial. No window, no
+    // driver state.
+    QueryDef(
+      "q236_cohort_ltv",
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(cast(ts as timestamp)) // 604800000000 AS wk,
+        |    cast(cast(value as decimal(18,4)) * 100 as bigint) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1)
+        |SELECT cast(cw as bigint) AS cohort_wk,
+        |  cast(wk - cw as bigint) AS wk_off,
+        |  cast(count(DISTINCT e.user_id) as bigint) AS active_users,
+        |  cast(sum(cents) as bigint) AS cents
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          (graft.functions.Exact.dec(col("value")) * 100)
+            .cast("long").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_wk"), (col("wk") - col("cw")).as("wk_off"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          sum(col("cents")).as("cents"))
     }
   )
 }

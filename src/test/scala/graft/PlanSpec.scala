@@ -534,6 +534,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // per-domain agg combines map-side
   }
 
+  test("q234: span df is a combining agg; no pairwise/cartesian stage") {
+    val p = plan("q234_dup_span_detect")
+    assert(p.contains("partial_count"), p) // df count combines map-side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q235: quantile window partitions by cohort AFTER per-user reduction") {
+    val p = plan("q235_funnel_convert")
+    // rank selection, not an interpolating percentile
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(wd"), p)
+    // per-user firsts combine map-side before any window sees a row
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q236: cohort join is a real join; aggregates combine map-side") {
+    val p = plan("q236_cohort_ltv")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bandedCandidates on a parquet scan sizes geometry with NO Spark job") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.functions.col
