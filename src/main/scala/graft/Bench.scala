@@ -36,16 +36,26 @@ object Bench {
     // Calibration probe: a FIXED synthetic workload (shuffle + window sort
     // + hash aggregate over spark.range — no test data, no measured query)
     // timed exactly like a query. Machine-load drift between sweeps is
-    // uniform and multiplicative (r8: +19%, r9: +28%/+17%, all uniform
-    // per-query), so the published performance band is stated as
-    // total/calibration — a ratio both the committed close-out run and the
-    // driver's run reproduce regardless of ambient load. Probed at sweep
-    // START, MID, and END and normalized by the MEDIAN of the three: the
-    // r10 driver run proved a single start probe over-corrects when load
-    // is transient (start 1.685 vs end 0.918 — the start probe absorbed a
-    // load spike that dissipated mid-sweep, pushing the normalized total
-    // 35% below the band); the median of three interleaved probes tracks
-    // the load level the sweep actually ran under.
+    // uniform and multiplicative when SUSTAINED (r8: +19%, r9: +28%, all
+    // uniform per-query), so the published band is stated as
+    // total / load_factor. Three measured failure modes shape the
+    // formula, each falsifying a stronger use of the probe:
+    // (1) a single START probe over-corrects under transient load (r10
+    // driver: start 1.685 vs end 0.918 — normalized landed 35% below
+    // band) → probe at START, MID, and END, use the MEDIAN;
+    // (2) the probe's own idle-machine noise is ±17% (medians 0.88–1.17)
+    // while raw sweep totals move only ±5% — dividing by a near-idle
+    // probe ADDS variance (an r11 idle close-out normalized 7% ABOVE any
+    // observed raw total);
+    // (3) probes sample INSTANTS while the sweep time-averages: an r11
+    // run caught background spikes at 2 of 3 probe instants (1.351/
+    // 1.796) on a sweep whose raw total was the round's FASTEST —
+    // median-of-3 normalization put it 8% below every observed raw.
+    // So the probe is a coarse load DETECTOR, not a fine corrector:
+    // load_factor = max(1, median/idleRef) with idleRef = 1.8 s — it
+    // engages only for sustained ≥ ~60% slowdown (the r9-driver class,
+    // where the multiplicative model is actually valid) and leaves every
+    // observed normal-noise run comparing raw, where the band holds.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -140,14 +150,17 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calEnd = calibrate()
     val calMedian = Seq(calStart, calMid, calEnd).sorted.apply(1)
+    val idleRef = 1.80 // sustained-load detection threshold (see above)
+    val loadFactor = math.max(1.0, calMedian / idleRef)
     println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
-      f"end=$calEnd%.3f median=$calMedian%.3f " +
-      f"normalized_total=${total / calMedian}%.1f")
+      f"end=$calEnd%.3f median=$calMedian%.3f load_factor=$loadFactor%.3f " +
+      f"normalized_total=${total / loadFactor}%.1f")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       f""""calibration":$calStart%.3f,"calibration_mid":$calMid%.3f,""" +
       f""""calibration_end":$calEnd%.3f,""" +
       f""""calibration_median":$calMedian%.3f,""" +
-      f""""normalized_total":${total / calMedian}%.1f,""" +
+      f""""load_factor":$loadFactor%.3f,""" +
+      f""""normalized_total":${total / loadFactor}%.1f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Recovery channels for truncated captures: one short line per query
     // immediately before the final JSON (a tail keeps the end of output),
