@@ -166,23 +166,14 @@ object Similarity {
     * Callers pairing a whole corpus must size (bands, planes/bands) to the
     * corpus via [[bandParams]] — see [[bandedNearDupPairs]].
     */
-  def lshBandKeys(vec: Column, planes: Int, bands: Int, maxDims: Int = 64): Column = {
-    val r = planes / bands
-    array((0 until bands).map { b =>
-      val bits = (0 until r).map { j =>
-        val p = b * r + j
-        val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
-        when(
-          graft.plans.VecKernels.dot(vec, slice(w, lit(1), size(vec))) >= 0,
-          // LONG shift: bandParams grows r past 31 at extreme corpora,
-          // where an Int `1 << j` would alias j=32 back onto j=0 and
-          // silently collapse the band key space — the exact bounded-key
-          // defect the adaptive geometry exists to prevent
-          lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      concat_ws(":", lit(b.toString), bits.cast("string"))
-    }: _*)
-  }
+  def lshBandKeys(vec: Column, planes: Int, bands: Int, maxDims: Int = 64): Column =
+    // native kernel (graft.plans.LshBandKeysExpr): one loop nest over a
+    // cached primitive weight matrix instead of bands·r composed
+    // expressions that each SLICE the 64-double weight literal per row —
+    // bit-identical to the composed form (LshBandKeysKernelSpec locks
+    // parity on randomized float/double/null/ragged inputs; the long
+    // `1L << j` bit discipline for r > 31 carries over)
+    graft.plans.LshKernels.lshBandKeys(vec, planes, bands, maxDims)
 
   /** Squared L2 distance, sequential fold (oracle-reproducible); native
     * kernel, see [[dot]]. */

@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => EditDistAtMost(exprs(0), exprs(1),
         GraftExtensions.litInt(exprs(2)))))
     e.injectFunction((
+      FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo(classOf[LshBandKeysExpr].getName, "lsh_band_keys"),
+      exprs => LshBandKeysExpr(exprs(0),
+        GraftExtensions.litInt(exprs(1)), GraftExtensions.litInt(exprs(2)))))
+    e.injectFunction((
       FunctionIdentifier("hll64_agg"),
       new ExpressionInfo(classOf[Hll64Agg].getName, "hll64_agg"),
       exprs => new Hll64Agg(exprs.head).toAggregateExpression()))
@@ -84,6 +89,9 @@ object GraftExtensions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("edit_dist_at_most",
       exprs => EditDistAtMost(exprs(0), exprs(1), litInt(exprs(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction("lsh_band_keys",
+      exprs => LshBandKeysExpr(exprs(0), litInt(exprs(1)), litInt(exprs(2))),
       "built-in")
   }
 }

@@ -31,6 +31,27 @@ object ReferenceKernels {
           i => array_min(slice(hs, i, lit(w))))))), lit(1))
   }
 
+  /** Composed form of [[graft.operators.Similarity.lshBandKeys]]: bands·r
+    * sign-of-dot bits, each plane's dot against the weight literal SLICED
+    * to the vector's length (len > maxDims ⇒ mismatch ⇒ null ⇒ bit 0),
+    * band key = "b:bits". The formulation the native
+    * [[graft.plans.LshBandKeysExpr]] must match bit for bit. */
+  def lshBandKeysReference(vec: Column, planes: Int, bands: Int,
+      maxDims: Int = 64): Column = {
+    import graft.operators.Similarity.planeWeightConst
+    val r = planes / bands
+    array((0 until bands).map { b =>
+      val bits = (0 until r).map { j =>
+        val p = b * r + j
+        val w = typedLit((0 until maxDims).map(d => planeWeightConst(p, d)))
+        when(
+          graft.plans.VecKernels.dot(vec, slice(w, lit(1), size(vec))) >= 0,
+          lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      concat_ws(":", lit(b.toString), bits.cast("string"))
+    }: _*)
+  }
+
   /** Composed form of [[Dedup.wordShingles]]: distinct word n-gram
     * shingles; short docs fall back to the whole token list as one
     * shingle. */
