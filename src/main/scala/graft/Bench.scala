@@ -51,11 +51,19 @@ object Bench {
     // run caught background spikes at 2 of 3 probe instants (1.351/
     // 1.796) on a sweep whose raw total was the round's FASTEST —
     // median-of-3 normalization put it 8% below every observed raw.
-    // So the probe is a coarse load DETECTOR, not a fine corrector:
-    // load_factor = max(1, median/idleRef) with idleRef = 1.8 s — it
-    // engages only for sustained ≥ ~60% slowdown (the r9-driver class,
-    // where the multiplicative model is actually valid) and leaves every
-    // observed normal-noise run comparing raw, where the band holds.
+    // So the probe is a coarse load DETECTOR, not a fine corrector: the
+    // correction DETECTS at detectAt = 1.8 s (healthy sweeps measured
+    // probe medians ≤ 1.36, so firing requires 2 of 3 instants showing a
+    // ≥ ~80% slowdown — beyond anything a healthy run produced) and then
+    // divides by the FULL slowdown ratio median/idleRef with idleRef =
+    // 1.0 s (the observed idle center), because a sustained-load run is
+    // slowed by its whole factor, not by its excess over the threshold.
+    // Every observed normal-noise run stays load_factor = 1 and compares
+    // raw, where the band holds. Known residual: a false fire (2 of 3
+    // probes spiking ≥ 80% on an otherwise-healthy sweep) would
+    // over-divide; on all observed data the median never exceeded 1.36
+    // on a healthy run, and a single 4.27 s probe spike was correctly
+    // discarded by the median.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -150,8 +158,9 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val calEnd = calibrate()
     val calMedian = Seq(calStart, calMid, calEnd).sorted.apply(1)
-    val idleRef = 1.80 // sustained-load detection threshold (see above)
-    val loadFactor = math.max(1.0, calMedian / idleRef)
+    val detectAt = 1.80 // sustained-load detection threshold (see above)
+    val idleRef = 1.0   // idle probe center: the divisor once detected
+    val loadFactor = if (calMedian >= detectAt) calMedian / idleRef else 1.0
     println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
       f"end=$calEnd%.3f median=$calMedian%.3f load_factor=$loadFactor%.3f " +
       f"normalized_total=${total / loadFactor}%.1f")

@@ -289,15 +289,31 @@ object Similarity {
             if fs.fileFormat.getClass.getName.toLowerCase.contains("parquet") =>
           scala.util.Try {
             val conf = df.sparkSession.sessionState.newHadoopConf()
-            fs.location.listFiles(Nil, Nil).iterator
-              .flatMap(_.files)
-              .filter(_.getLen > 0)
-              .map { st =>
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromPath(st.getPath, conf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try r.getRecordCount finally r.close()
-              }.sum
+            val paths = fs.location.listFiles(Nil, Nil).iterator
+              .flatMap(_.files).filter(_.getLen > 0).map(_.getPath).toArray
+            def footerCount(p: org.apache.hadoop.fs.Path): Long = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(p, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }
+            // footer reads are independent I/O round-trips — run them on
+            // a bounded pool so a many-file corpus costs
+            // O(files / parallelism) wall, not minutes of serial driver
+            // I/O (each open is one footer round-trip, 1-100 ms on
+            // object storage)
+            if (paths.length <= 4) paths.map(footerCount).sum
+            else {
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                math.min(32, paths.length))
+              try {
+                val futures = paths.map(p => pool.submit(
+                  new java.util.concurrent.Callable[Long] {
+                    override def call(): Long = footerCount(p)
+                  }))
+                futures.map(_.get()).sum
+              } finally pool.shutdown()
+            }
           }.toOption
         case _ => None
       }

@@ -125,7 +125,11 @@ object LshBandKeysExpr {
               i += 1
             }
           }
-          if (ok && s >= 0) bits |= 1L << j
+          // Spark's GreaterThanOrEqual uses the SQL ordering where NaN
+          // sorts ABOVE every number, so the composed when(dot >= 0, …)
+          // sets the bit for a NaN dot — Java's `>=` is false for NaN
+          // and would silently diverge (spec-locked with NaN vectors)
+          if (ok && (s >= 0 || java.lang.Double.isNaN(s))) bits |= 1L << j
         }
         j += 1
       }

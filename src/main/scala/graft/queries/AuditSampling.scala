@@ -34,7 +34,8 @@ object AuditSampling {
   def mod(s: SparkSession): Int =
     s.conf.getOption("spark.graft.audit.sampleMod")
       .orElse(sys.env.get("SPARK_GRAFT_AUDIT_SAMPLE_MOD"))
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(1)
 
   /** Keep ~1/m of candidate pairs, deterministically by pair hash —
     * consistent for a given (a, b) across stages, so thinning before a

@@ -18,12 +18,18 @@ class AuditSamplingSpec extends SparkSpec {
   test("mod: default 1; conf wins over env; invalid values fall back") {
     val key = "spark.graft.audit.sampleMod"
     spark.conf.unset(key)
-    assert(AuditSampling.mod(spark) === 1)
-    spark.conf.set(key, "100")
-    assert(AuditSampling.mod(spark) === 100)
-    spark.conf.set(key, "0") // < 1 is not a sampling rate
-    assert(AuditSampling.mod(spark) === 1)
-    spark.conf.unset(key)
+    try {
+      assert(AuditSampling.mod(spark) === 1)
+      spark.conf.set(key, "100")
+      assert(AuditSampling.mod(spark) === 100)
+      spark.conf.set(key, "0") // < 1 is not a sampling rate
+      assert(AuditSampling.mod(spark) === 1)
+      // non-numeric garbage must fall back, never crash the audit build
+      Seq("1e2", "100x", "", "  ").foreach { bad =>
+        spark.conf.set(key, bad)
+        assert(AuditSampling.mod(spark) === 1, s"input '$bad'")
+      }
+    } finally spark.conf.unset(key) // shared session: never leak the knob
   }
 
   test("sample: identity at mod 1, deterministic 1/m subset at mod > 1") {

@@ -23,7 +23,15 @@ class LshBandKeysKernelSpec extends SparkSpec {
         case 2 => 65 + rnd.nextInt(8) // > maxDims: mismatch, bits 0
         case _ => 1 + rnd.nextInt(64)
       }
-      (i.toLong, Seq.fill(len)(rnd.nextDouble() * 2 - 1))
+      val v = Seq.fill(len)(rnd.nextDouble() * 2 - 1)
+      // NaN poisons the dot: Spark's SQL ordering puts NaN ABOVE 0 (bit
+      // set) where Java's >= would say false — the kernel must follow SQL
+      val poisoned =
+        if (i % 13 == 0 && len > 0) v.updated(rnd.nextInt(len), Double.NaN)
+        else if (i % 17 == 0 && len > 0)
+          v.updated(rnd.nextInt(len), Double.PositiveInfinity)
+        else v
+      (i.toLong, poisoned)
     }
     val df = rows.toDF("id", "v")
     geometries.foreach { case (planes, bands) =>
