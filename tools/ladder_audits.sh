@@ -15,7 +15,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 DIR="${1:?usage: ladder_audits.sh <sfDir> [mod]}"
 MOD="${2:-100}"
+# q232's candidate set is tiny by design (rare-shingle blocks: ~2k pairs
+# even at 100x) — sampling it leaves ~20 pairs of signal for no cost win
+# (exact form measured 58 s at 100x), so it always runs exact.
+SPARK_GRAFT_AUDIT_SAMPLE_MOD=1 tools/run_main.sh graft.cli.QueryShow "$DIR" \
+  q232_shingleblock_cand_audit
 export SPARK_GRAFT_AUDIT_SAMPLE_MOD="$MOD"
 exec tools/run_main.sh graft.cli.QueryShow "$DIR" \
   q230_minhash_cand_audit q231_lshband_cand_audit \
-  q232_shingleblock_cand_audit q233_prefixblock_cand_audit
+  q233_prefixblock_cand_audit
