@@ -156,6 +156,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-third raw sums (fixed sorted query order, so thirds are the
+    // same query sets round over round): the corroborating signal for a
+    // probe fire. Probes sample instants; a SUSTAINED load (the only case
+    // the 1.8 threshold corrects) inflates all three thirds together,
+    // while a false fire (2 of 3 probes catching spikes on a healthy
+    // sweep) leaves the thirds in their normal round-over-round band —
+    // logged into the JSON so every fire is auditable against the prior
+    // round's thirds, with no post-hoc interpretation.
+    val thirds: Seq[Double] =
+      if (results.isEmpty) Seq(0.0, 0.0, 0.0)
+      else results.grouped((results.size + 2) / 3).toSeq
+        .map(_.map(_._2).sum).padTo(3, 0.0)
     val calEnd = calibrate()
     val calMedian = Seq(calStart, calMid, calEnd).sorted.apply(1)
     val detectAt = 1.80 // sustained-load detection threshold (see above)
@@ -163,12 +175,14 @@ object Bench {
     val loadFactor = if (calMedian >= detectAt) calMedian / idleRef else 1.0
     println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
       f"end=$calEnd%.3f median=$calMedian%.3f load_factor=$loadFactor%.3f " +
+      f"thirds=${thirds.map(t => f"$t%.1f").mkString("/")} " +
       f"normalized_total=${total / loadFactor}%.1f")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       f""""calibration":$calStart%.3f,"calibration_mid":$calMid%.3f,""" +
       f""""calibration_end":$calEnd%.3f,""" +
       f""""calibration_median":$calMedian%.3f,""" +
       f""""load_factor":$loadFactor%.3f,""" +
+      s""""thirds":[${thirds.map(t => f"$t%.1f").mkString(",")}],""" +
       f""""normalized_total":${total / loadFactor}%.1f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Recovery channels for truncated captures: one short line per query

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Persist an iterative loop's edge list hash-partitioned on its join
+    * key. InMemoryTableScan PRESERVES the repartition's output
+    * partitioning (with the default
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false`
+    * AQE may not rewrite it), so every round's frontier⋈edges /
+    * dist⋈edges join finds the edge side's required distribution already
+    * satisfied by the cache and exchanges ONLY the (much smaller)
+    * frontier/dist side — without this, each relaxation round re-shuffles
+    * the full persisted edge list (the dominant cost at ladder scale:
+    * r11 measured q158_sssp 200.6 s / q141_bfs 156.2 s at 100× edges,
+    * most of it edge re-exchange). One up-front exchange at persist time
+    * buys `rounds` edge-side exchanges. PlanSpec locks the contract
+    * (single Exchange per round, on the frontier side). */
+  private[graft] def persistByKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Undirected co-occurrence edges from a (groupKey, item) fact: items
     * sharing a group become an edge, oriented a < b so each undirected edge
     * appears exactly once. One self-join per group (fan-out bounded by
@@ -103,10 +120,11 @@ object GraphOps {
   /** Multi-source BFS levels over a directed edge list (`src`, `dst`):
     * every node reachable from `seeds` (column `v`) within `maxIters`
     * hops, labeled with its hop distance (seeds = 0). Frontier-style
-    * Pregel loop: each round is ONE hash join frontier⋈edges (shuffle
-    * keyed on `src`) + a distinct + an anti-join against the visited set
-    * — the per-round shuffle is bounded by the frontier's out-edges,
-    * never the whole graph. A node enters `visited` the first round it
+    * Pregel loop: each round is ONE hash join frontier⋈edges (the edge
+    * side reads hash(src)-partitioned straight from cache, so only the
+    * FRONTIER exchanges) + a distinct + an anti-join against the visited
+    * set — the per-round shuffle is bounded by the frontier and its
+    * out-edges, never the whole graph. A node enters `visited` the first round it
     * is reached, so its recorded level IS the minimum hop count; the
     * anti-join keeps later sightings from re-expanding it (each vertex
     * is expanded exactly once across the whole run — total work O(E)
@@ -115,13 +133,16 @@ object GraphOps {
     * an empty frontier is one cheap `isEmpty` action per round. Returns
     * (v, lvl). */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = persistByKey(edges.select(col("src"), col("dst")), "src")
     var visited = seeds.select(col("v"), lit(0).as("lvl")).localCheckpoint()
     var frontier = visited.select("v")
     var i = 1
     while (i <= maxIters && !frontier.isEmpty) {
-      val next = frontier.join(e, frontier("v") === e("src"))
+      // SHUFFLE_HASH on the frontier: builds the hash table on the small
+      // side and STREAMS the cached edge partitions — SMJ would re-sort
+      // the full edge list every round (the cache satisfies the join's
+      // distribution, not its ordering)
+      val next = frontier.hint("SHUFFLE_HASH").join(e, frontier("v") === e("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited.select("v"), Seq("v"), "left_anti")
         .withColumn("lvl", lit(i))
@@ -163,18 +184,21 @@ object GraphOps {
   /** Bellman-Ford SSSP, `rounds` synchronous min-plus relaxations over a
     * weighted directed edge list (`src`, `dst`, `w` ≥ 0): shortest
     * known distance from the `seeds` (column `v`, distance 0) within
-    * `rounds` hops. Each round is ONE dist⋈edges hash join + a combining
-    * `min` per destination + a `min` merge with the standing distances —
+    * `rounds` hops. Each round is ONE dist⋈edges hash join (edge side
+    * hash(src)-partitioned from cache — only `dist` exchanges) + a
+    * combining `min` per destination + a `min` merge with the standing
+    * distances —
     * the weighted generalization of [[bfsLevels]] (min-plus semiring
     * instead of hop counting; no frontier short-circuit because a longer
     * path can still be cheaper). Distances localCheckpoint per round.
     * Returns (v, d). */
   def ssspRounds(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = persistByKey(edges.select(col("src"), col("dst"), col("w")), "src")
     var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint()
     (1 to rounds).foreach { _ =>
-      val relaxed = dist.join(e, dist("v") === e("src"))
+      // SHUFFLE_HASH: build on dist, stream the cached edge partitions
+      // unsorted (see bfsLevels)
+      val relaxed = dist.hint("SHUFFLE_HASH").join(e, dist("v") === e("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("v").agg(min(col("d")).as("d"))
@@ -185,16 +209,19 @@ object GraphOps {
   }
 
   def pagerankScaled(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // src-partitioned cache: deg's groupBy("src"), the edges⋈deg join AND
+    // every round's edges⋈ranks join all consume hash(src) straight from
+    // the cache — per round only the ranks side exchanges
+    val e = persistByKey(edges.select(col("src"), col("dst")), "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val nodes = e.select(col("src").as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = lit(scale * 15L / 100L)
     var ranks = nodes.withColumn("r", lit(scale))
     (1 to iters).foreach { _ =>
-      val contrib = e.join(deg, "src")
-        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
+      val contrib = e.join(deg.hint("SHUFFLE_HASH"), "src")
+        .join(ranks.select(col("v").as("src"), col("r")).hint("SHUFFLE_HASH"),
+          Seq("src"))
         .select(col("dst").as("v"), expr("r div od").as("c"))
         .groupBy("v").agg(sum(col("c")).as("m"))
       ranks = nodes.join(contrib, Seq("v"), "left")
@@ -219,8 +246,7 @@ object GraphOps {
     * and floors) — rankings, not probabilities, are the contract. */
   def personalizedPagerankScaled(edges: DataFrame, seeds: DataFrame,
       iters: Int, scale: Long): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = persistByKey(edges.select(col("src"), col("dst")), "src")
     // materialize ONCE before fan-out: deg, the weighted-edge join, and
     // nodes all scan e0 — left lazy, their concurrent first-round stages
     // race past the empty cache and recompute the (often expensive) edge
@@ -241,7 +267,8 @@ object GraphOps {
     var prevCached: DataFrame = null
     (1 to iters).foreach { _ =>
       val contrib = e
-        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
+        .join(ranks.select(col("v").as("src"), col("r")).hint("SHUFFLE_HASH"),
+          Seq("src"))
         .select(col("dst").as("v"), expr("r div od").as("c"))
         .groupBy("v").agg(sum(col("c")).as("m"))
       ranks = nodes.join(contrib, Seq("v"), "left")

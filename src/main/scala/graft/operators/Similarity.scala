@@ -312,7 +312,12 @@ object Similarity {
                     override def call(): Long = footerCount(p)
                   }))
                 futures.map(_.get()).sum
-              } finally pool.shutdown()
+                // shutdownNow, not shutdown: on a failed footer read the
+                // enclosing Try abandons the result, so the queued reads
+                // must be CANCELLED, not drained to completion (wasted
+                // driver I/O on the error path); on success nothing is
+                // left queued and it degenerates to shutdown()
+              } finally pool.shutdownNow()
             }
           }.toOption
         case _ => None
@@ -329,8 +334,14 @@ object Similarity {
     // the input is a derived frame whose size metadata cannot know
     val n = corpusSize.orElse(metadataRowCount(df)).getOrElse(df.count())
     val (bands, r) = bandParams(n, baseBands, baseBits)
+    // persist hash-partitioned on the band key: the self-join below then
+    // reads BOTH sides co-partitioned straight from cache (zero join-time
+    // exchange) instead of re-shuffling the n·bands exploded rows twice —
+    // one up-front exchange at materialization replaces two at the join
+    // (the q231 audit's candidate-generation long pole at the 100× rung)
     val keyed = df.select(col(id).as("id"), col(vec).as("v"))
       .withColumn("__bk", explode(lshBandKeys(col("v"), bands * r, bands)))
+      .repartition(col("__bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = keyed.select(col("id").as("a_id"), col("__bk"))
       .join(keyed.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Routine-rung sampling for the candidate-mass audits (q230–q233).
+/** Routine-rung sampling for the candidate-mass audits (q230–q233) and
+  * the exact-certifier agreement audits (q237/q238).
   *
   * The audits certify `candidates ≤ α·pairs + linear(n)` by counting the
   * EXACT candidate set and verifying every candidate pair — at the 100×
@@ -43,6 +44,17 @@ object AuditSampling {
   def sample(cand: DataFrame, aCol: String, bCol: String, m: Int): DataFrame =
     if (m <= 1) cand
     else cand.filter(pmod(xxhash64(col(aCol), col(bCol)), lit(m.toLong)) === 0)
+
+  /** Query-side thinning for the exact-certifier agreement audits
+    * (q237/q238): keep ~1/m of QUERY rows by id hash. Per-query top-k /
+    * margin semantics need the FULL corpus side, so thinning the pair
+    * space would change every surviving answer — thinning the query
+    * space instead keeps each survivor's answer EXACT and only shrinks
+    * the certified sample (agreement FRACTIONS need no scale-back).
+    * Identity at m ≤ 1. */
+  def sampleIds(df: DataFrame, idCol: String, m: Int): DataFrame =
+    if (m <= 1) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit(m.toLong)) === 0)
 
   /** Scale a sampled count back to a corpus-level estimate (identity at
     * m ≤ 1, so the exact path emits the unscaled bigint the oracle

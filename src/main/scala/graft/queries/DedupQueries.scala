@@ -261,7 +261,8 @@ object DedupQueries {
          |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
          |  ((SELECT count(*) FROM cand) <=
          |   2 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM c))
-         |    AS within_bound""".stripMargin) { (s, dir) =>
+         |    AS within_bound,
+        |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
       val m = AuditSampling.mod(s)
       val sh = mutantCorpus(s, dir)
         .select(col("doc_id").as("id"),
@@ -283,7 +284,11 @@ object DedupQueries {
           AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
           AuditSampling.bound(col("n_candidates"), col("n_pairs"),
             alpha = 2, linear = lit(2) * col("n_corpus"), m = m)
-            .as("within_bound"))
+            .as("within_bound"),
+          // the effective sampling modulus rides the output row: a sampled
+          // run is self-marking (a leaked SPARK_GRAFT_AUDIT_SAMPLE_MOD can
+          // never pass as an exact certification)
+          lit(m).as("sample_mod"))
     },
 
     // Candidate-mass audit, prefix-block family (q91): certifies the
@@ -313,7 +318,8 @@ object DedupQueries {
         |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
         |  ((SELECT count(*) FROM cand) <=
         |   2 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM corpus))
-        |    AS within_bound""".stripMargin) { (s, dir) =>
+        |    AS within_bound,
+        |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val subbed = docs.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -343,7 +349,11 @@ object DedupQueries {
           AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
           AuditSampling.bound(col("n_candidates"), col("n_pairs"),
             alpha = 2, linear = lit(2) * col("n_corpus"), m = m)
-            .as("within_bound"))
+            .as("within_bound"),
+          // the effective sampling modulus rides the output row: a sampled
+          // run is self-marking (a leaked SPARK_GRAFT_AUDIT_SAMPLE_MOD can
+          // never pass as an exact certification)
+          lit(m).as("sample_mod"))
     },
 
     // Per-document duplication-density score: the doc-level FILTER signal

@@ -183,7 +183,8 @@ object EmbeddingQueries {
          |  ((SELECT count(*) FROM cand) <=
          |   2 * (SELECT count(*) FROM outp)
          |   + 32 * (SELECT b FROM params) * (SELECT count(*) FROM c))
-         |    AS within_bound""".stripMargin) { (s, dir) =>
+         |    AS within_bound,
+        |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val n = 2L * e.count()
       val (bands, _) = Similarity.bandParams(n)
@@ -212,7 +213,9 @@ object EmbeddingQueries {
           AuditSampling.scaled(col("n_pairs"), smod).as("n_pairs"),
           AuditSampling.bound(col("n_candidates"), col("n_pairs"),
             alpha = 2, linear = lit(32L) * lit(bands) * col("n_corpus"),
-            m = smod).as("within_bound"))
+            m = smod).as("within_bound"),
+          // self-marking sampled output (see q230)
+          lit(smod).as("sample_mod"))
     },
 
     // Per-label corpus statistics over exact-selection aggregates (norms are

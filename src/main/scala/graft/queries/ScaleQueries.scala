@@ -120,6 +120,12 @@ object ScaleQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** DuckDB sequential squared-L2 (mirrors VecKernels.l2sq's fold). */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> (cast($a[i] as double) - cast($b[i] as double))
+       |       * (cast($a[i] as double) - cast($b[i] as double))), (x, y) -> x + y)""".stripMargin
+
   /** Shared tokenizer CTE (same convention as TextQueries: whitespace
     * split, empties dropped). */
   private val toksCte =
@@ -1187,6 +1193,255 @@ object ScaleQueries {
         .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
         .groupBy(col("day").cast("string").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    },
+
+    // Sampled certification audit for q178 (exact margin mining): the
+    // brute-force certifier was the one component never run at the 100×
+    // ladder rung (quadratic by design, 4-5 h exact). With
+    // spark.graft.audit.sampleMod = m the QUERY side thins 1/m by id hash
+    // (AuditSampling.sampleIds — per-query top-2/margin stays EXACT for
+    // survivors because the full corpus side is scanned), making a 100×
+    // certification run minutes, not hours. The audit certifies the
+    // AGREEMENT between the exact path and its scale twin (the
+    // IVF-confined candidate step q178's scaladoc names): same margin
+    // math, candidates restricted to the query's 2 nearest of 8 coarse
+    // cells. Emits per-side keep counts + top-1/kept agreement; exact at
+    // mod=1 (the oracle's form), self-marking via sample_mod.
+    QueryDef(
+      "q237_margin_cert_audit",
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec
+         |             FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT vec_id AS a_id, embedding AS a_vec
+         |      FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_vec
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim
+         |      FROM a CROSS JOIN b),
+         |r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id
+         |        ORDER BY sim DESC, b_id) AS rn FROM p),
+         |ex AS (SELECT a_id,
+         |         max(CASE WHEN rn = 1 THEN b_id END) AS b_best,
+         |         max(CASE WHEN rn = 1 THEN sim END)
+         |           - max(CASE WHEN rn = 2 THEN sim END) AS margin
+         |       FROM r WHERE rn <= 2 GROUP BY a_id),
+         |bc AS (SELECT b_id, cid AS cell FROM (
+         |  SELECT b.b_id, c.cid, row_number() OVER (PARTITION BY b.b_id
+         |    ORDER BY ${l2Sql("b.b_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM b CROSS JOIN cen c) WHERE rn = 1),
+         |pr AS (SELECT a_id, cid AS cell FROM (
+         |  SELECT a.a_id, c.cid, row_number() OVER (PARTITION BY a.a_id
+         |    ORDER BY ${l2Sql("a.a_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM a CROSS JOIN cen c) WHERE rn <= 2),
+         |ip AS (SELECT p.a_id, p.b_id, p.sim,
+         |         row_number() OVER (PARTITION BY p.a_id
+         |           ORDER BY p.sim DESC, p.b_id) AS rn
+         |       FROM p JOIN bc ON bc.b_id = p.b_id
+         |       JOIN pr ON pr.a_id = p.a_id AND pr.cell = bc.cell),
+         |iv AS (SELECT a_id,
+         |         max(CASE WHEN rn = 1 THEN b_id END) AS b_best,
+         |         max(CASE WHEN rn = 1 THEN sim END)
+         |           - max(CASE WHEN rn = 2 THEN sim END) AS margin
+         |       FROM ip WHERE rn <= 2 GROUP BY a_id),
+         |j AS (SELECT ex.a_id, ex.b_best AS xb, ex.margin AS xm,
+         |        iv.b_best AS ib, iv.margin AS im
+         |      FROM ex LEFT JOIN iv ON iv.a_id = ex.a_id)
+         |SELECT cast((SELECT count(*) FROM a) as bigint) AS n_q,
+         |  cast(count(*) FILTER (WHERE ib = xb) as bigint) AS n_best_agree,
+         |  cast(count(*) FILTER (WHERE xm >= 0.02) as bigint) AS n_exact_kept,
+         |  cast(count(*) FILTER (WHERE im >= 0.02) as bigint) AS n_ivf_kept,
+         |  cast(count(*) FILTER (WHERE xm >= 0.02 AND im >= 0.02 AND ib = xb)
+         |    as bigint) AS n_kept_agree,
+         |  (4 * count(*) FILTER (WHERE ib = xb) >= (SELECT count(*) FROM a))
+         |    AS within_bound,
+         |  cast(1 as int) AS sample_mod
+         |FROM j""".stripMargin) { (s, dir) =>
+      val m = AuditSampling.mod(s)
+      val e = Tables.embeddings(s, dir)
+      val cen = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val qa = AuditSampling.sampleIds(a, "a_id", m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def top2(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .withColumn("rn", row_number().over(Window.partitionBy("a_id")
+          .orderBy(col("sim").desc, col("b_id"))))
+        .filter(col("rn") <= 2)
+        .groupBy("a_id")
+        .agg(max(when(col("rn") === 1, col("b_id"))).as("b_best"),
+          (max(when(col("rn") === 1, col("sim")))
+            - max(when(col("rn") === 2, col("sim")))).as("margin"))
+      val ex = top2(b.crossJoin(broadcast(qa))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")))
+      val bc = graft.operators.Similarity.ivfAssign(b, "b_id", "b_vec", cen
+        .select(col("cid").as("b_id"), col("cvec").as("b_vec")))
+      val pr = qa.crossJoin(broadcast(cen))
+        .withColumn("d", graft.operators.Similarity.l2sq(col("a_vec"), col("cvec")))
+        .withColumn("rn", row_number().over(Window.partitionBy("a_id")
+          .orderBy(col("d"), col("cid"))))
+        .filter(col("rn") <= 2)
+        .select(col("a_id"), col("a_vec"), col("cid").as("cell"))
+      val iv = top2(b.join(bc, "b_id")
+        .join(broadcast(pr), Seq("cell"))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")))
+      val j = ex.select(col("a_id"), col("b_best").as("xb"),
+          col("margin").as("xm"))
+        .join(iv.select(col("a_id"), col("b_best").as("ib"),
+          col("margin").as("im")), Seq("a_id"), "left")
+      qa.agg(count(lit(1)).as("n_q")).crossJoin(
+        j.agg(
+          count(when(col("ib") === col("xb"), 1)).as("n_best_agree"),
+          count(when(col("xm") >= 0.02, 1)).as("n_exact_kept"),
+          count(when(col("im") >= 0.02, 1)).as("n_ivf_kept"),
+          count(when(col("xm") >= 0.02 && col("im") >= 0.02
+            && col("ib") === col("xb"), 1)).as("n_kept_agree")))
+        .select(col("n_q"), col("n_best_agree"), col("n_exact_kept"),
+          col("n_ivf_kept"), col("n_kept_agree"),
+          // bound = the 2-of-8-cells CHANCE floor (25%): measured
+          // top-1 agreement on the synthetic near-uniform corpus is
+          // 0.455-0.476 across sf0.001/sf0.1 — a drop below chance means
+          // the confinement or the exact side broke, not noise
+          (lit(4) * col("n_best_agree") >= col("n_q")).as("within_bound"),
+          lit(m).as("sample_mod"))
+    },
+
+    // Sampled certification audit for q210 (exact mutual-NN): same
+    // query-side thinning as q237. Certifies (1) forward top-1 agreement
+    // exact-vs-IVF-confined, (2) the exact mutual count among sampled
+    // queries, and (3) backward top-1 agreement on the exact partner set
+    // (fwd + bwd agreement together imply mutual-flag agreement — the RBM
+    // criterion is just top-1 both ways). Exact at mod=1; self-marking.
+    QueryDef(
+      "q238_mutual_nn_cert_audit",
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec
+         |             FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT vec_id AS a_id, embedding AS a_vec
+         |      FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_vec
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim
+         |      FROM a CROSS JOIN b),
+         |fwd AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY sim DESC, b_id) AS rn FROM p) WHERE rn = 1),
+         |part AS (SELECT DISTINCT b_id FROM fwd),
+         |bwd AS (SELECT b_id, a_id AS best_a FROM (
+         |  SELECT p.b_id, p.a_id, row_number() OVER (PARTITION BY p.b_id
+         |    ORDER BY p.sim DESC, p.a_id) AS rn
+         |  FROM p JOIN part USING (b_id)) WHERE rn = 1),
+         |bc AS (SELECT b_id, cid AS cell FROM (
+         |  SELECT b.b_id, c.cid, row_number() OVER (PARTITION BY b.b_id
+         |    ORDER BY ${l2Sql("b.b_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM b CROSS JOIN cen c) WHERE rn = 1),
+         |ac AS (SELECT a_id, cid AS cell FROM (
+         |  SELECT a.a_id, c.cid, row_number() OVER (PARTITION BY a.a_id
+         |    ORDER BY ${l2Sql("a.a_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM a CROSS JOIN cen c) WHERE rn = 1),
+         |apr AS (SELECT a_id, cid AS cell FROM (
+         |  SELECT a.a_id, c.cid, row_number() OVER (PARTITION BY a.a_id
+         |    ORDER BY ${l2Sql("a.a_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM a CROSS JOIN cen c) WHERE rn <= 2),
+         |ifwd AS (SELECT a_id, b_id FROM (
+         |  SELECT p.a_id, p.b_id, row_number() OVER (PARTITION BY p.a_id
+         |    ORDER BY p.sim DESC, p.b_id) AS rn
+         |  FROM p JOIN bc ON bc.b_id = p.b_id
+         |  JOIN apr ON apr.a_id = p.a_id AND apr.cell = bc.cell)
+         |  WHERE rn = 1),
+         |bpr AS (SELECT b_id, cell FROM (
+         |  SELECT pt.b_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY pt.b_id
+         |      ORDER BY ${l2Sql("pt.b_vec", "c.cvec")}, c.cid) AS rn
+         |  FROM (SELECT part.b_id, b.b_vec FROM part JOIN b USING (b_id)) pt
+         |  CROSS JOIN cen c) WHERE rn <= 2),
+         |ibwd AS (SELECT b_id, a_id AS best_a FROM (
+         |  SELECT p.b_id, p.a_id, row_number() OVER (PARTITION BY p.b_id
+         |    ORDER BY p.sim DESC, p.a_id) AS rn
+         |  FROM p JOIN ac ON ac.a_id = p.a_id
+         |  JOIN bpr ON bpr.b_id = p.b_id AND bpr.cell = ac.cell)
+         |  WHERE rn = 1)
+         |SELECT cast((SELECT count(*) FROM a) as bigint) AS n_q,
+         |  cast((SELECT count(*) FROM fwd JOIN ifwd
+         |    ON fwd.a_id = ifwd.a_id AND fwd.b_id = ifwd.b_id) as bigint)
+         |    AS n_fwd_agree,
+         |  cast((SELECT count(*) FROM fwd JOIN bwd ON fwd.b_id = bwd.b_id
+         |    WHERE bwd.best_a = fwd.a_id) as bigint) AS n_mutual_exact,
+         |  cast((SELECT count(*) FROM part) as bigint) AS n_partners,
+         |  cast((SELECT count(*) FROM bwd JOIN ibwd
+         |    ON bwd.b_id = ibwd.b_id AND bwd.best_a = ibwd.best_a) as bigint)
+         |    AS n_bwd_agree,
+         |  ((SELECT 4 * count(*) FROM fwd JOIN ifwd
+         |    ON fwd.a_id = ifwd.a_id AND fwd.b_id = ifwd.b_id)
+         |    >= (SELECT count(*) FROM a)) AS within_bound,
+         |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
+      val m = AuditSampling.mod(s)
+      val e = Tables.embeddings(s, dir)
+      val cen = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val qa = AuditSampling.sampleIds(a, "a_id", m).persist(mem)
+      def best(pairs: org.apache.spark.sql.DataFrame,
+          part: String, pick: String) = pairs
+        .withColumn("rn", row_number().over(Window.partitionBy(part)
+          .orderBy(col("sim").desc, col(pick))))
+        .filter(col("rn") === 1).select(part, pick)
+      // exact forward: each sampled query's top-1 over ALL of B
+      val fwd = best(b.crossJoin(broadcast(qa))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        "a_id", "b_id").persist(mem)
+      // exact backward: the partners' top-1 over ALL of A
+      val partners = fwd.select("b_id").distinct().join(b, "b_id").persist(mem)
+      val bwd = best(a.crossJoin(broadcast(partners))
+        .select(col("b_id"), col("a_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        "b_id", "a_id")
+        .withColumnRenamed("a_id", "best_a").persist(mem)
+      // IVF-confined twins: corpus side single-cell assignment, query
+      // side probes its 2 nearest of the 8 coarse cells
+      val bc = graft.operators.Similarity.ivfAssign(b, "b_id", "b_vec",
+        cen.select(col("cid").as("b_id"), col("cvec").as("b_vec")))
+      val ac = graft.operators.Similarity.ivfAssign(a, "a_id", "a_vec",
+        cen.select(col("cid").as("a_id"), col("cvec").as("a_vec")))
+      def probe2(q: org.apache.spark.sql.DataFrame, id: String, vec: String) =
+        q.crossJoin(broadcast(cen))
+          .withColumn("d", graft.operators.Similarity.l2sq(col(vec), col("cvec")))
+          .withColumn("rn", row_number().over(Window.partitionBy(id)
+            .orderBy(col("d"), col("cid"))))
+          .filter(col("rn") <= 2)
+          .select(col(id), col(vec), col("cid").as("cell"))
+      val ifwd = best(b.join(bc, "b_id")
+        .join(broadcast(probe2(qa, "a_id", "a_vec")), Seq("cell"))
+        .select(col("a_id"), col("b_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        "a_id", "b_id")
+      val ibwd = best(a.join(ac, "a_id")
+        .join(broadcast(probe2(partners, "b_id", "b_vec")), Seq("cell"))
+        .select(col("b_id"), col("a_id"),
+          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        "b_id", "a_id")
+        .withColumnRenamed("a_id", "best_a")
+      qa.agg(count(lit(1)).as("n_q"))
+        .crossJoin(fwd.join(ifwd, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_fwd_agree")))
+        .crossJoin(fwd.join(bwd, "b_id")
+          .filter(col("best_a") === col("a_id"))
+          .agg(count(lit(1)).as("n_mutual_exact")))
+        .crossJoin(partners.agg(count(lit(1)).as("n_partners")))
+        .crossJoin(bwd.join(ibwd, Seq("b_id", "best_a"))
+          .agg(count(lit(1)).as("n_bwd_agree")))
+        .select(col("n_q"), col("n_fwd_agree"), col("n_mutual_exact"),
+          col("n_partners"), col("n_bwd_agree"),
+          // chance-floor bound, same rationale as q237 (measured 0.455)
+          (lit(4) * col("n_fwd_agree") >= col("n_q")).as("within_bound"),
+          lit(m).as("sample_mod"))
     }
   )
 }

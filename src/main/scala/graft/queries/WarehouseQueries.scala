@@ -357,7 +357,8 @@ object WarehouseQueries {
         |  cast((SELECT count(*) FROM outp) as bigint) AS n_pairs,
         |  ((SELECT count(*) FROM cand) <=
         |   4 * (SELECT count(*) FROM outp) + 2 * (SELECT count(*) FROM t5))
-        |    AS within_bound""".stripMargin) { (s, dir) =>
+        |    AS within_bound,
+        |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
       val m = AuditSampling.mod(s)
       val (t5, cand, outp) =
         containmentPipeline(s, dir, persistCand = true, sampleMod = m)
@@ -369,7 +370,9 @@ object WarehouseQueries {
           AuditSampling.scaled(col("n_pairs"), m).as("n_pairs"),
           AuditSampling.bound(col("n_candidates"), col("n_pairs"),
             alpha = 4, linear = lit(2) * col("n_docs"), m = m)
-            .as("within_bound"))
+            .as("within_bound"),
+          // self-marking sampled output (see q230)
+          lit(m).as("sample_mod"))
     },
 
     // RFM segmentation: per-user recency/frequency/monetary over purchase
@@ -657,7 +660,13 @@ object WarehouseQueries {
     // quantiles — rank selection over the group (rank (n+1)÷2 = median,
     // ⌈0.9n⌉ = p90), never an interpolating percentile (whose float
     // midpoint arithmetic is engine-specific). All times are integer µs;
-    // deltas bucket to whole hours by floor division. Scale shape: two
+    // deltas bucket to whole hours. Integer-division parity: DuckDB's
+    // `//` TRUNCATES exactly like Spark's `div` (verified: -7//2 = -3 in
+    // both), so day/hour/week buckets agree for ALL epochs incl.
+    // pre-1970; the weekday mod is the one divergence (Spark pmod is
+    // always-positive, DuckDB % is sign-preserving), closed by the
+    // double-mod `((x % 7) + 7) % 7` in the oracle — identical to pmod
+    // for every sign. Scale shape: two
     // combining pre-aggregates keyed on user_id (first view, first
     // qualifying purchase — map-side combinable min), then a window over
     // the 7-row-bounded cohort key only AFTER the per-user reduction, so
@@ -674,7 +683,7 @@ object WarehouseQueries {
         |      WHERE p.event_type = 'purchase' AND p.us >= v.v_us
         |      GROUP BY 1, 2),
         |w AS (SELECT user_id, (p_us - v_us) // 3600000000 AS delta_hr,
-        |        ((v_us // 86400000000) + 4) % 7 AS wd FROM c),
+        |        ((((v_us // 86400000000) + 4) % 7) + 7) % 7 AS wd FROM c),
         |r AS (SELECT *,
         |        row_number() OVER (PARTITION BY wd
         |                           ORDER BY delta_hr, user_id) AS rk,
@@ -713,7 +722,10 @@ object WarehouseQueries {
     // Cohort LTV matrix: users cohorted by the epoch-week of their FIRST
     // purchase; each later purchase lands in (cohort_week, week_offset)
     // with exact integer cents — the retention/LTV triangle every
-    // subscription warehouse derives. Scale shape: one per-user combining
+    // subscription warehouse derives. Week bucketing uses truncating
+    // integer division in BOTH engines (DuckDB `//` == Spark `div`,
+    // verified on negatives), so the mapping agrees for all epochs.
+    // Scale shape: one per-user combining
     // min for the cohort, one shuffle join back on user_id (both sides
     // co-partitioned on the same key — a single exchange each), one
     // combining aggregate; count(DISTINCT user_id) per cell is Spark's

@@ -74,4 +74,37 @@ class AuditSamplingSpec extends SparkSpec {
     assert(eval(AuditSampling.scaled(col("cand"), 1)) === 100L)
     assert(eval(AuditSampling.scaled(col("cand"), 10)) === 1000L)
   }
+
+  test("sampleIds: identity at mod 1; deterministic ~1/m id subset") {
+    val ids = (0L until 3000L).toDF("a_id")
+    assert(AuditSampling.sampleIds(ids, "a_id", 1).count() === 3000L)
+    val s1 = AuditSampling.sampleIds(ids, "a_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = AuditSampling.sampleIds(ids, "a_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "id sampling must be deterministic")
+    assert(s1.size > 150 && s1.size < 600, s"expected ~300, got ${s1.size}")
+    // survivors keep EXACT per-query semantics: the sample is a subset of
+    // the id space, never a rewrite of it
+    assert(s1.subsetOf((0L until 3000L).toSet))
+  }
+
+  test("audit output self-marks its sampling modulus (sample_mod column)") {
+    // a leaked SPARK_GRAFT_AUDIT_SAMPLE_MOD must never let a sampled run
+    // pass as an exact certification: the effective mod rides the row
+    val key = "spark.graft.audit.sampleMod"
+    spark.conf.unset(key)
+    try {
+      val exact = SparkEntry.queries("q230_minhash_cand_audit")(spark, sf0001)
+        .collect()(0)
+      assert(exact.getAs[Int]("sample_mod") === 1)
+      spark.conf.set(key, "3")
+      val sampled = SparkEntry
+        .queries("q230_minhash_cand_audit")(spark, sf0001).collect()(0)
+      assert(sampled.getAs[Int]("sample_mod") === 3)
+    } finally {
+      spark.conf.unset(key)
+      spark.catalog.clearCache()
+    }
+  }
 }

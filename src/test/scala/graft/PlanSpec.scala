@@ -581,10 +581,52 @@ class PlanSpec extends SparkSpec {
       val cand = graft.operators.Similarity.bandedCandidates(
         emb, "vec_id", "embedding", baseBits = 8, baseBands = 3)
       assert(cand.columns.toSeq === Seq("a_id", "b_id"))
-      Thread.sleep(1500) // listener bus drains async; events post in ms
-      assert(jobs.get() === 0,
-        s"plan-build triggered ${jobs.get()} Spark job(s)")
+      // Drain the async listener bus deterministically: job events post
+      // FIFO, so once a sentinel job (run AFTER plan-build) is observed,
+      // any plan-build job-start would already have been counted — no
+      // fixed sleep (which can false-pass on a loaded box when a late
+      // event slips past the assertion).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() === 1, // the sentinel and ONLY the sentinel
+        s"plan-build triggered ${jobs.get() - 1} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("graph loops: per-round join exchanges ONLY the frontier side") {
+    // The iterative loops (bfsLevels/ssspRounds/pagerank*) persist the
+    // edge list hash-partitioned on `src` (GraphOps.persistByKey): the
+    // cache's preserved outputPartitioning must satisfy the per-round
+    // join's edge-side distribution, so each relaxation round exchanges
+    // only the frontier/dist side — and the SHUFFLE_HASH hint keeps the
+    // cached edge partitions streaming (no per-round full-edge sort).
+    import spark.implicits._
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = spark.range(0, 1000)
+        .selectExpr("id % 97 as src", "(id * 7) % 97 as dst")
+      val e = graft.operators.GraphOps.persistByKey(edges.toDF(), "src")
+      e.count() // materialize, as the loops' first action does
+      val dist = Seq((1L, 0L)).toDF("v", "d").localCheckpoint()
+      val round = dist.hint("SHUFFLE_HASH").join(e, dist("v") === e("src"))
+      val p = round.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      // the cached relation's dump shows its one-time REPARTITION_BY_COL
+      // exchange; the per-ROUND exchanges are the ENSURE_REQUIREMENTS ones
+      val exchanges = p.linesIterator.count(_.contains("ENSURE_REQUIREMENTS"))
+      assert(exchanges == 1,
+        s"want 1 per-round exchange (frontier side only), got $exchanges:\n$p")
+      assert(p.contains("hashpartitioning(v#"),
+        "the per-round exchange must be on the frontier key:\n" + p)
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(!p.contains("SortMergeJoin"),
+        "edge side must stream unsorted from cache:\n" + p)
+      e.unpersist()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
   test("extract pipeline is a single narrow projection (no exchange)") {

@@ -21,6 +21,9 @@ MOD="${2:-100}"
 SPARK_GRAFT_AUDIT_SAMPLE_MOD=1 tools/run_main.sh graft.cli.QueryShow "$DIR" \
   q232_shingleblock_cand_audit
 export SPARK_GRAFT_AUDIT_SAMPLE_MOD="$MOD"
+# q237/q238: the exact brute-force certifiers' sampled agreement audits
+# (query-side thinning — per-query answers stay exact; see AuditSampling)
 exec tools/run_main.sh graft.cli.QueryShow "$DIR" \
   q230_minhash_cand_audit q231_lshband_cand_audit \
-  q233_prefixblock_cand_audit
+  q233_prefixblock_cand_audit \
+  q237_margin_cert_audit q238_mutual_nn_cert_audit
