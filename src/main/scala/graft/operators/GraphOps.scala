@@ -266,9 +266,12 @@ object GraphOps {
       when(col("is_seed") === 1, lit(scale)).otherwise(lit(0L)).as("r"))
     var prevCached: DataFrame = null
     (1 to iters).foreach { _ =>
+      // NO SHUFFLE_HASH hint here, unlike bfs/sssp: measured at the 100×
+      // rung the hinted SHJ ran 163.5 s vs 125.2 s for the default SMJ —
+      // the ranks side is large (every node, not a frontier) and skewed
+      // toward hub sources, and SMJ under AQE keeps the skew-split option
       val contrib = e
-        .join(ranks.select(col("v").as("src"), col("r")).hint("SHUFFLE_HASH"),
-          Seq("src"))
+        .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("v"), expr("r div od").as("c"))
         .groupBy("v").agg(sum(col("c")).as("m"))
       ranks = nodes.join(contrib, Seq("v"), "left")
