@@ -1442,6 +1442,119 @@ object ScaleQueries {
           // chance-floor bound, same rationale as q237 (measured 0.455)
           (lit(4) * col("n_fwd_agree") >= col("n_q")).as("within_bound"),
           lit(m).as("sample_mod"))
+    },
+
+    // Windowed distinct-user HLL INSIDE Structured Streaming (the
+    // streaming twin of batch q135, the sketch twin of exact-state q159):
+    // the native Hll64Agg register buffer is the state — 64 ints per
+    // (window, type) group regardless of user cardinality, the O(1)-state
+    // form of windowed COUNT DISTINCT that an unbounded stream requires.
+    // md5-seeded registers make the estimate bit-reproducible, so the
+    // oracle replays the windowed register fold exactly.
+    QueryDef(
+      "q239_stream_windowed_hll",
+      s"""WITH u AS (SELECT DISTINCT
+         |    strftime(make_timestamp((epoch_us(cast(ts as timestamp))
+         |      // 21600000000) * 21600000000), '%Y-%m-%d %H:%M') AS win_start,
+         |    event_type,
+         |    cast(user_id as varchar) AS term
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hx AS (SELECT win_start, event_type,
+         |         ${XHash.bucketHashSql("hll", "term")} AS h FROM u),
+         |rr AS (SELECT win_start, event_type, h % 64 AS reg,
+         |         CASE WHEN (h // 64) = 0 THEN 55
+         |              ELSE 55 - length(bin(h // 64)) END AS rank
+         |       FROM hx),
+         |regs AS (SELECT win_start, event_type, reg, max(rank) AS rank
+         |         FROM rr GROUP BY 1, 2, 3),
+         |f AS (SELECT g.win_start, g.event_type, r.range AS reg,
+         |        coalesce(regs.rank, 0) AS rank
+         |      FROM (SELECT DISTINCT win_start, event_type FROM regs) g
+         |      CROSS JOIN range(0, 64) r
+         |      LEFT JOIN regs ON regs.win_start = g.win_start
+         |        AND regs.event_type = g.event_type AND regs.reg = r.range),
+         |hs AS (SELECT win_start, event_type,
+         |         list_reduce(
+         |           [cast(0.0 as double)] || list(pow(0.5, rank) ORDER BY reg),
+         |           (x, y) -> x + y) AS hsum
+         |       FROM f GROUP BY 1, 2)
+         |SELECT win_start, event_type,
+         |  cast(cast(${Sketches.hllAlpha} as double) * 64 * 64 / hsum
+         |    as double) AS est_distinct
+         |FROM hs""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.runStreamingHll(s, dir,
+        "q239_shll_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+
+    // First-order Markov transition matrix over per-user event sequences
+    // — the behavioral-model fit every clickstream pipeline runs. ONE
+    // shuffle on user_id orders each user's events (ties broken by the
+    // unique event_id, so `lead` is deterministic on both engines), then
+    // the (src, dst) count aggregate is map-side combinable and the
+    // transition matrix itself is |types|² — tiny at any corpus scale, so
+    // the per-src normalizing join broadcasts. p is ONE IEEE division of
+    // two exact bigints — bit-identical across engines.
+    QueryDef(
+      "q240_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT event_type AS src_type, next_type AS dst_type,
+        |        count(*) AS n
+        |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src_type, sum(n) AS tn FROM t GROUP BY 1)
+        |SELECT src_type, dst_type, cast(n as bigint) AS n,
+        |  cast(n as double) / cast(tn as double) AS p
+        |FROM t JOIN tot USING (src_type)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy("src_type").agg(sum(col("n")).as("tn"))
+      t.join(broadcast(tot), Seq("src_type"))
+        .select(col("src_type"), col("dst_type"), col("n"),
+          (col("n").cast("double") / col("tn").cast("double")).as("p"))
+    },
+
+    // Top-k trigram paths: the most common 3-step event-type sequences
+    // across users (the n-gram generalization of q240's pairs — session
+    // path mining). Two leads over the same user-ordered window = still
+    // ONE shuffle; the path census is |types|³ so the top-k sort is a
+    // driver-trivial frame. Rank ties break lexicographically so the
+    // k-boundary membership is deterministic on both engines.
+    QueryDef(
+      "q241_trigram_paths",
+      """WITH s AS (SELECT
+        |    event_type AS a,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS c
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT a, b, c, count(*) AS n FROM s
+        |      WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT a, b, c, n, row_number()
+        |        OVER (ORDER BY n DESC, a, b, c) AS rnk
+        |      FROM t)
+        |SELECT a, b, c, cast(n as bigint) AS n, cast(rnk as int) AS rnk
+        |FROM r WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type").as("a"), col("ts"), col("event_id"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .withColumn("c", lead(col("a"), 2).over(w))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+      t.withColumn("rnk",
+          row_number().over(Window.orderBy(col("n").desc, col("a"), col("b"), col("c"))))
+        .filter(col("rnk") <= 20)
+        .select(col("a"), col("b"), col("c"), col("n"), col("rnk"))
     }
   )
 }

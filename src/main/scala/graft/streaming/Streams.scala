@@ -220,6 +220,47 @@ object Streams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Watermarked windowed distinct-user HLL per event type — the native
+    * one-pass [[graft.plans.Hll64Agg]] register aggregate running INSIDE
+    * Structured Streaming. Each micro-batch folds its rows into the
+    * per-(window, type) 64-int register buffer map-side, so the state
+    * store carries ONE small int array per group — counting distinct
+    * users over an unbounded stream in O(windows · types · 64) state,
+    * which is the standing reason sketch aggregates exist in stream
+    * processing (exact streaming distinct = q159's unbounded key state).
+    * Register/rank semantics are exactly [[graft.operators.Sketches]]'
+    * md5-seeded ones, so the windowed estimate is bit-reproducible and
+    * the batch oracle replays it register-for-register (the streaming
+    * twin of the batch q135). Bounded input + AvailableNow ⇒ the result
+    * equals the batch windowed aggregate, which is the oracle.
+    */
+  def runStreamingHll(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val agg = readEventsStream(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(graft.plans.Hll64Agg(col("user_id")).as("regs"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"),
+          (lit(graft.operators.Sketches.hllAlpha) * 64 * 64 /
+            aggregate(col("regs"), lit(0.0),
+              (acc, x) => acc + pow(lit(0.5), x))).as("est_distinct"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Watermarked stream-stream interval join: each click pairs with the
     * same user's purchases landing in [click, click + `withinHours`h] —
     * the attribution join every event pipeline runs. Both sides carry

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed streaming HLL equals the batch native-register aggregate") {
+    // the streaming state is the 64-int register buffer itself, so on
+    // bounded input the estimate must be BIT-identical to the batch
+    // Hll64Agg over the same windows — not approximately equal
+    val streamed = Streams.runStreamingHll(spark, sf0001, "spec_shll")
+      .as[(String, String, Double)].collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .groupBy(
+        date_format(timestamp_seconds(
+          floor(unix_timestamp(col("ts")) / 21600) * 21600),
+          "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"))
+      .agg(graft.plans.Hll64Agg(col("user_id")).as("regs"))
+      .select(col("win_start"), col("event_type"),
+        (lit(graft.operators.Sketches.hllAlpha) * 64 * 64 /
+          aggregate(col("regs"), lit(0.0),
+            (acc, x) => acc + pow(lit(0.5), x))).as("est_distinct"))
+      .as[(String, String, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup equals batch dropDuplicates on bounded input") {
     val streamed = Streams.runStreamingDedup(spark, sf0001, "spec_dedup")
       .as[(Long, String)].collect().toSet

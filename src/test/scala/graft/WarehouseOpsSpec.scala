@@ -126,4 +126,42 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(2 * ni >= math.min(sa.size, sb.size))
     }
   }
+
+  test("q240 markov transitions: rows normalize to 1 and conserve sequence mass") {
+    val out = SparkEntry.queries("q240_markov_transitions")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // each source row is a probability distribution over successors
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val pSum = rows.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"src $src p-sum $pSum")
+      assert(rows.map(_._2).distinct.length == rows.length, s"src $src dup dst")
+    }
+    // Σ n over the matrix = Σ_users (events_u − 1): every adjacent pair in
+    // every user's sequence is counted exactly once, none invented
+    val total = out.map(_._3).sum
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1)).as[Long].head()
+    assert(total == expected, s"transition mass $total vs $expected")
+  }
+
+  test("q241 trigram paths: contiguous deterministic rank, counts consistent with q240") {
+    val tri = SparkEntry.queries("q241_trigram_paths")(spark, sf0001)
+      .as[(String, String, String, Long, Int)].collect()
+    assert(tri.nonEmpty && tri.length <= 20)
+    assert(tri.map(_._5).sorted.toSeq == (1 to tri.length))
+    // ranks follow (n desc, a, b, c) — re-sorting by that key preserves rnk
+    val resorted = tri.sortBy(t => (-t._4, t._1, t._2, t._3)).map(_._5).toSeq
+    assert(resorted == (1 to tri.length))
+    // a trigram (a,b,c) is a refinement of the (a,b) transition: its count
+    // can never exceed q240's n for that pair
+    val bi = SparkEntry.queries("q240_markov_transitions")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    tri.foreach { case (a, b, _, n, _) =>
+      assert(n <= bi.getOrElse((a, b), 0L), s"trigram ($a,$b) exceeds bigram")
+    }
+  }
 }
