@@ -629,6 +629,30 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("q240/q241: sequence windows partition by user; normalizer broadcasts") {
+    // the lead() window must shuffle on user_id (one exchange carries the
+    // whole sequence-mining pass), the per-src normalizing join must
+    // broadcast the |types|-row total — never reshuffle the matrix — and
+    // nothing may degenerate to a cartesian pair join
+    val p = plan("q240_markov_transitions")
+    assert(p.contains("hashpartitioning(user_id#"),
+      "sequence window must partition by user_id:\n" + p)
+    assert(p.contains("BroadcastExchange"),
+      "per-src totals must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    val p2 = plan("q241_trigram_paths")
+    assert(p2.contains("hashpartitioning(user_id#"),
+      "trigram window must partition by user_id:\n" + p2)
+    // Catalyst's window-group-limit rewrite turns the rank<=20 filter
+    // into a distributed TakeOrderedAndProject over the aggregated
+    // |types|^3 census — per-partition top-k, no single-partition
+    // exchange of the census at all. Lock that shape.
+    assert(p2.contains("TakeOrderedAndProject"),
+      "global top-k must be a distributed take, not a full sort:\n" + p2)
+    assert(p2.contains("HashAggregate"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("extract pipeline is a single narrow projection (no exchange)") {
     val dir = "/root/reference/orderly/data/test_data/ord_test_data"
     assume(new java.io.File(dir).exists(), "reference checkout not present")
