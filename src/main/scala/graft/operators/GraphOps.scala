@@ -27,6 +27,19 @@ object GraphOps {
     df.repartition(col(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** One relaxation round's frontier⋈edges join — the per-round plan
+    * contract [[bfsLevels]] and [[ssspRounds]] share: SHUFFLE_HASH on the
+    * (small) frontier/dist side builds the hash table there and STREAMS
+    * the hash(src)-partitioned edge cache unsorted, so the round
+    * exchanges ONLY the frontier side (SMJ would re-sort the full edge
+    * list every round — the cache satisfies the join's distribution, not
+    * its ordering). Extracted so PlanSpec locks the PRODUCTION join
+    * shape, not a hand-built replica of it: `frontier` must carry the
+    * vertex in column `v`, `e` must be a [[persistByKey]](_, "src")
+    * edge frame. */
+  private[graft] def frontierEdgeJoin(frontier: DataFrame, e: DataFrame): DataFrame =
+    frontier.hint("SHUFFLE_HASH").join(e, frontier("v") === e("src"))
+
   /** Undirected co-occurrence edges from a (groupKey, item) fact: items
     * sharing a group become an edge, oriented a < b so each undirected edge
     * appears exactly once. One self-join per group (fan-out bounded by
@@ -138,11 +151,7 @@ object GraphOps {
     var frontier = visited.select("v")
     var i = 1
     while (i <= maxIters && !frontier.isEmpty) {
-      // SHUFFLE_HASH on the frontier: builds the hash table on the small
-      // side and STREAMS the cached edge partitions — SMJ would re-sort
-      // the full edge list every round (the cache satisfies the join's
-      // distribution, not its ordering)
-      val next = frontier.hint("SHUFFLE_HASH").join(e, frontier("v") === e("src"))
+      val next = frontierEdgeJoin(frontier, e)
         .select(col("dst").as("v")).distinct()
         .join(visited.select("v"), Seq("v"), "left_anti")
         .withColumn("lvl", lit(i))
@@ -196,9 +205,7 @@ object GraphOps {
     val e = persistByKey(edges.select(col("src"), col("dst"), col("w")), "src")
     var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint()
     (1 to rounds).foreach { _ =>
-      // SHUFFLE_HASH: build on dist, stream the cached edge partitions
-      // unsorted (see bfsLevels)
-      val relaxed = dist.hint("SHUFFLE_HASH").join(e, dist("v") === e("src"))
+      val relaxed = frontierEdgeJoin(dist, e)
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("v").agg(min(col("d")).as("d"))

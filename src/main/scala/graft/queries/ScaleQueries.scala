@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +134,42 @@ object ScaleQueries {
       |  SELECT doc_id, text, lang, n_chars,
       |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
+
+  /** Shared machinery for the exact-certifier agreement audits
+    * (q237/q238): ONE definition of the corpus split (vec_id < 8 = the 8
+    * coarse centroids; even ids = query half, odd ids = corpus half) and
+    * of the query-side nprobe-nearest-cell assignment, so the two audits'
+    * IVF-confined twins can never drift apart from each other — the
+    * convention lives here and in the paired oracle SQL only. */
+  private def certSplit(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables.embeddings(s, dir)
+    (e.filter(col("vec_id") < 8)
+       .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+     e.filter(col("vec_id") % 2 === 0)
+       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec")),
+     e.filter(col("vec_id") % 2 === 1)
+       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+  }
+
+  /** Query-side probe: each row of `q` assigned its `nprobe` nearest of
+    * the 8 coarse cells (L2, ties by cid — the same convention as
+    * [[graft.operators.Similarity.ivfAssign]]'s single-cell form). */
+  private def probeCells(q: org.apache.spark.sql.DataFrame, id: String,
+      vec: String, cen: org.apache.spark.sql.DataFrame,
+      nprobe: Int): org.apache.spark.sql.DataFrame =
+    q.crossJoin(broadcast(cen))
+      .withColumn("d", graft.operators.Similarity.l2sq(col(vec), col("cvec")))
+      .withColumn("rn", row_number().over(Window.partitionBy(id)
+        .orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col(id), col(vec), col("cid").as("cell"))
+
+  /** Corpus-side single-cell assignment for the certifier audits. */
+  private def corpusCells(b: org.apache.spark.sql.DataFrame,
+      cen: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Similarity.ivfAssign(b, "b_id", "b_vec",
+      cen.select(col("cid").as("b_id"), col("cvec").as("b_vec")))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1256,13 +1293,7 @@ object ScaleQueries {
          |  cast(1 as int) AS sample_mod
          |FROM j""".stripMargin) { (s, dir) =>
       val m = AuditSampling.mod(s)
-      val e = Tables.embeddings(s, dir)
-      val cen = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val a = e.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val (cen, a, b) = certSplit(s, dir)
       val qa = AuditSampling.sampleIds(a, "a_id", m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def top2(pairs: org.apache.spark.sql.DataFrame) = pairs
@@ -1276,14 +1307,8 @@ object ScaleQueries {
       val ex = top2(b.crossJoin(broadcast(qa))
         .select(col("a_id"), col("b_id"),
           graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")))
-      val bc = graft.operators.Similarity.ivfAssign(b, "b_id", "b_vec", cen
-        .select(col("cid").as("b_id"), col("cvec").as("b_vec")))
-      val pr = qa.crossJoin(broadcast(cen))
-        .withColumn("d", graft.operators.Similarity.l2sq(col("a_vec"), col("cvec")))
-        .withColumn("rn", row_number().over(Window.partitionBy("a_id")
-          .orderBy(col("d"), col("cid"))))
-        .filter(col("rn") <= 2)
-        .select(col("a_id"), col("a_vec"), col("cid").as("cell"))
+      val bc = corpusCells(b, cen)
+      val pr = probeCells(qa, "a_id", "a_vec", cen, nprobe = 2)
       val iv = top2(b.join(bc, "b_id")
         .join(broadcast(pr), Seq("cell"))
         .select(col("a_id"), col("b_id"),
@@ -1378,13 +1403,7 @@ object ScaleQueries {
          |    >= (SELECT count(*) FROM a)) AS within_bound,
          |  cast(1 as int) AS sample_mod""".stripMargin) { (s, dir) =>
       val m = AuditSampling.mod(s)
-      val e = Tables.embeddings(s, dir)
-      val cen = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val a = e.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val (cen, a, b) = certSplit(s, dir)
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val qa = AuditSampling.sampleIds(a, "a_id", m).persist(mem)
       def best(pairs: org.apache.spark.sql.DataFrame,
@@ -1406,24 +1425,18 @@ object ScaleQueries {
         .withColumnRenamed("a_id", "best_a").persist(mem)
       // IVF-confined twins: corpus side single-cell assignment, query
       // side probes its 2 nearest of the 8 coarse cells
-      val bc = graft.operators.Similarity.ivfAssign(b, "b_id", "b_vec",
-        cen.select(col("cid").as("b_id"), col("cvec").as("b_vec")))
+      val bc = corpusCells(b, cen)
       val ac = graft.operators.Similarity.ivfAssign(a, "a_id", "a_vec",
         cen.select(col("cid").as("a_id"), col("cvec").as("a_vec")))
-      def probe2(q: org.apache.spark.sql.DataFrame, id: String, vec: String) =
-        q.crossJoin(broadcast(cen))
-          .withColumn("d", graft.operators.Similarity.l2sq(col(vec), col("cvec")))
-          .withColumn("rn", row_number().over(Window.partitionBy(id)
-            .orderBy(col("d"), col("cid"))))
-          .filter(col("rn") <= 2)
-          .select(col(id), col(vec), col("cid").as("cell"))
       val ifwd = best(b.join(bc, "b_id")
-        .join(broadcast(probe2(qa, "a_id", "a_vec")), Seq("cell"))
+        .join(broadcast(probeCells(qa, "a_id", "a_vec", cen, nprobe = 2)),
+          Seq("cell"))
         .select(col("a_id"), col("b_id"),
           graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
         "a_id", "b_id")
       val ibwd = best(a.join(ac, "a_id")
-        .join(broadcast(probe2(partners, "b_id", "b_vec")), Seq("cell"))
+        .join(broadcast(probeCells(partners, "b_id", "b_vec", cen, nprobe = 2)),
+          Seq("cell"))
         .select(col("b_id"), col("a_id"),
           graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
         "b_id", "a_id")

@@ -571,10 +571,14 @@ class PlanSpec extends SparkSpec {
     // and plan-BUILD of the banded candidate frame with corpusSize absent
     // triggers no job (the r10 defect: a driver-side count() full-scan at
     // geometry-selection time — an extra corpus pass at 100 TB)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nonSentinel = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(s.properties).exists(
+            _.getProperty("spark.jobGroup.id") == "planspec_sentinel"))
+          sentinelSeen.set(true)
+        else nonSentinel.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -582,15 +586,21 @@ class PlanSpec extends SparkSpec {
         emb, "vec_id", "embedding", baseBits = 8, baseBands = 3)
       assert(cand.columns.toSeq === Seq("a_id", "b_id"))
       // Drain the async listener bus deterministically: job events post
-      // FIFO, so once a sentinel job (run AFTER plan-build) is observed,
-      // any plan-build job-start would already have been counted — no
-      // fixed sleep (which can false-pass on a loaded box when a late
-      // event slips past the assertion).
-      spark.sparkContext.parallelize(Seq(1), 1).count()
+      // FIFO, so once the sentinel job (run AFTER plan-build) is
+      // observed, any plan-build job-start would already have been
+      // counted. The sentinel carries its OWN job group so a plan-build
+      // job can never be mistaken for it — waiting for "any one job"
+      // would false-pass when plan-build fired exactly one job whose
+      // event arrived before the sentinel's.
+      spark.sparkContext.setJobGroup("planspec_sentinel", "listener drain")
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 30_000_000_000L
-      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
-      assert(jobs.get() === 1, // the sentinel and ONLY the sentinel
-        s"plan-build triggered ${jobs.get() - 1} Spark job(s)")
+      while (!sentinelSeen.get() && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(sentinelSeen.get(), "sentinel job never observed on the bus")
+      assert(nonSentinel.get() === 0,
+        s"plan-build triggered ${nonSentinel.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -610,7 +620,10 @@ class PlanSpec extends SparkSpec {
       val e = graft.operators.GraphOps.persistByKey(edges.toDF(), "src")
       e.count() // materialize, as the loops' first action does
       val dist = Seq((1L, 0L)).toDF("v", "d").localCheckpoint()
-      val round = dist.hint("SHUFFLE_HASH").join(e, dist("v") === e("src"))
+      // the PRODUCTION per-round join (the same frontierEdgeJoin call
+      // bfsLevels and ssspRounds execute each round) — a hand-built
+      // replica here would stay green if the loops themselves regressed
+      val round = graft.operators.GraphOps.frontierEdgeJoin(dist, e)
       val p = round.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       // the cached relation's dump shows its one-time REPARTITION_BY_COL
