@@ -501,6 +501,47 @@ object Multimodal {
   def averageHash(payload: Column, gridW: Int, gridH: Int): Column =
     averageHashU(payload, lit(gridW), lit(gridH))
 
+  // Per-task-thread decode memo for [[averageHashMemo]]: access-ordered
+  // LRU so an all-unique corpus costs one eviction per row and O(cap)
+  // memory — never a blow-up, just zero hits.
+  private val ahashMemoCap = 2048
+  private val ahashMemo = new ThreadLocal[
+      java.util.LinkedHashMap[(java.nio.ByteBuffer, Int, Int), Option[Long]]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[(java.nio.ByteBuffer, Int, Int), Option[Long]](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(java.nio.ByteBuffer, Int, Int), Option[Long]])
+            : Boolean = size() > ahashMemoCap
+      }
+  }
+  private val averageHashMemoU = udf((b: Array[Byte], gw: Int, gh: Int) => {
+    if (b == null) None
+    else {
+      val memo = ahashMemo.get()
+      // ByteBuffer equality/hashCode are CONTENT-based — the memo key is
+      // the full payload bytes, never a hash shortcut, so dedup is exact
+      val key = (java.nio.ByteBuffer.wrap(b), gw, gh)
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val h = averageHashJvm(b, gw, gh)
+        memo.put(key, h)
+        h
+      }
+    }
+  })
+  /** [[averageHash]] with an in-partition decode memo (r12 verdict #5):
+    * byte-identical payloads decode ONCE per task thread instead of once
+    * per row. Synthetic and real corpora alike repeat frame payloads
+    * across videos (thumbnails, intro/outro frames, black frames), so the
+    * decode — the dominant constant at the 100× multimodal rung — runs
+    * per DISTINCT payload per partition, with zero added shuffle and no
+    * plan change; per-row results are bit-identical to [[averageHash]]
+    * because the memoized function is pure (locked by MultimodalSpec). */
+  def averageHashMemo(payload: Column, gridW: Int, gridH: Int): Column =
+    averageHashMemoU(payload, lit(gridW), lit(gridH))
+
   /** Deterministic two-tone split PNG: columns left of `splitX` at a
     * seed-jittered dark gray, the rest 150 steps brighter — a REAL PNG
     * whose aHash is formula-predictable (the brightness jitter cancels

@@ -59,6 +59,18 @@ object NpySink {
       if (!it.hasNext) { out.write(header(0L, 0)); return }
       val first = it.next()
       val cols = first.fp.length
+      // Guard the single-file boundary: a .npy is a driver-written local
+      // artifact whose consumer is single-node numpy — refuse matrices past
+      // the point where that consumer (and the driver-side ordered stream)
+      // stops being the right tool. Cluster-scale matrices belong in the
+      // sharded-parquet sink. Override via -Dgraft.npy.maxBytes for a host
+      // that really wants a bigger local file.
+      val bytes = n * cols.toLong * 8L
+      val maxBytes = java.lang.Long.getLong("graft.npy.maxBytes", 64L << 30)
+      require(bytes <= maxBytes,
+        s"refusing .npy of $bytes bytes ($n x $cols int64 > $maxBytes); " +
+          "use the sharded parquet sink for cluster-scale matrices " +
+          "(or raise -Dgraft.npy.maxBytes)")
       out.write(header(n, cols))
       val half = cols / 2
       val bb = ByteBuffer.allocate(cols * 8).order(ByteOrder.LITTLE_ENDIAN)

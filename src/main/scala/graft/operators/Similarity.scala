@@ -334,15 +334,22 @@ object Similarity {
     // the input is a derived frame whose size metadata cannot know
     val n = corpusSize.orElse(metadataRowCount(df)).getOrElse(df.count())
     val (bands, r) = bandParams(n, baseBands, baseBits)
+    val exploded = df.select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("__bk", explode(lshBandKeys(col("v"), bands * r, bands)))
     // persist hash-partitioned on the band key: the self-join below then
     // reads BOTH sides co-partitioned straight from cache (zero join-time
     // exchange) instead of re-shuffling the n·bands exploded rows twice —
     // one up-front exchange at materialization replaces two at the join
-    // (the q231 audit's candidate-generation long pole at the 100× rung)
-    val keyed = df.select(col(id).as("id"), col(vec).as("v"))
-      .withColumn("__bk", explode(lshBandKeys(col("v"), bands * r, bands)))
-      .repartition(col("__bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (the q231 audit's candidate-generation long pole at the 100× rung,
+    // 132.2 → 29.8 s at 400k vectors). Gated on corpus size (r12 verdict
+    // #4): at small n the fixed repartition+persist overhead exceeds the
+    // saved exchange (q231's sf0.1 entry doubled 0.96 → 1.97 s on a ~4k
+    // corpus), so small inputs keep the direct self-join — candidate SET
+    // is identical either way, only the physical plan differs.
+    val keyed =
+      if (n < 50000) exploded
+      else exploded.repartition(col("__bk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = keyed.select(col("id").as("a_id"), col("__bk"))
       .join(keyed.select(col("id").as("b_id"), col("__bk")), Seq("__bk"))
       .filter(col("a_id") < col("b_id"))

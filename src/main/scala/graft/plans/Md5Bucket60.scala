@@ -84,8 +84,24 @@ object Md5Bucket60 {
       }
       i += 1
     }
-    val h = d.digest()
-    // 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    fold60(d.digest())
+  }
+
+  /** `compute(Array(seedUtf8, s))` for non-null `s`, without the per-call
+    * array allocation — the two-part seeded form the sketch aggregates
+    * ([[Hll64Agg]]) hash once per input row. `seedBytes` is the seed's
+    * UTF-8 bytes, precomputed once by the caller. */
+  def computeSeeded(seedBytes: Array[Byte], s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(seedBytes)
+    d.update(SEP)
+    d.update(s.getBytes)
+    fold60(d.digest())
+  }
+
+  // 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+  private def fold60(h: Array[Byte]): Long = {
     var v = 0L
     var j = 0
     while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }

@@ -425,7 +425,7 @@ object PipelineQueries {
         .withColumn("payload", Multimodal.synthSplitPng(lit(64), lit(56),
           (((col("doc_id") + col("f")) % 7 + 1) * 8).cast("int"),
           col("doc_id") * 31 + col("f")))
-        .withColumn("h", Multimodal.averageHash(col("payload"), 8, 7))
+        .withColumn("h", Multimodal.averageHashMemo(col("payload"), 8, 7))
       d.groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
         .select(col("doc_id"), array_join(

@@ -262,7 +262,7 @@ object TextQueries {
       Tables.documents(s, dir)
         .withColumn("payload",
           Multimodal.synthSplitPng(lit(64), lit(56), p * 8, col("doc_id")))
-        .withColumn("ahash", Multimodal.averageHash(col("payload"), 8, 7))
+        .withColumn("ahash", Multimodal.averageHashMemo(col("payload"), 8, 7))
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
     },

@@ -187,7 +187,11 @@ object Streams {
     * production shape for streaming distinct counts: an exact streaming
     * COUNT(DISTINCT) would need unbounded per-key sets. Complete mode +
     * AvailableNow on bounded input equals the batch sketch, which the
-    * oracle replays order-statistic by order-statistic.
+    * oracle replays order-statistic by order-statistic. NOTE: the
+    * watermark is INERT under Complete mode (Spark never evicts window
+    * state or result-table rows there) — this harness assumes bounded
+    * AvailableNow input; an unbounded production deployment would switch
+    * to Append/Update mode, where the same watermark bounds state.
     */
   def runStreamingKmv(spark: SparkSession, dir: String,
       queryName: String): DataFrame = {
@@ -232,7 +236,13 @@ object Streams {
     * md5-seeded ones, so the windowed estimate is bit-reproducible and
     * the batch oracle replays it register-for-register (the streaming
     * twin of the batch q135). Bounded input + AvailableNow ⇒ the result
-    * equals the batch windowed aggregate, which is the oracle.
+    * equals the batch windowed aggregate, which is the oracle. NOTE: the
+    * watermark is INERT under Complete mode (no state or result-table
+    * eviction), so the O(windows·types·64) state claim holds per retained
+    * window but the window set itself grows with stream history — this
+    * harness assumes bounded AvailableNow input; unbounded deployments
+    * would use Append/Update mode, where the watermark evicts closed
+    * windows and the state bound is the advertised one.
     */
   def runStreamingHll(spark: SparkSession, dir: String,
       queryName: String): DataFrame = {

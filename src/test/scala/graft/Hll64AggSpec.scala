@@ -53,5 +53,9 @@ class Hll64AggSpec extends SparkSpec {
     // partial_hll64_agg upstream of the exchange = map-side combine works
     assert(p.contains("partial_hll64_agg") || p.contains("partial hll64_agg")
       || p.contains("Partial"), p)
+    // the packed 8-long fixed-width buffer must plan a HashAggregate (the
+    // r12 array-typed buffer forced SortAggregate — a sort per micro-batch)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
   }
 }

@@ -607,6 +607,41 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.ImageCodec.synthPng(4, 4, 1L), 8, 7).isEmpty)
   }
 
+  test("averageHashMemo == averageHash row-for-row (repeats, uniques, " +
+      "undecodables, nulls)") {
+    // payload battery: heavy repeats (the memo's win case), unique
+    // payloads (the all-miss case), undecodable bytes (memoized None),
+    // and NULLs — plain and memoized hashes must be bit-identical per row
+    val rows: Seq[(Long, Array[Byte])] = (0L until 400L).map { i =>
+      val p =
+        if (i % 4 == 3) s"junk-bytes-$i".getBytes
+        else if (i % 4 == 2) Multimodal.synthSplitPngJvm( // unique per row
+          64, 56, (i % 7 + 1).toInt * 8, 1000L + i)
+        else Multimodal.synthSplitPngJvm( // 7 repeating payloads
+          64, 56, (i % 7 + 1).toInt * 8, 7L)
+      (i, p)
+    }
+    val df = rows.toDF("id", "payload").repartition(5)
+    val got = df
+      .withColumn("plain", Multimodal.averageHash(col("payload"), 8, 7))
+      .withColumn("memo", Multimodal.averageHashMemo(col("payload"), 8, 7))
+      .select("id", "plain", "memo")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(got.length == 400)
+    got.foreach { case (id, plain, memo) =>
+      assert(plain == memo, s"row $id: plain=$plain memo=$memo")
+    }
+    // undecodables memoize as empty; decodables as the closed-form hash
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(3L).isEmpty && byId(2L).nonEmpty)
+    // NULL payloads pass through the memo as null (plain never sees them
+    // in production — synth payloads are non-null by construction)
+    val nulls = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+      .withColumn("memo", Multimodal.averageHashMemo(col("payload"), 8, 7))
+      .select("memo").as[Option[Long]].collect()
+    assert(nulls.toSeq == Seq(None))
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
