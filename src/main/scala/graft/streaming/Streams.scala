@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -37,6 +39,23 @@ object Streams {
     case TimestampNTZType =>
       df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
+  }
+
+  /** Resolve the finished stream's memory-sink table and RELEASE the
+    * catalog registration. Every harness here lands in a memory sink under
+    * a UUID-suffixed temp view; nothing ever dropped those views, so each
+    * run PINNED its full result set on the driver heap for the life of the
+    * session (q164 at the 100× rung: 9.4M session rows ≈ hundreds of MB
+    * per run — the mounting old-gen pressure behind the r12 q164 ladder
+    * variance: later queries in the same sweep fought ever-growing GC).
+    * `spark.table` analyzes eagerly, so the returned frame holds the
+    * resolved memory relation itself and stays fully usable after the
+    * view is dropped; once the CALLER releases the frame, the rows are
+    * garbage — session lifetime no longer accumulates result sets. */
+  private def tableAndRelease(spark: SparkSession, queryName: String): DataFrame = {
+    val out = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -89,7 +108,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    tableAndRelease(spark, queryName)
   }
 
   /** Streaming deduplication: watermarked `dropDuplicates` on the event id
@@ -114,7 +133,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -144,7 +163,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -175,7 +194,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -220,7 +239,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -267,7 +286,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -308,7 +327,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -339,11 +358,28 @@ object Streams {
       val maxMicros = normalizeTs(spark.read.schema(fileSchema).parquet(srcFile))
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
       val stage = Files.createTempDirectory("graft_louter_")
-      Files.copy(Paths.get(srcFile),
-        stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(stage.resolve("events.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3 * 3600000L))
+      // the table may be a single FILE (driver testdata) or a DIRECTORY of
+      // part files (any Spark-written corpus, e.g. the ScaleUp ladder) —
+      // Files.copy of a directory copies an EMPTY dir entry, which made
+      // every ladder-rung run of this harness stream ONLY the sentinel
+      // rows (0 output after the sentinel filter, wall flat at ~5 s
+      // regardless of event mass — the r13 ladder caught it via the row
+      // count; the r9 q82 zero-files class again). Stage every part file.
+      val srcPath = Paths.get(srcFile)
+      val eventParts: Seq[java.nio.file.Path] =
+        if (Files.isDirectory(srcPath)) {
+          val s = Files.list(srcPath)
+          try s.iterator().asScala.toVector
+            .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+          finally s.close()
+        } else Seq(srcPath)
+      eventParts.zipWithIndex.foreach { case (p, i) =>
+        val dst = stage.resolve(f"events_p$i%04d.parquet")
+        Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3 * 3600000L))
+      }
       // sentinel k: one click + one purchase at maxTs + k days, user -1 —
       // written in the SOURCE file's physical ts unit so the stream's
       // declared schema reads both real and sentinel files uniformly
@@ -376,10 +412,14 @@ object Streams {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() - (3 - k) * 3600000L))
       }
+      // one micro-batch for ALL event parts (they share one mtime), then
+      // sent1, then sent2 — a per-part batch cadence would advance the
+      // watermark between parts and late-drop the bulk of a multi-file
+      // corpus (ScaleUp replicas share the driver corpus' ts range)
       def side(): DataFrame = normalizeTs(spark.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events*.parquet")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", eventParts.length.toString)
         .parquet(stage.toString))
       val clicks = side()
         .filter(col("event_type") === "click")
@@ -407,7 +447,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName).filter(col("user_id") >= 0)
+      tableAndRelease(spark, queryName).filter(col("user_id") >= 0)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -444,7 +484,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -535,7 +575,7 @@ object Streams {
       q.awaitTermination()
       // sentinel filter stays out of the streaming plan (see the left-outer
       // harness: pushdown would prune the sentinel files from the scan)
-      spark.table(queryName).filter(col("event_type") =!= "sentinel")
+      tableAndRelease(spark, queryName).filter(col("event_type") =!= "sentinel")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -622,7 +662,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -712,20 +752,42 @@ object Streams {
       queryName: String, gapMinutes: Int): DataFrame = {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Unlike the windowed-agg harnesses (tiny keyed state, 4 partitions
+    // cut micro-batch task overhead), the sessionizer's state scales with
+    // USERS and its per-batch work with events — at the 100× rung 4
+    // partitions meant 2.5M events and ~250k user states per task, one
+    // giant allocation-heavy stage. The stateful exchange inherits the
+    // session's parallelism so per-task state stays small; results are
+    // per-user, partitioning-free.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism).toString)
     try {
       val evs = readEventsStream(spark, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Ev]
-      val q = sessionizeStreaming(evs, gapMinutes).toDF()
-        .writeStream
-        .format("memory")
+      val sessions = sessionizeStreaming(evs, gapMinutes).toDF()
+      // FILE sink, not memory (r12 q164 watch-item root cause): a memory
+      // sink is a driver-side collect — at the 100× rung 9.4M session
+      // rows landed on the driver and every downstream count/write paid a
+      // single-threaded LocalTableScan under mounting GC (the 31→52→120 s
+      // ladder variance on a byte-identical corpus). The parquet sink
+      // writes from the 32 stateful tasks in parallel and the read-back
+      // stays distributed end-to-end — the only shape that survives the
+      // output actually scaling with the input.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sessions_").toString
+      val q = sessions.writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
         .queryName(queryName)
         .outputMode(OutputMode.Append)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName)
+      // explicit schema: an all-open-sessions corpus writes zero files and
+      // schema inference would fail on the empty sink directory
+      spark.read.schema(sessions.schema).parquet(s"$root/out")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
