@@ -547,11 +547,16 @@ object Multimodal {
     * whose aHash is formula-predictable (the brightness jitter cancels
     * under the mean-relative threshold), the q39 pattern applied to
     * perceptual hashing. */
+  /** The seed's brightness-jitter class — the ONLY channel through which
+    * the seed reaches the PNG bytes (shared by the generation memo key). */
+  private def darkJitter(seed: Long): Int =
+    40 + (java.lang.Long.remainderUnsigned(
+      seed * 0x9E3779B97F4A7C15L, 20L)).toInt
+
   def synthSplitPngJvm(width: Int, height: Int, splitX: Int,
       seed: Long): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val dark = 40 + (java.lang.Long.remainderUnsigned(
-      seed * 0x9E3779B97F4A7C15L, 20L)).toInt
+    val dark = darkJitter(seed)
     val bright = dark + 150
     val g = img.createGraphics()
     try {
@@ -567,9 +572,39 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private val synthSplitPngU =
-    udf((w: Int, h: Int, sx: Int, seed: Long) => synthSplitPngJvm(w, h, sx, seed))
-  /** Column wrapper over [[synthSplitPngJvm]]. */
+  // Generation memo: the PNG bytes depend on (w, h, splitX, dark) only —
+  // `dark` collapses the seed to 20 jitter classes — so a corpus-scale
+  // column takes a few hundred DISTINCT payloads. Synthesis is harness
+  // scaffolding (the operator under test is the DECODE side); generating
+  // each distinct payload once per task thread removes a per-row
+  // BufferedImage + ImageIO.write — which serializes under ImageIO's
+  // global stream-cache locking on a 32-thread executor and was the
+  // remaining q172 100×-rung floor after the decode memo.
+  private val synthMemo = new ThreadLocal[
+      java.util.LinkedHashMap[(Int, Int, Int, Int), Array[Byte]]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[(Int, Int, Int, Int), Array[Byte]](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Int, Int, Int), Array[Byte]])
+            : Boolean = size() > ahashMemoCap
+      }
+  }
+  private val synthSplitPngU = udf((w: Int, h: Int, sx: Int, seed: Long) => {
+    val dark = darkJitter(seed)
+    val memo = synthMemo.get()
+    val key = (w, h, sx, dark)
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val bytes = synthSplitPngJvm(w, h, sx, seed)
+      memo.put(key, bytes)
+      bytes
+    }
+  })
+  /** Column wrapper over [[synthSplitPngJvm]], memoized per payload class
+    * (identical (w, h, splitX, dark-jitter) inputs synthesize once per task
+    * thread — byte-identical output, locked by LlmOpsSpec). */
   def synthSplitPng(width: Column, height: Column, splitX: Column,
       seed: Column): Column = synthSplitPngU(width, height, splitX, seed)
 

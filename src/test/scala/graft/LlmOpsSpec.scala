@@ -642,6 +642,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(nulls.toSeq == Seq(None))
   }
 
+  test("memoized synthSplitPng column == direct JVM bytes per seed") {
+    // the generation memo keys on (w, h, splitX, dark-jitter class); the
+    // column output must stay byte-identical to the unmemoized generator
+    // for seeds across and within jitter classes, at any partitioning
+    val rows = (0L until 300L).map(i => (i, (i % 7 + 1).toInt * 8, i * 31))
+    val got = rows.toDF("id", "sx", "seed").repartition(3)
+      .withColumn("p", Multimodal.synthSplitPng(
+        lit(64), lit(56), col("sx"), col("seed")))
+      .select("id", "sx", "seed", "p")
+      .as[(Long, Int, Long, Array[Byte])].collect()
+    assert(got.length == 300)
+    got.foreach { case (id, sx, seed, p) =>
+      val direct = Multimodal.synthSplitPngJvm(64, 56, sx, seed)
+      assert(java.util.Arrays.equals(p, direct), s"row $id")
+    }
+  }
+
   test("frame sampling bounds") {
     val df = Seq(1, 7, 10).toDF("n")
     val out = df.select(size(Multimodal.sampleFrameIdx(col("n"), 3)))
