@@ -1564,9 +1564,14 @@ object ScaleQueries {
         .withColumn("c", lead(col("a"), 2).over(w))
         .filter(col("b").isNotNull && col("c").isNotNull)
         .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
-      t.withColumn("rnk",
+      // top-20 expressed directly as orderBy+limit → TakeOrderedAndProject
+      // by construction (per-partition top-k, no single-partition exchange
+      // of the |types|^3 census), instead of a global-window row_number
+      // that relied on Catalyst's window-group-limit rewrite firing; the
+      // rank is re-derived afterwards over the 20 surviving rows only
+      val top = t.orderBy(col("n").desc, col("a"), col("b"), col("c")).limit(20)
+      top.withColumn("rnk",
           row_number().over(Window.orderBy(col("n").desc, col("a"), col("b"), col("c"))))
-        .filter(col("rnk") <= 20)
         .select(col("a"), col("b"), col("c"), col("n"), col("rnk"))
     }
   )
