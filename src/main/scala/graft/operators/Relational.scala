@@ -346,9 +346,16 @@ object Relational {
     val gcols = groups.map(col)
     val mk = df.groupBy(gcols: _*)
       .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
+    // divide-first bucket id: the naive `(key - mn) * buckets div span`
+    // overflows int64 once the key span exceeds 2^63/buckets (~2.9e17 at
+    // 32 buckets) — real for wide composite order keys (value * 2^42 +
+    // id). `(key - mn) div (span div buckets + 1)` stays within the key's
+    // own magnitude, lands in [0, buckets), and is order-monotone, which
+    // is all the decomposition needs (boundaries may shift; empty buckets
+    // were always allowed).
     val bucketed = df.join(broadcast(mk), groups)
       .withColumn("__b",
-        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+        expr(s"($key - __mn) div ((__mk - __mn) div $buckets + 1)"))
       .drop("__mn", "__mk")
     val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -383,7 +390,8 @@ object Relational {
       .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
     val bucketed = df.join(broadcast(mk), groups)
       .withColumn("__b",
-        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+        // divide-first form: see prefixSumOrderedBy (int64-safe for wide keys)
+        expr(s"($key - __mn) div ((__mk - __mn) div $buckets + 1)"))
       .drop("__mn", "__mk")
     val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
     val inner = bucketed
@@ -424,7 +432,8 @@ object Relational {
       .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
     val bucketed = df.join(broadcast(mk), groups)
       .withColumn("__b",
-        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+        // divide-first form: see prefixSumOrderedBy (int64-safe for wide keys)
+        expr(s"($key - __mn) div ((__mk - __mn) div $buckets + 1)"))
       .drop("__mn", "__mk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
@@ -673,7 +682,8 @@ object Relational {
       .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
     val bucketed = df.join(broadcast(mk), groups)
       .withColumn("__b",
-        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+        // divide-first form: see prefixSumOrderedBy (int64-safe for wide keys)
+        expr(s"($key - __mn) div ((__mk - __mn) div $buckets + 1)"))
       .drop("__mn", "__mk")
     val wIn = Window.partitionBy((gcols :+ col("__b")): _*).orderBy(col(key))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -710,7 +720,8 @@ object Relational {
       .agg(min(col(key)).as("__mn"), max(col(key)).as("__mk"))
     val bucketed = df.join(broadcast(mk), groups)
       .withColumn("__b",
-        expr(s"($key - __mn) * $buckets div (__mk - __mn + 1)"))
+        // divide-first form: see prefixSumOrderedBy (int64-safe for wide keys)
+        expr(s"($key - __mn) div ((__mk - __mn) div $buckets + 1)"))
       .drop("__mn", "__mk")
     val wPre = Window.partitionBy((gcols :+ col("__b")): _*)
       .orderBy(col(key)).rowsBetween(Window.unboundedPreceding, -1)

@@ -509,10 +509,14 @@ object MetricQueries {
         .select(col("c_mktsegment"),
           expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
           col("c_custkey"))
-        // composite makes the order key unique per segment: custkey
-        // stays below the 10^7 stride at every tested SF (~1.5M at
-        // sf=1; a 100 TB run would widen the stride or hash-fold)
-        .withColumn("__k", col("cents") * lit(10000000L) + col("c_custkey"))
+        // composite makes the order key unique per segment. Stride 2^42:
+        // cents <= 999,999 (acctbal cap) keeps cents*2^42 < 2^63, and
+        // custkey < 4.4e12 covers every tested corpus with 3 orders of
+        // magnitude to spare (the 10^7 stride this replaces silently
+        // mis-ranked once ScaleUp's 10^9-shifted custkeys bled into the
+        // cents digits — caught by the sf1 oracle gate, r13)
+        .withColumn("__k",
+          col("cents") * lit(4398046511104L) + col("c_custkey"))
         .withColumn("__one", lit(1L))
       val ranked = graft.operators.Relational
         .prefixSumOrderedBy(c, Seq("c_mktsegment"), "__k", "__one")
@@ -550,9 +554,13 @@ object MetricQueries {
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"), col("n_chars").as("len"))
-        // composite key makes the order unique: doc_id < 10^7 stride at
-        // every tested SF (~6M at sf=1; wider stride or hash-fold beyond)
-        .withColumn("__k", col("len") * lit(10000000L) + col("doc_id"))
+        // composite key makes the order unique. Stride 2^42 (same bound
+        // discipline as q146): doc lengths stay far under the 2^20 cap
+        // and doc_id < 4.4e12 covers ScaleUp-shifted ids, where the old
+        // 10^7 stride let 10^9-shifted doc_ids corrupt the length
+        // ordering (caught by the sf1 oracle gate, r13)
+        .withColumn("__k",
+          col("len") * lit(4398046511104L) + col("doc_id"))
         .withColumn("__one", lit(1L))
         .withColumn("__g", lit(0))
       val nTot = d.count()

@@ -1348,6 +1348,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("prefixSumOrderedBy: wide composite keys (span > 2^63/buckets) rank correctly") {
+    // the q146/q148 class: key = value * 2^42 + id, span ~8.8e17 — the
+    // old multiply-first bucket id overflowed int64 and scrambled ranks
+    val rnd = new scala.util.Random(11L)
+    val rows = (0 until 300).map { i =>
+      val value = rnd.nextInt(200000).toLong
+      (s"g${i % 3}", value * 4398046511104L + i, 1L)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("g", "k", "w")
+    val got = graft.operators.Relational
+      .prefixSumOrderedBy(df, Seq("g"), "k", "w", buckets = 32)
+      .select(col("g"), col("k"), col("__cum"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, k, _), i) =>
+        (g, k) -> (i + 1L)
+      }
+    }
+    assert(got == expect)
+  }
+
   test("leadOrderedBy: per-group sorted-neighbor, empty buckets skipped, null value carried") {
     val rnd = new scala.util.Random(31L)
     // sparse clustered keys → many empty buckets between clusters; some
