@@ -19,6 +19,35 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def materialize_ctes(sql):
+    """Insert MATERIALIZED after each top-level CTE's AS in the WITH
+    prelude only — a blanket `\\w+ AS (` regex also rewrites WINDOW
+    clauses (`WINDOW w AS (...)`), which is a parse error. Walks the
+    prelude: `name AS (`, skip the balanced body, `,` continues."""
+    m = re.match(r"\s*WITH\s+", sql, re.I)
+    if not m:
+        return sql
+    out, i = [sql[:m.end()]], m.end()
+    while True:
+        h = re.match(r"(\w+\s+AS\s+)\(", sql[i:], re.I)
+        if not h:
+            break
+        out.append(h.group(1) + "MATERIALIZED (")
+        i += h.end()
+        depth = 1
+        while i < len(sql) and depth:
+            c = sql[i]
+            depth += 1 if c == "(" else (-1 if c == ")" else 0)
+            out.append(c)
+            i += 1
+        t = re.match(r"\s*,\s*", sql[i:])
+        if not t:
+            break
+        out.append(sql[i:i + t.end()])
+        i += t.end()
+    out.append(sql[i:])
+    return "".join(out)
+
 def norm(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), ignore_index=True)
@@ -54,7 +83,7 @@ def main(sfdir, outdir, only=None):
             continue
         sql = oracle[name]
         if materialize and sql.lstrip().upper().startswith("WITH"):
-            sql = re.sub(r"(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+            sql = materialize_ctes(sql)
         try:
             exp = con.sql(sql).df()
         except Exception as e:
