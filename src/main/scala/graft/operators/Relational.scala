@@ -291,16 +291,20 @@ object Relational {
   /** Distributed exact prefix sum of `w` in ascending `key` order, WITHOUT
     * a global-order window (Window.orderBy with no partition collapses the
     * whole table onto one reducer — the canonical scale-killer). Instead:
-    * order-aligned range buckets (key·B div (max+1) is monotone in key),
-    * a per-bucket running window, and a B-row bucket-offset table that
-    * broadcasts back. The only single-partition work is the B-row offsets
-    * window. Keys must be non-negative and unique; `w` non-negative
-    * integers. Adds `__cum` (inclusive prefix sum). */
+    * order-aligned range buckets (key div (max div B + 1) is monotone in
+    * key and lands in [0, B)), a per-bucket running window, and a B-row
+    * bucket-offset table that broadcasts back. The only single-partition
+    * work is the B-row offsets window. Keys must be non-negative and
+    * unique; `w` non-negative integers. The divide-first bucket id is
+    * overflow-safe for the full non-negative int64 key range — the
+    * multiply-first form (key·B div (max+1)) overflows once key·B > 2^63,
+    * i.e. max > ~2.9e17 at 32 buckets, the same class the grouped op
+    * fixed for wide composite keys. Adds `__cum` (inclusive prefix sum). */
   def prefixSumOrdered(df: DataFrame, key: String, w: String,
       buckets: Int = 32): DataFrame = {
     val mk = df.agg(max(col(key)).as("__mk"))
     val bucketed = df.crossJoin(broadcast(mk))
-      .withColumn("__b", expr(s"$key * $buckets div (__mk + 1)"))
+      .withColumn("__b", expr(s"$key div (__mk div $buckets + 1)"))
       .drop("__mk")
     val wIn = Window.partitionBy("__b").orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -58,6 +58,16 @@ object Streams {
     out
   }
 
+  /** Opt-in per-batch progress dump (SPARK_GRAFT_STREAM_PROGRESS=1): one
+    * JSON line per micro-batch with the engine's own duration breakdown
+    * (triggerExecution / addBatch / commitOffsets / state operators) —
+    * the measurement tool for adjudicating how much of a bounded-run
+    * harness's wall is pacing/commit machinery vs engine work. Diagnostic
+    * only; never set by the driver. */
+  private def logProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p => println("[stream-progress] " + p.json))
+
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     // The table path may be a single FILE named events.parquet (the
     // driver's testdata layout) or a DIRECTORY of part files (any
@@ -108,6 +118,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logProgress(q)
     tableAndRelease(spark, queryName)
   }
 
@@ -133,6 +144,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -163,6 +175,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -194,6 +207,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -239,6 +253,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -286,6 +301,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -327,6 +343,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -447,6 +464,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName).filter(col("user_id") >= 0)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -484,6 +502,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -573,6 +592,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       // sentinel filter stays out of the streaming plan (see the left-outer
       // harness: pushdown would prune the sentinel files from the scan)
       tableAndRelease(spark, queryName).filter(col("event_type") =!= "sentinel")
@@ -662,6 +682,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       tableAndRelease(spark, queryName)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -699,6 +720,7 @@ object Streams {
         }
         .start()
       q.awaitTermination()
+      logProgress(q)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
@@ -785,6 +807,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      logProgress(q)
       // explicit schema: an all-open-sessions corpus writes zero files and
       // schema inference would fail on the empty sink directory
       spark.read.schema(sessions.schema).parquet(s"$root/out")

@@ -1208,6 +1208,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(picked.size - target) <= total / t / target + 1)
   }
 
+  test("prefixSumOrdered: wide keys (max > 2^63/buckets) rank correctly") {
+    // same overflow class the grouped op fixed: key = value * 2^42 + id
+    // pushes key*buckets past 2^63 under the old multiply-first bucket id
+    val rnd = new scala.util.Random(13L)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(2000000).toLong * 4398046511104L + i, 1L)
+    }.groupBy(_._1).map(_._2.head).toSeq
+    val df = rows.toDF("k", "w")
+    val got = graft.operators.Relational.prefixSumOrdered(df, "k", "w")
+      .select(col("k"), col("__cum")).as[(Long, Long)].collect().toMap
+    val expect = rows.sortBy(_._1).zipWithIndex
+      .map { case ((k, _), i) => k -> (i + 1L) }.toMap
+    assert(got == expect)
+  }
+
   test("removeFrequentLines: drops shared chunks, keeps order, drops all-boilerplate docs") {
     // chunk=2; line "x y" planted in 3 docs (>= minDocs=3)
     val docs = Seq(

@@ -23,7 +23,12 @@ def materialize_ctes(sql):
     """Insert MATERIALIZED after each top-level CTE's AS in the WITH
     prelude only — a blanket `\\w+ AS (` regex also rewrites WINDOW
     clauses (`WINDOW w AS (...)`), which is a parse error. Walks the
-    prelude: `name AS (`, skip the balanced body, `,` continues."""
+    prelude: `name AS (`, skip the balanced body, `,` continues. The
+    body walk skips single-quoted string literals (with '' escapes) and
+    `--` line comments — a paren inside either would otherwise
+    desynchronize the depth count and silently leave later CTEs
+    unmaterialized (still-valid SQL, so the only symptom was the
+    exponential re-evaluation this knob exists to prevent)."""
     m = re.match(r"\s*WITH\s+", sql, re.I)
     if not m:
         return sql
@@ -37,6 +42,24 @@ def materialize_ctes(sql):
         depth = 1
         while i < len(sql) and depth:
             c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < len(sql):
+                    if sql[j] == "'":
+                        if j + 1 < len(sql) and sql[j + 1] == "'":
+                            j += 2  # doubled-quote escape stays in-string
+                            continue
+                        break
+                    j += 1
+                out.append(sql[i:j + 1])
+                i = j + 1
+                continue
+            if c == "-" and sql[i:i + 2] == "--":
+                j = sql.find("\n", i)
+                j = len(sql) if j < 0 else j
+                out.append(sql[i:j])
+                i = j
+                continue
             depth += 1 if c == "(" else (-1 if c == ")" else 0)
             out.append(c)
             i += 1
@@ -68,9 +91,11 @@ def main(sfdir, outdir, only=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
     skipped = 0
+    filtered = 0
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if onlyp and not any(name.startswith(p) for p in onlyp):
+            filtered += 1
             continue
         if any(name.startswith(p) for p in skips):
             print(f"SKIP {name}"); skipped += 1; continue
@@ -115,7 +140,12 @@ def main(sfdir, outdir, only=None):
                 print("  want:", e[m].head(3).to_dict("records"))
             fail += 1
     print(f"\n{ok} ok, {fail} failed"
-          + (f", {skipped} skipped" if skipped else ""))
+          + (f", {skipped} skipped" if skipped else "")
+          + (f", {filtered} filtered out by prefix" if filtered else ""))
+    # a typo'd onlyPrefixes must not read as a passing gate over zero queries
+    if onlyp and ok + fail + skipped == 0:
+        print(f"ERROR: onlyPrefixes {onlyp} matched no query outputs")
+        return 1
     return 1 if fail else 0
 
 if __name__ == "__main__":
