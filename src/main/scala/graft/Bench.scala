@@ -64,27 +64,24 @@ object Bench {
     // over-divide; on all observed data the median never exceeded 1.36
     // on a healthy run, and a single 4.27 s probe spike was correctly
     // discarded by the median.
-    def calibrate(): Double = {
+    def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val a = spark.range(0L, 3000000L).select(col("id"),
-          (col("id") % 9973).as("k"), (col("id") % 31).as("g"))
-        val b = spark.range(0L, 9973L).select(col("id").as("k"),
-          (col("id") * 7).as("v"))
-        a.join(b, "k")
-          .withColumn("rn",
-            row_number().over(Window.partitionBy("g").orderBy(col("id"))))
-          .groupBy("k").agg(sum(col("v")).as("s"), max(col("rn")).as("m"))
-          .orderBy(col("s").desc).limit(10).collect()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.gc()
-        sec
-      }
-      val samples = Seq.fill(3)(once()).sorted
-      samples(1)
+      val t0 = System.nanoTime()
+      val a = spark.range(0L, 3000000L).select(col("id"),
+        (col("id") % 9973).as("k"), (col("id") % 31).as("g"))
+      val b = spark.range(0L, 9973L).select(col("id").as("k"),
+        (col("id") * 7).as("v"))
+      a.join(b, "k")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy(col("id"))))
+        .groupBy("k").agg(sum(col("v")).as("s"), max(col("rn")).as("m"))
+        .orderBy(col("s").desc).limit(10).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      sec
     }
+    def calibrate(): Double = Seq.fill(3)(calibrateOnce()).sorted.apply(1)
     val calStart = calibrate()
     // Deterministic name order: Map iteration is hash order, so adding a
     // query would silently reshuffle execution order between rounds and
@@ -136,8 +133,22 @@ object Bench {
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1))
     val midIdx = toRun.size / 2
     var calMid = calStart // overwritten at the sweep midpoint (kept if empty)
+    // Mini-probe SERIES (r13 verdict #1): the 1.8 hard-fire threshold only
+    // catches ≥80% sustained slowdown, so a ~20% loaded day — which pushed
+    // both r13 sweeps to the top of the published band while solo
+    // re-measures showed no code regression — was invisible to it. One
+    // single-shot probe every ~40 queries time-samples the whole sweep
+    // (~9 instants on the full registry, ~0.4 s each, all OUTSIDE the
+    // measured sections); the series MEDIAN is robust to the transient
+    // spikes that poisoned single-instant probes (r11: 2 of 3 instants
+    // caught background spikes on the round's fastest sweep). The series
+    // detects — it never corrects: a mild fire flags the sweep as
+    // load-inflated for the round notes, and the committed number is
+    // re-measured on a quieter box rather than divided by a noisy factor.
+    val probeSeries = scala.collection.mutable.ArrayBuffer[Double]()
     val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midIdx) calMid = calibrate()
+      if (idx % 40 == 0) probeSeries += calibrateOnce()
       val first = measure(fn)
       val samples =
         if (first >= repeatThreshold && repeats > 1)
@@ -169,19 +180,51 @@ object Bench {
       else results.grouped((results.size + 2) / 3).toSeq
         .map(_.map(_._2).sum).padTo(3, 0.0)
     val calEnd = calibrate()
+    probeSeries += calEnd
     val calMedian = Seq(calStart, calMid, calEnd).sorted.apply(1)
     val detectAt = 1.80 // sustained-load detection threshold (see above)
     val idleRef = 1.0   // idle probe center: the divisor once detected
     val loadFactor = if (calMedian >= detectAt) calMedian / idleRef else 1.0
+    val seriesSorted = probeSeries.toSeq.sorted
+    val seriesMedian = seriesSorted(seriesSorted.size / 2)
+    // Mild-sustained-load detection, two independent channels (both flag,
+    // neither corrects):
+    // (1) probe-series median ≥ 1.30 — above the ±17% idle noise envelope
+    //     (observed idle medians 0.88–1.17) but far below the 1.8 hard fire;
+    // (2) all three thirds ≥ 15% above the committed reference thirds in
+    //     BENCH_BAND.json (fixed sorted query order makes thirds the same
+    //     query sets round over round; a uniform all-thirds inflation is
+    //     the signature of sustained load, while a real code regression
+    //     moves only the third(s) holding the touched queries).
+    val mildProbe = loadFactor == 1.0 && seriesMedian >= 1.30
+    val bandRefThirds: Option[Seq[Double]] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) None
+      else scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_BAND.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = """"thirds_ref"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(txt).get
+        m.group(1).split(',').toSeq.map(_.trim.toDouble)
+      }.toOption.filter(_.size == 3)
+    val mildThirds = bandRefThirds.exists(ref =>
+      loadFactor == 1.0 && thirds.zip(ref).forall { case (t, r) => t >= 1.15 * r })
+    val mildLoad = mildProbe || mildThirds
     println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
       f"end=$calEnd%.3f median=$calMedian%.3f load_factor=$loadFactor%.3f " +
       f"thirds=${thirds.map(t => f"$t%.1f").mkString("/")} " +
+      f"probe_series=${probeSeries.map(p => f"$p%.2f").mkString("/")} " +
+      f"series_median=$seriesMedian%.2f mild_load=$mildLoad " +
+      f"(probe=$mildProbe thirds=$mildThirds) " +
       f"normalized_total=${total / loadFactor}%.1f")
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       f""""calibration":$calStart%.3f,"calibration_mid":$calMid%.3f,""" +
       f""""calibration_end":$calEnd%.3f,""" +
       f""""calibration_median":$calMedian%.3f,""" +
       f""""load_factor":$loadFactor%.3f,""" +
+      s""""probe_series":[${probeSeries.map(p => f"$p%.2f").mkString(",")}],""" +
+      f""""probe_series_median":$seriesMedian%.2f,""" +
+      s""""mild_load":$mildLoad,""" +
       s""""thirds":[${thirds.map(t => f"$t%.1f").mkString(",")}],""" +
       f""""normalized_total":${total / loadFactor}%.1f,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""

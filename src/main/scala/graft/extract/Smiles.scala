@@ -1343,6 +1343,49 @@ object Smiles {
     */
   def canonical(s: String): Option[String] = canonicalVia(s)(identity)
 
+  /** Which documented boundary branches does `s` hit? The corpus-audit
+    * companion to the scaladoc's "documented boundaries" section (r13
+    * verdict #5 asked for the passthrough envelope to be COUNTED on real
+    * data, not just documented). Per component:
+    *  - `stereo_passthrough` — stereo-bearing component outside the
+    *    parseable subset (the @SP/@TB/@OH, off-center axial, contradictory
+    *    double-marked closure classes): canonical() returns the input
+    *    verbatim; sub-tagged `stereo_passthrough:sp_tb_oh` when a named
+    *    square-planar/trigonal-bipyramidal/octahedral class is present.
+    *  - `unparseable` — non-stereo component outside the subset (treated
+    *    as a bad name upstream, not a passthrough).
+    *  - `kekule_claim_trusted` — the aromatize sanitize path could not
+    *    reproduce the claimed aromatic atom set from the kekulé
+    *    (3+-ring combined-perimeter systems and exotic claims): the
+    *    written flags are trusted as-is. The canonical string is still
+    *    produced — this tags the weaker-perception envelope, not a
+    *    passthrough.
+    * Returns Nil for fully-covered inputs. Diagnostic only — never on a
+    * query path. */
+  def boundaryClasses(s: String): Seq[String] = {
+    if (s == null || s.isEmpty) return Nil
+    s.split("\\.", -1).toSeq.flatMap { p =>
+      parseComponent(p) match {
+        case None =>
+          if (!hasAnyStereo(p)) Seq("unparseable")
+          else if (p.contains("@SP") || p.contains("@TB") || p.contains("@OH"))
+            Seq("stereo_passthrough:sp_tb_oh")
+          else Seq("stereo_passthrough")
+        case Some(mol) =>
+          val claimed = mol.atoms.zipWithIndex.collect {
+            case (a, i) if a.aromatic => i }.toSet
+          if (claimed.isEmpty) Nil
+          else kekulize(mol) match {
+            case Some(k) =>
+              val perceived = aromatizeCore(k).atoms.zipWithIndex.collect {
+                case (a, i) if a.aromatic => i }.toSet
+              if (perceived == claimed) Nil else Seq("kekule_claim_trusted")
+            case None => Seq("kekule_claim_trusted")
+          }
+      }
+    }
+  }
+
   /** Strip atom maps structurally, then canonicalize. */
   def canonicalNoMaps(s: String): Option[String] =
     canonicalVia(s)(mol =>

@@ -356,12 +356,19 @@ object Streams {
     * state-store EVICTION, not a join result: eviction for batch N uses
     * the watermark committed at the end of batch N-1, so rows pending at
     * the final data batch would never flush on a bounded run. The harness
-    * therefore stages the events file plus TWO far-future sentinel files
+    * therefore stages the events file plus ONE far-future sentinel file
     * (impossible user -1, filtered from the output) and paces the source
-    * at one file per micro-batch: sentinel 1's batch advances the
-    * watermark past every real click's horizon, and sentinel 2's batch
-    * performs the eviction that emits the pending outer rows. Equals the
-    * batch left interval join.
+    * at one file per micro-batch: the sentinel's batch advances the
+    * watermark past every real click's horizon, and the engine's FINAL
+    * NO-DATA BATCH performs the eviction that emits the pending outer
+    * rows — under AvailableNow the run only terminates once no batch is
+    * still required, and a watermark advance that leaves evictable state
+    * requires one, provided noDataMicroBatches stays enabled (pinned
+    * below; the r13 shape carried a second sentinel file to host that
+    * eviction batch, measured redundant: the engine appended the no-data
+    * batch after it anyway — per-batch progress showed 4 batches for 3
+    * files, ~0.9 s of stream-join machinery per sentinel batch at the 1×
+    * rung). Equals the batch left interval join.
     */
   def runIntervalJoinLeftOuter(spark: SparkSession, dir: String,
       queryName: String, withinHours: Int = 1): DataFrame = {
@@ -397,10 +404,13 @@ object Streams {
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() - 3 * 3600000L))
       }
-      // sentinel k: one click + one purchase at maxTs + k days, user -1 —
+      // sentinel: one click + one purchase at maxTs + 1 day, user -1 —
       // written in the SOURCE file's physical ts unit so the stream's
-      // declared schema reads both real and sentinel files uniformly
-      (1 to 2).foreach { k =>
+      // declared schema reads both real and sentinel files uniformly;
+      // BOTH event types, because the global watermark is the MIN across
+      // the two filtered sides' stats and each side sees only its type
+      locally {
+        val k = 1
         val tmp = Files.createTempDirectory("graft_sentinel_")
         import spark.implicits._
         val sentMicros = maxMicros + k * 86400L * 1000000L
@@ -423,16 +433,19 @@ object Streams {
           .findFirst().get()
         val dst = stage.resolve(s"events_zsentinel$k.parquet")
         Files.move(part, dst)
-        // the file source paces oldest-mtime-first: events, then 1, then 2
+        // the file source paces oldest-mtime-first: events, then sentinel
         // (all mtimes in the past — the source ignores future timestamps)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() - (3 - k) * 3600000L))
       }
       // one micro-batch for ALL event parts (they share one mtime), then
-      // sent1, then sent2 — a per-part batch cadence would advance the
+      // the sentinel — a per-part batch cadence would advance the
       // watermark between parts and late-drop the bulk of a multi-file
       // corpus (ScaleUp replicas share the driver corpus' ts range)
+      // pin the contract the final eviction rides on: the engine appends
+      // a no-data batch whenever the last batch left evictable state
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       def side(): DataFrame = normalizeTs(spark.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events*.parquet")
@@ -520,10 +533,17 @@ object Streams {
     * already-evicted windows and Spark drops a late row iff its WINDOW
     * END ≤ watermark = max(on-time ts) − delay — the precise semantics
     * this query certifies cross-engine (the batch oracle replays the rule
-    * arithmetically). Two far-future sentinel batches then flush the
-    * surviving windows (Append-mode emission is a state eviction using
-    * the PREVIOUS batch's watermark — same two-step as the left-outer
-    * join harness). Window 6 h, delay 1 h. (Spark's watermark is held in
+    * arithmetically). One far-future sentinel ROW rides in the straggler
+    * file — the late rows' drop test uses the watermark committed BEFORE
+    * their batch, so a same-batch sentinel cannot affect it, while the
+    * batch-end stats it inflates push the watermark past every real
+    * window — and the engine's final no-data batch performs the eviction
+    * that emits the survivors (Append-mode emission is a state eviction
+    * using the PREVIOUS batch's watermark; noDataMicroBatches pinned, same
+    * contract as the left-outer join harness — the r13 shape spent two
+    * extra single-row micro-batches on this, measured redundant: 6 batches
+    * for 5 files, ~0.4 s machinery each at the 1× rung). Window 6 h,
+    * delay 1 h. (Spark's watermark is held in
     * MILLISECONDS — floor(maxUs/1000) − 3600000 — vs the oracle's
     * microsecond subtraction; window ends are hour-aligned, so the sub-ms
     * difference can never flip a window.)
@@ -569,11 +589,15 @@ object Streams {
       }
       writeStaged(raw.filter(col("event_id") % 11 =!= 0), "e_0ontime.parquet", 6)
       writeStaged(sentinelDf(maxMicros), "e_1advance.parquet", 5)
-      writeStaged(raw.filter(col("event_id") % 11 === 0), "e_2late.parquet", 4)
-      writeStaged(sentinelDf(maxMicros + 86400L * 1000000L),
-        "e_3sentinel1.parquet", 3)
-      writeStaged(sentinelDf(maxMicros + 2 * 86400L * 1000000L),
-        "e_4sentinel2.parquet", 2)
+      // stragglers + flush sentinel in ONE staged file: the drop filter
+      // for this batch's rows was committed at the advancer batch's end,
+      // so the rider can't change what drops — only the batch-END stats,
+      // which is exactly its job. Physical ts unit matches raw's, so the
+      // union stays uniform under the declared schema.
+      writeStaged(raw.filter(col("event_id") % 11 === 0)
+          .unionByName(sentinelDf(maxMicros + 86400L * 1000000L)),
+        "e_2late.parquet", 4)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val agg = normalizeTs(spark.readStream
           .schema(fileSchema)
           .option("pathGlobFilter", "e_*.parquet")
@@ -788,29 +812,48 @@ object Streams {
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
         .as[Ev]
       val sessions = sessionizeStreaming(evs, gapMinutes).toDF()
-      // FILE sink, not memory (r12 q164 watch-item root cause): a memory
-      // sink is a driver-side collect — at the 100× rung 9.4M session
-      // rows landed on the driver and every downstream count/write paid a
-      // single-threaded LocalTableScan under mounting GC (the 31→52→120 s
-      // ladder variance on a byte-identical corpus). The parquet sink
-      // writes from the 32 stateful tasks in parallel and the read-back
-      // stays distributed end-to-end — the only shape that survives the
-      // output actually scaling with the input.
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sessions_").toString
-      val q = sessions.writeStream
-        .format("parquet")
-        .option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      logProgress(q)
-      // explicit schema: an all-open-sessions corpus writes zero files and
-      // schema inference would fail on the empty sink directory
-      spark.read.schema(sessions.schema).parquet(s"$root/out")
+      // Sink choice gates on the INPUT row estimate (parquet footers only
+      // — no job): sessions ≤ events, so a small backlog keeps the memory
+      // sink (no staging write + read-back: ~2.5 s fixed at the 1× rung),
+      // while a large one takes the FILE sink (r12 q164 watch-item root
+      // cause: a memory sink is a driver-side collect — at the 100× rung
+      // 9.4M session rows landed on the driver and every downstream
+      // count/write paid a single-threaded LocalTableScan under mounting
+      // GC, the 31→52→120 s ladder variance on a byte-identical corpus).
+      // The parquet sink writes from the 32 stateful tasks in parallel and
+      // the read-back stays distributed end-to-end — the only shape that
+      // survives the output actually scaling with the input. An unreadable
+      // footer estimate takes the file-sink path: correct at any size.
+      val fileSchema = probeEventsSchema(spark, s"$dir/events.parquet")
+      val inputRows = graft.operators.Similarity.metadataRowCount(
+        spark.read.schema(fileSchema).parquet(s"$dir/events.parquet"))
+      if (inputRows.exists(_ <= 1000000L)) {
+        val q = sessions.writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        logProgress(q)
+        tableAndRelease(spark, queryName)
+      } else {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sessions_").toString
+        val q = sessions.writeStream
+          .format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .queryName(queryName)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        logProgress(q)
+        // explicit schema: an all-open-sessions corpus writes zero files
+        // and schema inference would fail on the empty sink directory
+        spark.read.schema(sessions.schema).parquet(s"$root/out")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
