@@ -189,14 +189,22 @@ object Bench {
     val seriesMedian = seriesSorted(seriesSorted.size / 2)
     // Mild-sustained-load detection, two independent channels (both flag,
     // neither corrects):
-    // (1) probe-series median ≥ 1.30 — above the ±17% idle noise envelope
-    //     (observed idle medians 0.88–1.17) but far below the 1.8 hard fire;
+    // (1) probe-series median ≥ 1.75. The in-sweep series samples a
+    //     DIFFERENT distribution than the isolated start/mid/end probes:
+    //     on three probe-quiet idle full sweeps (r14 band derivation) the
+    //     series medians were 1.50/1.54/1.47 — centered at ~1.5 by
+    //     in-JVM residue (old-gen pressure, post-query GC), not at the
+    //     1.0 idle center of boundary probes — while being remarkably
+    //     stable sweep-to-sweep (±2%). 1.75 therefore catches ≥~17%
+    //     sustained inflation over the calibrated in-sweep center, far
+    //     below the 1.8 boundary-probe hard fire (the r13 failure mode:
+    //     a ~20% loaded day invisible to the 1.8 threshold).
     // (2) all three thirds ≥ 15% above the committed reference thirds in
     //     BENCH_BAND.json (fixed sorted query order makes thirds the same
     //     query sets round over round; a uniform all-thirds inflation is
     //     the signature of sustained load, while a real code regression
     //     moves only the third(s) holding the touched queries).
-    val mildProbe = loadFactor == 1.0 && seriesMedian >= 1.30
+    val mildProbe = loadFactor == 1.0 && seriesMedian >= 1.75
     val bandRefThirds: Option[Seq[Double]] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) None
       else scala.util.Try {
