@@ -145,10 +145,23 @@ object Bench {
     // detects — it never corrects: a mild fire flags the sweep as
     // load-inflated for the round notes, and the committed number is
     // re-measured on a quieter box rather than divided by a noisy factor.
+    // Per-SEGMENT load attribution (r14 verdict #2): the series median
+    // catches sustained load but not WAVES — the r14 driver sweep carried
+    // probes 2.42/2.45/3.65 mid-sweep (median 1.71, under the 1.75 fire)
+    // while queries inside the wave measured up to 3.4x their quiet-box
+    // values (q232 12.76 vs 3.73 on identical code). Each ~40-query
+    // segment is bracketed by the probe taken at its start and the probe
+    // at the next segment's start (the end-of-sweep probe closes the last
+    // segment); a segment whose EITHER bracketing probe reads >= 2.0 is
+    // flagged and its queries listed — a wave-inflated reading is then
+    // machine-identifiable from the JSON without manual solo re-runs.
+    // Flag-only, like every other load channel here: nothing is corrected.
+    val waveAt = 2.0
+    val segStride = 40
     val probeSeries = scala.collection.mutable.ArrayBuffer[Double]()
     val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midIdx) calMid = calibrate()
-      if (idx % 40 == 0) probeSeries += calibrateOnce()
+      if (idx % segStride == 0) probeSeries += calibrateOnce()
       val first = measure(fn)
       val samples =
         if (first >= repeatThreshold && repeats > 1)
@@ -207,24 +220,66 @@ object Bench {
     val mildProbe = loadFactor == 1.0 && seriesMedian >= 1.75
     val bandRefThirds: Option[Seq[Double]] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) None
-      else scala.util.Try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_BAND.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val m = """"thirds_ref"\s*:\s*\[([^\]]*)\]""".r
-          .findFirstMatchIn(txt).get
-        m.group(1).split(',').toSeq.map(_.trim.toDouble)
-      }.toOption.filter(_.size == 3)
+      else {
+        val parsed = scala.util.Try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_BAND.json")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val m = """"thirds_ref"\s*:\s*\[([^\]]*)\]""".r
+            .findFirstMatchIn(txt).get
+          m.group(1).split(',').toSeq.map(_.trim.toDouble)
+        }.toOption.filter(_.size == 3)
+        // a silently-absent band file would disable one of the two mild-
+        // load channels with no trace (e.g. bench launched from another
+        // cwd) — make the degraded state visible in the log
+        if (parsed.isEmpty)
+          println("[bench-warn] BENCH_BAND.json unreadable or thirds_ref " +
+            "unparsable from this cwd - thirds mild-load channel DISABLED " +
+            "for this sweep")
+        parsed
+      }
     val mildThirds = bandRefThirds.exists(ref =>
       loadFactor == 1.0 && thirds.zip(ref).forall { case (t, r) => t >= 1.15 * r })
     val mildLoad = mildProbe || mildThirds
+    // wave attribution: segment k covers query indices [40k, 40(k+1));
+    // probeSeries(k) was taken at its first query, probeSeries(k+1) at the
+    // next segment's first query (the appended end-of-sweep probe closes
+    // the final segment)
+    case class Seg(start: Int, end: Int, before: Double, after: Double) {
+      def flagged: Boolean = before >= waveAt || after >= waveAt
+    }
+    val segments: Seq[Seg] =
+      (0 until (results.size + segStride - 1) / segStride).map { k =>
+        // probeSeries holds one probe per segment start + the appended
+        // end-of-sweep probe; clamp defensively against an empty tail
+        val before = probeSeries(math.min(k, probeSeries.size - 1))
+        val after = probeSeries(math.min(k + 1, probeSeries.size - 1))
+        Seg(k * segStride,
+          math.min((k + 1) * segStride, results.size) - 1, before, after)
+      }
+    val waveFlagged: Seq[String] = segments.filter(_.flagged)
+      .flatMap(s => results.slice(s.start, s.end + 1).map(_._1))
+    // host-portable form (r14 verdict #3): totals as RATIOS to the
+    // in-sweep probe unit (this sweep's series median) — the probe runs
+    // the same synthetic plan on every host era, so the ratio survives a
+    // hardware change that rots any absolute-seconds band
+    val totalOverUnit = if (seriesMedian > 0) total / seriesMedian else 0.0
+    val thirdsOverUnit = thirds.map(t =>
+      if (seriesMedian > 0) t / seriesMedian else 0.0)
     println(f"[bench-cal] start=$calStart%.3f mid=$calMid%.3f " +
       f"end=$calEnd%.3f median=$calMedian%.3f load_factor=$loadFactor%.3f " +
       f"thirds=${thirds.map(t => f"$t%.1f").mkString("/")} " +
       f"probe_series=${probeSeries.map(p => f"$p%.2f").mkString("/")} " +
       f"series_median=$seriesMedian%.2f mild_load=$mildLoad " +
       f"(probe=$mildProbe thirds=$mildThirds) " +
-      f"normalized_total=${total / loadFactor}%.1f")
+      f"normalized_total=${total / loadFactor}%.1f " +
+      f"total_over_probe_unit=$totalOverUnit%.1f")
+    segments.filter(_.flagged).foreach { s =>
+      println(f"[bench-wave] segment q[${s.start}..${s.end}] bracketed by " +
+        f"probes ${s.before}%.2f/${s.after}%.2f >= $waveAt%.1f - treat these " +
+        f"${s.end - s.start + 1} readings as load-suspect (solo re-measure " +
+        "to adjudicate)")
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       f""""calibration":$calStart%.3f,"calibration_mid":$calMid%.3f,""" +
       f""""calibration_end":$calEnd%.3f,""" +
@@ -235,6 +290,15 @@ object Bench {
       s""""mild_load":$mildLoad,""" +
       s""""thirds":[${thirds.map(t => f"$t%.1f").mkString(",")}],""" +
       f""""normalized_total":${total / loadFactor}%.1f,""" +
+      f""""total_over_probe_unit":$totalOverUnit%.1f,""" +
+      s""""thirds_over_probe_unit":[${
+        thirdsOverUnit.map(t => f"$t%.1f").mkString(",")}],""" +
+      s""""wave_segments":[${segments.map(s =>
+        f"""{"q_start":${s.start},"q_end":${s.end},""" +
+        f""""probe_before":${s.before}%.2f,"probe_after":${s.after}%.2f,""" +
+        s""""flagged":${s.flagged}}""").mkString(",")}],""" +
+      s""""wave_flagged_queries":[${
+        waveFlagged.map(q => "\"" + q + "\"").mkString(",")}],""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Recovery channels for truncated captures: one short line per query
     // immediately before the final JSON (a tail keeps the end of output),

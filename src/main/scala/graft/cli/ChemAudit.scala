@@ -17,14 +17,20 @@ import graft.extract.{OrdSource, Smiles}
   * sample strings each. A class at ~0 closes its boundary empirically; a
   * class above ~0.1% of molecules is the next extension candidate.
   *
-  * Usage: ChemAudit [ordDir] [solventsCsv]
+  * Usage: ChemAudit [ordDir] [solventsCsv] — or set SPARK_GRAFT_ORD_DIR /
+  * SPARK_GRAFT_SOLVENTS_CSV (no machine-specific paths baked into the
+  * binary; the audited corpus is always an explicit input).
   */
 object ChemAudit {
   def main(args: Array[String]): Unit = {
-    val ordDir = if (args.length > 0) args(0)
-      else "/root/reference/orderly/data/test_data/ord_test_data"
-    val solventsCsv = if (args.length > 1) args(1)
-      else "/root/reference/orderly/data/solvents.csv"
+    val ordDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_ORD_DIR"))
+      .getOrElse(sys.error(
+        "ChemAudit: pass ordDir as arg 1 or set SPARK_GRAFT_ORD_DIR"))
+    val solventsCsv = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SOLVENTS_CSV"))
+      .getOrElse(sys.error(
+        "ChemAudit: pass solventsCsv as arg 2 or set SPARK_GRAFT_SOLVENTS_CSV"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("ERROR")

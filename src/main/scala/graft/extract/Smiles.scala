@@ -1367,7 +1367,12 @@ object Smiles {
     s.split("\\.", -1).toSeq.flatMap { p =>
       parseComponent(p) match {
         case None =>
-          if (!hasAnyStereo(p)) Seq("unparseable")
+          // mirror canonicalVia exactly: passthrough is decided on the
+          // WHOLE input (an unparseable component with stereo ANYWHERE in
+          // the string returns the entire input verbatim), so the audit
+          // must classify against hasAnyStereo(s), not the component —
+          // per-component stereo would undercount the passthrough envelope
+          if (!hasAnyStereo(s)) Seq("unparseable")
           else if (p.contains("@SP") || p.contains("@TB") || p.contains("@OH"))
             Seq("stereo_passthrough:sp_tb_oh")
           else Seq("stereo_passthrough")

@@ -374,6 +374,11 @@ object Streams {
       queryName: String, withinHours: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // saved like shuffle.partitions: the pinned no-data-batch flag is
+    // session-global and the final-eviction contract below depends on it —
+    // it must not leak into the shared session past this harness
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val srcFile = s"$dir/events.parquet"
@@ -479,7 +484,11 @@ object Streams {
       q.awaitTermination()
       logProgress(q)
       tableAndRelease(spark, queryName).filter(col("user_id") >= 0)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   /** Stream-static enrichment join: the event stream joins a STATIC
@@ -552,6 +561,9 @@ object Streams {
       queryName: String): DataFrame = {
     import java.nio.file.Files
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // saved like shuffle.partitions — see runIntervalJoinLeftOuter
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val srcFile = s"$dir/events.parquet"
@@ -620,7 +632,11 @@ object Streams {
       // sentinel filter stays out of the streaming plan (see the left-outer
       // harness: pushdown would prune the sentinel files from the scan)
       tableAndRelease(spark, queryName).filter(col("event_type") =!= "sentinel")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   /** Late-data drop audit for the STREAM-STREAM interval join — the join

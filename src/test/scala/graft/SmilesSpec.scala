@@ -301,6 +301,28 @@ class SmilesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Smiles.hasTransitionMetalParsed("[Co]").contains(true))
   }
 
+  test("boundaryClasses mirrors canonicalVia's whole-input passthrough rule") {
+    // the audit's classification must agree with what canonical() DOES:
+    // an unparseable component downgrades the WHOLE input to verbatim
+    // passthrough iff stereo appears anywhere in the string (r14 advice:
+    // per-component stereo testing undercounted the passthrough envelope)
+    val plain = "O(CC[*:2])[*:1]" // wildcard attachment: unparseable
+    assert(Smiles.canonical(plain).isEmpty)
+    assert(Smiles.boundaryClasses(plain) == Seq("unparseable"))
+    // same unparseable component + stereo in a DIFFERENT component:
+    // canonical() returns the entire input verbatim -> the audit must
+    // count a stereo passthrough, not an unparseable
+    val mixed = s"$plain.C[C@H](O)CC"
+    assert(Smiles.canonical(mixed).contains(mixed))
+    assert(Smiles.boundaryClasses(mixed) == Seq("stereo_passthrough"))
+    // stereo in the unparseable component itself still classifies
+    val inComp = "CC[C@H]1ON[*:3]1"
+    if (Smiles.canonical(inComp).contains(inComp))
+      assert(Smiles.boundaryClasses(inComp) == Seq("stereo_passthrough"))
+    // parseable clean input hits no boundary class
+    assert(Smiles.boundaryClasses("CCO.c1ccccc1").isEmpty)
+  }
+
   test("morgan fingerprint: writing-invariant, molecule-sensitive") {
     val a = Smiles.morganBits("CCO", 3, 256).get.toSeq
     val b = Smiles.morganBits("OCC", 3, 256).get.toSeq

@@ -24,35 +24,56 @@ def materialize_ctes(sql):
     prelude only — a blanket `\\w+ AS (` regex also rewrites WINDOW
     clauses (`WINDOW w AS (...)`), which is a parse error. Walks the
     prelude: `name AS (`, skip the balanced body, `,` continues. The
-    body walk skips single-quoted string literals (with '' escapes) and
-    `--` line comments — a paren inside either would otherwise
+    body walk skips single-quoted string literals (with '' escapes),
+    double-quoted identifiers (with "" escapes), and `--` line
+    comments — a paren inside any of them would otherwise
     desynchronize the depth count and silently leave later CTEs
     unmaterialized (still-valid SQL, so the only symptom was the
-    exponential re-evaluation this knob exists to prevent)."""
-    m = re.match(r"\s*WITH\s+", sql, re.I)
+    exponential re-evaluation this knob exists to prevent). Handles
+    `WITH RECURSIVE` preludes and column-aliased heads
+    (`name(cols) AS (`) — DuckDB accepts AS MATERIALIZED on both,
+    probed incl. a genuinely recursive CTE. If the walk materializes
+    fewer heads than a whole-text `name AS (` count (WINDOW clauses
+    excluded), a stderr warning flags the query — a future CTE syntax
+    the head regex doesn't know would otherwise degrade silently to
+    slow-but-correct (exactly how the RECURSIVE gap hid: 6 registry
+    oracles, two with 11-14 CTEs each, ran fully inlined at sf1).
+    Known benign warning: a NESTED `WITH` prelude inside a CTE body is
+    left inlined (only the top-level prelude is walked) and counts as
+    unmaterialized."""
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", sql, re.I)
     if not m:
         return sql
+
+    def skip_quoted(q, start):
+        # returns index just past the closing quote char q (doubled-q
+        # escapes stay inside); len(sql) if unterminated
+        j = start + 1
+        while j < len(sql):
+            if sql[j] == q:
+                if j + 1 < len(sql) and sql[j + 1] == q:
+                    j += 2
+                    continue
+                break
+            j += 1
+        return j + 1
+
     out, i = [sql[:m.end()]], m.end()
+    done = 0
     while True:
-        h = re.match(r"(\w+\s+AS\s+)\(", sql[i:], re.I)
+        h = re.match(r"(\w+\s*(?:\([^()]*\))?\s*AS\s+)\(", sql[i:], re.I)
         if not h:
             break
         out.append(h.group(1) + "MATERIALIZED (")
+        done += 1
         i += h.end()
         depth = 1
         while i < len(sql) and depth:
             c = sql[i]
-            if c == "'":
-                j = i + 1
-                while j < len(sql):
-                    if sql[j] == "'":
-                        if j + 1 < len(sql) and sql[j + 1] == "'":
-                            j += 2  # doubled-quote escape stays in-string
-                            continue
-                        break
-                    j += 1
-                out.append(sql[i:j + 1])
-                i = j + 1
+            if c == "'" or c == '"':
+                j = skip_quoted(c, i)
+                out.append(sql[i:j])
+                i = j
                 continue
             if c == "-" and sql[i:i + 2] == "--":
                 j = sql.find("\n", i)
@@ -69,6 +90,20 @@ def materialize_ctes(sql):
         out.append(sql[i:i + t.end()])
         i += t.end()
     out.append(sql[i:])
+    # early-termination canary: count CTE-shaped heads in the whole text
+    # (minus named-WINDOW heads) and warn when the walk covered fewer.
+    # Coarse by design — a false positive is one stderr line pointing a
+    # human at the query; a miss here was previously invisible.
+    expected = 0
+    for hm in re.finditer(r"(\w+)\s+AS\s*\(", sql, re.I):
+        if re.search(r"(?i)\bWINDOW\s*$", sql[:hm.start()]):
+            continue
+        expected += 1
+    if done < expected:
+        print(f"WARN materialize_ctes: materialized {done} of ~{expected} "
+              f"'name AS (' heads — prelude walk may have terminated early; "
+              f"oracle stays correct but may re-evaluate inlined CTEs",
+              file=sys.stderr)
     return "".join(out)
 
 def norm(df):
