@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Scale-adaptive scan fan-out for compute-heavy map stages: round-robin
+    * repartition `df` up to the session's default parallelism when its
+    * current layout has fewer partitions — and leave it UNTOUCHED when the
+    * source is already parallel (a sharded corpus at the 25×/100× ladder
+    * rungs or a real cluster table), so this never ADDS a shuffle at scale.
+    *
+    * Why it exists (guide §2.5 "input skew: one huge unsplittable file"):
+    * the driver test tables are single one-row-group parquet files, so
+    * every scan is exactly ONE task and everything narrow above it — a
+    * cross-join cosine pass, shingling, fingerprinting — runs serially on
+    * one core however many the session has (r15 JobProbe: q238's three
+    * pair-scoring jobs ran 2.4/1.2/0.6 s each as single-task stages on a
+    * 32-core session). One tiny exchange of the slim input rows buys a
+    * `defaultParallelism`-wide compute stage; partition-count-dependent
+    * results would be the only hazard, so callers must be value-pure
+    * (no spark_partition_id / monotonically_increasing_id downstream —
+    * every current caller is a plain aggregate/join/window consumer).
+    *
+    * The gate reads `df.inputFiles` (file count off the already-built
+    * FileIndex — no physical planning; a `.rdd` probe would pre-execute
+    * AQE stages on non-scan inputs and replan on every call). A
+    * many-row-group single file is still fanned out — the repartition is
+    * then merely redundant width, never a correctness or scale hazard
+    * (one narrow extra exchange). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target) else df
+  }
+
   /** Morton interleave of the low `bits` bits of two non-negative integer
     * columns: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
     * Pure shift/mask arithmetic (codegen'd, scan-speed, exact in both

@@ -387,7 +387,10 @@ object DedupQueries {
         |SELECT doc_id, cast(n_spans as bigint) AS n_spans,
         |       cast(dup_spans as bigint) AS dup_spans
         |FROM per WHERE dup_spans >= 1""".stripMargin) { (s, dir) =>
-      val sp = Tables.documents(s, dir)
+      // fan the corpus out BELOW the tokenize/span projections — the
+      // single-row-group test file otherwise runs the whole spanning
+      // stage as one task (r15 JobProbe: 1.48 s serial; Layout.fanOut doc)
+      val sp = graft.operators.Layout.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(

@@ -327,8 +327,11 @@ object MetricQueries {
         |SELECT l_returnflag, min(v) AS wmedian_cents
         |FROM c WHERE cw >= (tw * 50 + 99) // 100
         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      // fan out below the decimal binning: the quantile passes otherwise
+      // run single-task above the one-row-group scan (Layout.fanOut doc)
       graft.operators.Sketches.groupedWeightedQuantile(
-          Tables.lineitem(s, dir), "l_returnflag",
+          graft.operators.Layout.fanOut(Tables.lineitem(s, dir)),
+          "l_returnflag",
           graft.functions.Exact.dec(col("l_extendedprice")) * 100,
           col("l_quantity"), pct = 50)
         .select(col("l_returnflag"), col("qvalue").as("wmedian_cents"))
@@ -388,9 +391,12 @@ object MetricQueries {
         |  cast(sum(least(greatest(v, p05), p95)) as bigint) AS wsum_cents
         |FROM w JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
         |GROUP BY w.l_returnflag""".stripMargin) { (s, dir) =>
-      val cents = Tables.lineitem(s, dir).select(col("l_returnflag"),
-        (graft.functions.Exact.dec(col("l_extendedprice")) * 100)
-          .cast("long").as("v"))
+      // fan out below the decimal projection (Layout.fanOut doc): the
+      // cut-point passes and the clamp+aggregate pass all scan this frame
+      val cents = graft.operators.Layout.fanOut(Tables.lineitem(s, dir))
+        .select(col("l_returnflag"),
+          (graft.functions.Exact.dec(col("l_extendedprice")) * 100)
+            .cast("long").as("v"))
       winsorizedFrom(cents)
     },
 

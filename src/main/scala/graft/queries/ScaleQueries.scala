@@ -144,12 +144,18 @@ object ScaleQueries {
   private def certSplit(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables.embeddings(s, dir)
+    // corpus/query halves fan out to session parallelism: the exact
+    // certifiers score |A|·|B| pairs in the stage ABOVE this scan, and
+    // the single-row-group test file otherwise pins that whole stage to
+    // one task (r15 JobProbe: 2.4/1.2/0.6 s single-task scoring jobs;
+    // solo medians q237 1.96 → 0.98, q238 5.04 → 4.01 with the fan-out).
+    // Centroids stay as-is — 8 rows, broadcast-only consumer.
     (e.filter(col("vec_id") < 8)
        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-     e.filter(col("vec_id") % 2 === 0)
-       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec")),
-     e.filter(col("vec_id") % 2 === 1)
-       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 0)
+       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))),
+     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 1)
+       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))))
   }
 
   /** Query-side probe: each row of `q` assigned its `nprobe` nearest of
@@ -1163,8 +1169,12 @@ object ScaleQueries {
       val e = Tables.embeddings(s, dir)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      // streamed side fans out to session parallelism: the |A|·|B| cosine
+      // pass runs in the stage above this single-row-group scan and was
+      // one task otherwise (solo median 2.00 → 1.40; Layout.fanOut doc)
+      val b = graft.operators.Layout.fanOut(
+        e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
       val pairs = b.crossJoin(broadcast(a))
         .select(col("a_id"), col("b_id"),
           graft.operators.Similarity.cosine(col("a_vec"), col("b_vec"))

@@ -602,7 +602,10 @@ object TextQueries {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
          |       count(*) AS n_grams
          |FROM w GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
+      // fan the corpus out BELOW the tokenize projection — the gram
+      // explode + hash stage otherwise runs as one task on the
+      // single-row-group test file (Layout.fanOut doc)
+      val t = graft.operators.Layout.fanOut(Tables.documents(s, dir))
         .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
       val corpus = t.unionByName(
         t.filter(col("doc_id") % 10 === 0)

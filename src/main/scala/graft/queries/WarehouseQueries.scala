@@ -37,7 +37,10 @@ object WarehouseQueries {
     * see [[AuditSampling]]); q179 always passes the default 1. */
   private def containmentPipeline(s: org.apache.spark.sql.SparkSession,
       dir: String, persistCand: Boolean = false, sampleMod: Int = 1) = {
-    val t5 = Tables.documents(s, dir)
+    // fan the corpus out BELOW the tokenize/shingle projections: the
+    // single-row-group test file otherwise runs the whole shingling stage
+    // as one task (r15 JobProbe: 0.9–1.15 s serial; Layout.fanOut doc)
+    val t5 = graft.operators.Layout.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
     val sh = t5
@@ -269,8 +272,13 @@ object WarehouseQueries {
       val e = Tables.embeddings(s, dir)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      // streamed side fans out to session parallelism: the |A|·|B|
+      // cosine+top-2 pass runs in the stage above this single-row-group
+      // scan and was one task otherwise (solo median 1.99 → 0.83;
+      // Layout.fanOut doc)
+      val b = graft.operators.Layout.fanOut(
+        e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
       val top2 = b.crossJoin(broadcast(a))
         .withColumn("sim", Similarity.cosine(col("a_vec"), col("b_vec")))
         .withColumn("rn", row_number().over(
