@@ -179,9 +179,15 @@ object RankQueries {
          |FROM (SELECT bg, cnt, pmi_fx,
          |        row_number() OVER (ORDER BY pmi_fx DESC, bg) AS rank FROM p)
          |WHERE rank <= 20""".stripMargin) { (s, dir) =>
-      val c = Tables.documents(s, dir)
+      // bigram counts feed FOUR consumers (tot, ma, mb, the scored join):
+      // unpinned, each re-ran the tokenize+explode serially above the
+      // one-row-group scan (r15 JobProbe: 4 × ~0.8 s single-task jobs).
+      // Fan the corpus out (Layout.fanOut doc) and persist the counts —
+      // one parallel tokenize, three cheap re-reads.
+      val c = graft.operators.Layout.fanOut(Tables.documents(s, dir))
         .select(explode(TextOps.ngrams(ArrayOps.tokens(col("text")), 2)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = c.agg(sum(col("cnt")).as("nb"))
       val ma = c.groupBy(split(col("bg"), " ").getItem(0).as("a"))
         .agg(sum(col("cnt")).as("ca"))
