@@ -102,7 +102,9 @@ object ClusterQueries {
   /** Spark side of [[neardupCcCte]]: (corpus ids, verified near-dup pairs). */
   private def mutantNeardupGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val t = Tables.documents(s, dir)
+    // fan out below the tokenize/shingle/signature projections — they run
+    // in the stage above the one-row-group scan otherwise (Layout.fanOut)
+    val t = graft.operators.Layout.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
     val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(array(lit("zzz")),

@@ -41,9 +41,11 @@ object DedupQueries {
        |      list_transform(sh, s -> $mhHash0), h -> xor(h, $mhMask)))) AS sig
        |FROM $src""".stripMargin
 
-  /** Spark-side mutated corpus: docs ∪ first-token-replaced copies. */
+  /** Spark-side mutated corpus: docs ∪ first-token-replaced copies.
+    * Fanned out below the tokenize projection — the shingle/signature
+    * stages above this scan otherwise run single-task (Layout.fanOut). */
   private def mutantCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val t = Tables.documents(s, dir)
+    val t = graft.operators.Layout.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), ArrayOps.tokens(col("text")).as("toks"))
     val m = t.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(array(lit("zzz")),
