@@ -52,5 +52,13 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** Embeddings fan out to session parallelism at the scan (Layout.fanOut):
+    * every consumer is vector math (cosine/L2 passes, PQ codebook scoring)
+    * in the stage directly above this narrow scan, and the driver test
+    * file is a single one-row-group parquet — ONE task otherwise, however
+    * many cores the session has. No-op on sharded corpora (ladder rungs /
+    * cluster tables), so nothing is added at scale; measured per-family in
+    * OPTIMIZATION_r15.md. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Layout.fanOut(load(spark, sfDir, "embeddings"))
 }

@@ -143,19 +143,17 @@ object ScaleQueries {
     * convention lives here and in the paired oracle SQL only. */
   private def certSplit(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // the |A|·|B| scoring stages parallelize via Tables.embeddings'
+    // scan-level fan-out (solo medians q237 1.96 → 0.98, q238 5.04 → ~4.0
+    // when it landed; a second per-side fanOut here would re-read the
+    // single-file gate and double the exchange)
     val e = Tables.embeddings(s, dir)
-    // corpus/query halves fan out to session parallelism: the exact
-    // certifiers score |A|·|B| pairs in the stage ABOVE this scan, and
-    // the single-row-group test file otherwise pins that whole stage to
-    // one task (r15 JobProbe: 2.4/1.2/0.6 s single-task scoring jobs;
-    // solo medians q237 1.96 → 0.98, q238 5.04 → 4.01 with the fan-out).
-    // Centroids stay as-is — 8 rows, broadcast-only consumer.
     (e.filter(col("vec_id") < 8)
        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 0)
-       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))),
-     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 1)
-       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))))
+     e.filter(col("vec_id") % 2 === 0)
+       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec")),
+     e.filter(col("vec_id") % 2 === 1)
+       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
   }
 
   /** Query-side probe: each row of `q` assigned its `nprobe` nearest of
@@ -1166,15 +1164,13 @@ object ScaleQueries {
          |SELECT ra.a_id, ra.b_id, ra.sim AS cos_sim
          |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
          |WHERE ra.rn = 1 AND rb.rn = 1""".stripMargin) { (s, dir) =>
+      // the |A|·|B| cosine pass parallelizes via Tables.embeddings'
+      // scan-level fan-out (solo median 2.00 → 1.40 when it landed)
       val e = Tables.embeddings(s, dir)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      // streamed side fans out to session parallelism: the |A|·|B| cosine
-      // pass runs in the stage above this single-row-group scan and was
-      // one task otherwise (solo median 2.00 → 1.40; Layout.fanOut doc)
-      val b = graft.operators.Layout.fanOut(
-        e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
       val pairs = b.crossJoin(broadcast(a))
         .select(col("a_id"), col("b_id"),
           graft.operators.Similarity.cosine(col("a_vec"), col("b_vec"))

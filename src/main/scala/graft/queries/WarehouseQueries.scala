@@ -269,16 +269,13 @@ object WarehouseQueries {
          |      FROM r WHERE rn <= 2 GROUP BY a_id)
          |SELECT a_id, b_best, cos_best, margin
          |FROM m WHERE margin >= 0.02""".stripMargin) { (s, dir) =>
+      // the |A|·|B| cosine+top-2 pass parallelizes via Tables.embeddings'
+      // scan-level fan-out (solo median 1.99 → 0.83 when it landed)
       val e = Tables.embeddings(s, dir)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      // streamed side fans out to session parallelism: the |A|·|B|
-      // cosine+top-2 pass runs in the stage above this single-row-group
-      // scan and was one task otherwise (solo median 1.99 → 0.83;
-      // Layout.fanOut doc)
-      val b = graft.operators.Layout.fanOut(
-        e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
       val top2 = b.crossJoin(broadcast(a))
         .withColumn("sim", Similarity.cosine(col("a_vec"), col("b_vec")))
         .withColumn("rn", row_number().over(
