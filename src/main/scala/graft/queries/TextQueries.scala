@@ -235,7 +235,9 @@ object TextQueries {
            |SELECT 3, (SELECT g FROM b3), cast((SELECT c FROM b3) as bigint),
            |  cast((SELECT n FROM n3) as bigint)""".stripMargin
       }) { (s, dir) =>
-      val words = Tables.documents(s, dir)
+      // fan out below the tokenize/explode (Layout.fanOut doc): measured
+      // solo 2.35 → 1.39 in the r15 doc-family A/B
+      val words = graft.operators.Layout.fanOut(Tables.documents(s, dir))
         .select(explode(ArrayOps.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("f"))
       TextOps.bpeLearn(words, "word", "f", rounds = 3)
@@ -769,7 +771,9 @@ object TextQueries {
         |FROM sh
         |JOIN n na ON na.source = src_a
         |JOIN n nb ON nb.source = src_b""".stripMargin) { (s, dir) =>
-      val v = Tables.documents(s, dir)
+      // fan out below the tokenize/explode (Layout.fanOut doc): measured
+      // solo 3.04 → 1.49 in the r15 doc-family A/B
+      val v = graft.operators.Layout.fanOut(Tables.documents(s, dir))
         .select(col("source"),
           explode(ArrayOps.tokens(col("text"))).as("tok"))
         .distinct()
