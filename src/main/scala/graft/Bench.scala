@@ -111,10 +111,20 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt
     val repeatThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_MIN_SEC", "0.3").toDouble
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // r15 verdict item: a query that starts throwing must not silently
+    // keep "benching" a plausible-looking wall time — record the failure
+    // (name + exception) and surface it in the JSON alongside the numbers.
+    val failedQueries = scala.collection.mutable.LinkedHashMap[String, String]()
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failedQueries.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+          println(s"[bench-fail] $name ${e.getClass.getName}: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // several operators persist intermediates (band signatures, edge
       // lists); left cached they pile up across the 100+ query session and
@@ -162,10 +172,10 @@ object Bench {
     val results = toRun.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midIdx) calMid = calibrate()
       if (idx % segStride == 0) probeSeries += calibrateOnce()
-      val first = measure(fn)
+      val first = measure(name, fn)
       val samples =
         if (first >= repeatThreshold && repeats > 1)
-          first +: Seq.fill(repeats - 1)(measure(fn))
+          first +: Seq.fill(repeats - 1)(measure(name, fn))
         else Seq(first)
       val sorted = samples.sorted
       val median = sorted(sorted.size / 2)
@@ -299,6 +309,8 @@ object Bench {
         s""""flagged":${s.flagged}}""").mkString(",")}],""" +
       s""""wave_flagged_queries":[${
         waveFlagged.map(q => "\"" + q + "\"").mkString(",")}],""" +
+      s""""failed_queries":[${failedQueries.keys
+        .map(q => "\"" + q + "\"").mkString(",")}],""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Recovery channels for truncated captures: one short line per query
     // immediately before the final JSON (a tail keeps the end of output),

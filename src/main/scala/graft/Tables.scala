@@ -52,13 +52,14 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  /** Embeddings fan out to session parallelism at the scan (Layout.fanOut):
-    * every consumer is vector math (cosine/L2 passes, PQ codebook scoring)
-    * in the stage directly above this narrow scan, and the driver test
-    * file is a single one-row-group parquet — ONE task otherwise, however
-    * many cores the session has. No-op on sharded corpora (ladder rungs /
-    * cluster tables), so nothing is added at scale; measured per-family in
-    * OPTIMIZATION_r15.md. */
+  /** Plain load — NO loader-level fan-out. r15 fanned this scan for all
+    * 24 consumers; the r15 driver sweep showed the cheap half (scan→agg
+    * and broadcast-bound consumers: q34/q47/q62/q52/q70/q46/q79) paying
+    * 1.6–2.9× for an exchange they had no serial stage to trade against —
+    * including a RoundRobin shuffle UNDER a BroadcastExchange in q31.
+    * `Layout.fanOut` is applied per-site at the proven-heavy consumers
+    * only (certSplit/q210/q178 pair scoring, q105/q126/q163/q165), the
+    * same per-site discipline the documents table always had. */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Layout.fanOut(load(spark, sfDir, "embeddings"))
+    load(spark, sfDir, "embeddings")
 }

@@ -60,12 +60,19 @@ object JobProbe {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => () }
+      // record — never swallow — a measured-pass failure: a crashed run's
+      // wall/jobs breakdown must be visibly invalid (r15 ADVICE)
+      val failure: Option[Throwable] =
+        try { fn(spark, dir).count(); None } catch { case e: Throwable => Some(e) }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain (no public waitUntilEmpty)
       spark.sparkContext.removeSparkListener(listener)
       val snap = jobs.synchronized { jobs.values.toSeq }
-      println(f"[jobprobe] $name wall=$wall%.2f s jobs=${snap.size}")
+      val failTag = failure.map(e =>
+        s" FAILED(${e.getClass.getSimpleName}: ${e.getMessage})").getOrElse("")
+      println(f"[jobprobe] $name wall=$wall%.2f s jobs=${snap.size}$failTag")
+      failure.foreach(_ => println(
+        s"[jobprobe]   !! measured pass threw - numbers cover a crashed execution"))
       var covered = 0L
       snap.foreach { j =>
         val ms = math.max(0L, j.end - j.start)

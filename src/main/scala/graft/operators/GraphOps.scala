@@ -57,8 +57,18 @@ object GraphOps {
   def cooccurrenceEdges(df: DataFrame, group: Column, item: Column,
       minSupport: Long = 1L): DataFrame = {
     val g = df.select(group.as("__g"), item.as("__i"))
-    g.select(col("__g"), col("__i").as("a"))
-      .join(g.select(col("__g"), col("__i").as("b")), Seq("__g"))
+    // explicit-width pre-join exchange (r16): the self-join's OUTPUT is
+    // quadratic per group while its shuffle INPUT is slim, so AQE's
+    // byte-based partition coalescing squeezed the pair-explosion +
+    // partial-count stage onto 3 tasks of a 32-core session (q94
+    // JobProbe: a 1.9 s near-serial job). The exchange exists either way
+    // — pinning it at the session's shuffle width only opts this one
+    // stage out of coalescing; the width still tracks the session/cluster
+    // config, not a constant.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    g.repartition(width, col("__g")).select(col("__g"), col("__i").as("a"))
+      .join(g.repartition(width, col("__g"))
+        .select(col("__g"), col("__i").as("b")), Seq("__g"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
       .filter(col("__sup") >= minSupport)
@@ -84,9 +94,17 @@ object GraphOps {
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before fan-out (r16): e feeds deg + withDeg + the final
+    // edge count, and deg joins withDeg TWICE — left lazy, their
+    // concurrent first-use stages race past the empty cache and re-run
+    // the (often expensive) upstream edge build several times in parallel
+    // (the personalizedPagerankScaled lesson; q94's JobProbe showed the
+    // duplicated task time)
+    e.count()
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
@@ -98,6 +116,9 @@ object GraphOps {
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("db")).otherwise(col("da")).as("dv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the wedge join self-joins this frame, and the closure join scans it
+    // a third time — eager, or both sides race the empty cache
+    oriented.count()
     // wedges (v, w) at u, ordered so (v, w) matches the closing edge's
     // orientation: v ≺ w in the same (deg, id) order
     val wedges = oriented.select(col("u"), col("v"), col("dv"))
@@ -272,7 +293,15 @@ object GraphOps {
     var ranks = nodes.select(col("v"),
       when(col("is_seed") === 1, lit(scale)).otherwise(lit(0L)).as("r"))
     var prevCached: DataFrame = null
-    (1 to iters).foreach { _ =>
+    // persist+count CADENCE (r16, guide §1.2 "cut actions per iteration"):
+    // materializing every round (the r7-era discipline) costs one action —
+    // one full AQE job tree plus its planning — per round; materializing
+    // every SECOND round halves that while still truncating lineage and
+    // freeing the previous round's blocks promptly. Within one materialized
+    // step every intermediate has exactly ONE consumer, so nothing is
+    // recomputed by riding the lineage one extra round.
+    val persistEvery = 2
+    (1 to iters).foreach { i =>
       // NO SHUFFLE_HASH hint here, unlike bfs/sssp: measured at the 100×
       // rung the hinted SHJ ran 163.5 s vs 125.2 s for the default SMJ —
       // the ranks side is large (every node, not a frontier) and skewed
@@ -284,16 +313,20 @@ object GraphOps {
       ranks = nodes.join(contrib, Seq("v"), "left")
         .select(col("v"), (base +
           expr("(85 * coalesce(m, cast(0 as bigint))) div 100")).as("r"))
+      if (i % persistEvery == 0 || i == iters) {
         // cached EAGERLY: unlike pagerankScaled, the PPR replay re-runs
         // the broadcast seed join at every lineage level and measured
-        // SLOWER uncached (8.1 s) than cached (6.2 s). Round i is forced
-        // with count() so round i−1's blocks can free IMMEDIATELY — a
-        // lazily-persisted chain kept every round's blocks alive through
-        // the terminal action and taxed whole-sweep runs ~4× (r7 verdict)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks.count()
-      if (prevCached != null) prevCached.unpersist(false)
-      prevCached = ranks
+        // SLOWER uncached (8.1 s) than cached (6.2 s). The materialized
+        // round is forced with count() so earlier blocks free IMMEDIATELY
+        // — a lazily-persisted chain kept every round's blocks alive
+        // through the terminal action and taxed whole-sweep runs ~4×
+        // (r7 verdict)
+        ranks = ranks
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+        if (prevCached != null) prevCached.unpersist(false)
+        prevCached = ranks
+      }
     }
     // the final ranks are materialized in cache, so the loop inputs can
     // free now (eviction just replays from source — correctness-safe);

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Scale-adaptive scan fan-out for compute-heavy map stages: round-robin
-    * repartition `df` up to the session's default parallelism when its
-    * current layout has fewer partitions — and leave it UNTOUCHED when the
-    * source is already parallel (a sharded corpus at the 25×/100× ladder
-    * rungs or a real cluster table), so this never ADDS a shuffle at scale.
+    * repartition `df` when — and only when — the source is ONE small
+    * parquet file, the measured pathology this exists for, and leave it
+    * UNTOUCHED whenever the scan can parallelize itself (a sharded corpus
+    * at the 25×/100× ladder rungs, a real cluster table, or a single file
+    * big enough that `maxPartitionBytes` splits it), so this never ADDS a
+    * shuffle at scale.
     *
     * Why it exists (guide §2.5 "input skew: one huge unsplittable file"):
     * the driver test tables are single one-row-group parquet files, so
@@ -29,20 +31,54 @@ object Layout {
     * one core however many the session has (r15 JobProbe: q238's three
     * pair-scoring jobs ran 2.4/1.2/0.6 s each as single-task stages on a
     * 32-core session). One tiny exchange of the slim input rows buys a
-    * `defaultParallelism`-wide compute stage; partition-count-dependent
-    * results would be the only hazard, so callers must be value-pure
-    * (no spark_partition_id / monotonically_increasing_id downstream —
-    * every current caller is a plain aggregate/join/window consumer).
+    * parallel compute stage; partition-count-dependent results would be
+    * the only hazard, so callers must be value-pure (no spark_partition_id
+    * / monotonically_increasing_id downstream — every current caller is a
+    * plain aggregate/join/window consumer).
     *
-    * The gate reads `df.inputFiles` (file count off the already-built
-    * FileIndex — no physical planning; a `.rdd` probe would pre-execute
-    * AQE stages on non-scan inputs and replan on every call). A
-    * many-row-group single file is still fanned out — the repartition is
-    * then merely redundant width, never a correctness or scale hazard
-    * (one narrow extra exchange). */
-  def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    * Gate (r15 verdict items 1–2): the old `inputFiles.length <
+    * defaultParallelism` gate fanned SHARDED corpora whose file count was
+    * merely below the session width (e.g. 100 × 1 GB files on 512 cores —
+    * a full round-robin shuffle of the table the scan never needed, since
+    * Spark splits multi-row-group files by `maxPartitionBytes` anyway).
+    * Now: fan ONLY a single-file source whose byte size the scan cannot
+    * split into `defaultParallelism` partitions on its own. Width is
+    * capped by INPUT SIZE, not session width (r15: a 594 KB documents
+    * file fanned to 32 tasks manufactured 32-way scheduling overhead that
+    * made the 32-core bench slower than the 8-core one — q217 8c/32c
+    * ratio 0.23): one task per `bytesPerTask` (64 KB of compressed
+    * parquet ≈ a few hundred docs / a few thousand vectors — enough rows
+    * to amortize a task, small enough to fill a many-core box on the
+    * sf0.1 bench corpus), so the fanned width is a property of the data,
+    * and an 8-core and a 32-core session build nearly the same tasks.
+    *
+    * `df.inputFiles` reads the already-built FileIndex — no physical
+    * planning (a `.rdd` probe would pre-execute AQE stages on non-scan
+    * inputs and replan on every call); the single file's length is one
+    * driver-side FileSystem stat. */
+  def fanOut(df: DataFrame): DataFrame = fanOut(df, 64L << 10)
+
+  /** [[fanOut]] with an explicit bytes-per-task budget — heavy quadratic
+    * consumers (|A|·|B| pair scoring) may want more width per input byte
+    * than the linear-pass default. */
+  def fanOut(df: DataFrame, bytesPerTask: Long): DataFrame = {
+    val sess = df.sparkSession
+    val para = sess.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length != 1) return df // sharded (or non-file) source: scan parallelizes itself
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(files(0))
+        p.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      } catch { case _: Throwable => return df }
+    val maxPart = sess.sessionState.conf.filesMaxPartitionBytes
+    // a file the scan itself splits into >= para partitions needs no help
+    // (and a single file THAT big must never be round-robin shuffled)
+    if ((bytes + maxPart - 1) / maxPart >= para) return df
+    val width = math.min(para.toLong,
+      (bytes + bytesPerTask - 1) / bytesPerTask).toInt
+    if (width >= 2) df.repartition(width) else df
   }
 
   /** Morton interleave of the low `bits` bits of two non-negative integer

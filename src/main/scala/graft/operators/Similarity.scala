@@ -42,9 +42,15 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", cId: String = "n_id"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // norms hoist (r16, the ivfSearch discipline): one dot per candidate
+    // pair instead of cosine()'s three — ‖q‖ once per query row, ‖c‖ once
+    // per corpus row. Bit-identical: dot/(qn·cn) is the same IEEE op
+    // order cosine() uses.
+    val joined = corpus.withColumn("__cn", norm(col("c_vec")))
+      .crossJoin(broadcast(queries.withColumn("__qn", norm(col("q_vec")))))
       .filter(col(qId) =!= col(cId))
-      .withColumn("__sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("__sim",
+        dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(qId).orderBy(col("__sim").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -77,12 +83,17 @@ object Similarity {
   def lshTopK(df: DataFrame, id: String, vec: String, planes: Int, k: Int,
       queryPred: Column): DataFrame = {
     val withB = df.withColumn("__b", lshBucket(col(vec), planes))
+    // norms hoist: one dot per in-bucket candidate instead of cosine()'s
+    // three (bit-identical — same dot/(qn·cn) IEEE op order)
     val q = withB.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).as("q_vec"), col("__b"))
+      .withColumn("__qn", norm(col("q_vec")))
     val c = withB.select(col(id).as("n_id"), col(vec).as("c_vec"), col("__b"))
+      .withColumn("__cn", norm(col("c_vec")))
     val joined = c.join(broadcast(q), Seq("__b"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("__sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("__sim",
+        dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("q_id").orderBy(col("__sim").desc, col("n_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -407,8 +407,13 @@ object ClusterQueries {
            |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
            |  FROM adc) WHERE rank <= 3""".stripMargin
       }) { (s, dir) =>
+      // fan the corpus side at the site (r16 re-scope of the r15
+      // loader-level fan-out; solo 3.65 → 1.96 came from parallelizing
+      // the ADC scoring above this scan — centroids/codebook are tiny
+      // broadcast builds and stay unfanned)
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfPqSearch(e, "vec_id", "embedding",
+      Similarity.ivfPqSearch(graft.operators.Layout.fanOut(e),
+        "vec_id", "embedding",
         centroids = e.filter(col("vec_id") < 8),
         codebook = e.filter(col("vec_id") < 16),
         m = 8, nprobe = 2, k = 3,
@@ -445,9 +450,14 @@ object ClusterQueries {
         |ORDER BY conf DESC, ante, cons LIMIT 20""".stripMargin) { (s, dir) =>
       // four consumers (order count, item supports, both self-join sides):
       // persist the distinct basket table instead of re-shuffling lineitem
+      // — and materialize it EAGERLY (r16): left lazy, the four consumers'
+      // first-use stages raced past the empty cache and re-ran the
+      // lineitem scan+distinct concurrently (JobProbe: ~9 duplicated
+      // 32-task materialization jobs before the pair join even started)
       val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      baskets.count()
       val nOrders = baskets.agg(countDistinct(col("o")).as("n_orders"))
       val isup = baskets.groupBy("i").agg(count(lit(1)).as("si"))
       val pairs = baskets.select(col("o"), col("i").as("a"))

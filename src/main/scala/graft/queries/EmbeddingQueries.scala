@@ -201,10 +201,16 @@ object EmbeddingQueries {
             baseBits = 8, baseBands = 3, corpusSize = Some(n)),
           "a_id", "b_id", smod)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // norms ride the candidate joins (one per vector side), so the
+      // verify filter folds ONE dot per candidate pair instead of
+      // cosine()'s three — bit-identical (same dot/(a_n·b_n) IEEE order)
       val pairs = cand
-        .join(c.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
-        .join(c.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
-        .filter(Similarity.cosine(col("a_v"), col("b_v")) >= 0.99)
+        .join(c.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+          Similarity.norm(col("v")).as("a_n")), Seq("a_id"))
+        .join(c.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+          Similarity.norm(col("v")).as("b_n")), Seq("b_id"))
+        .filter(Similarity.dot(col("a_v"), col("b_v"))
+          / (col("a_n") * col("b_n")) >= 0.99)
       c.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
@@ -268,8 +274,12 @@ object EmbeddingQueries {
           col("label").as("q_label"))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_vec"),
         col("label").as("n_label"))
+      // fan the SCORED corpus side at the site (r16 re-scope of the r15
+      // loader-level fan-out; solo 1.75 → 0.95 came from parallelizing
+      // this q×|corpus| cosine pass — q and the label lookups broadcast)
       val top = Similarity.bruteForceTopK(
-          q.select("q_id", "q_vec"), c.select("n_id", "c_vec"), 10)
+          q.select("q_id", "q_vec"),
+          graft.operators.Layout.fanOut(c.select("n_id", "c_vec")), 10)
         .join(broadcast(c.select("n_id", "n_label")), Seq("n_id"))
         .join(broadcast(q.select("q_id", "q_label")), Seq("q_id"))
       val votes = top

@@ -165,8 +165,11 @@ object PipelineQueries {
          |  JOIN embeddings qe ON qe.vec_id = cand.q_id
          |  JOIN embeddings ne ON ne.vec_id = cand.n_id)
          |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // fan the corpus side at the site (r16 re-scope of the r15
+      // loader-level fan-out) — the 8-row centroid frame stays unfanned
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfSearch(e, "vec_id", "embedding",
+      Similarity.ivfSearch(graft.operators.Layout.fanOut(e),
+          "vec_id", "embedding",
           e.filter(col("vec_id") < 8), nprobe = 2, k = 3,
           queryPred = col("vec_id") % 100 === 0, negLabel = Some("label"))
         .select(col("q_id"), col("n_id"), col("rank").cast("int"))
@@ -215,8 +218,11 @@ object PipelineQueries {
          |  JOIN sx ON sx.a_id = m.a_id
          |  JOIN sy ON sy.b_id = m.b_id)
          |WHERE r = 1""".stripMargin) { (s, dir) =>
+      // fan the corpus side at the site (r16 re-scope of the r15
+      // loader-level fan-out) — the 8-row centroid frame stays unfanned
       val e = Tables.embeddings(s, dir)
-      Similarity.marginMining(e, "vec_id", "embedding",
+      Similarity.marginMining(graft.operators.Layout.fanOut(e),
+        "vec_id", "embedding",
         e.filter(col("vec_id") < 8), sideA = col("label") % 2 === 0, k = 4)
     },
 

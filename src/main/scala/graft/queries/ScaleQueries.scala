@@ -143,17 +143,24 @@ object ScaleQueries {
     * convention lives here and in the paired oracle SQL only. */
   private def certSplit(s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // the |A|·|B| scoring stages parallelize via Tables.embeddings'
-    // scan-level fan-out (solo medians q237 1.96 → 0.98, q238 5.04 → ~4.0
-    // when it landed; a second per-side fanOut here would re-read the
-    // single-file gate and double the exchange)
+    // the |A|·|B| scoring stages run above these halves; fan each SCORED
+    // half out at the site (solo medians q237 1.96 → 0.98, q238 5.04 →
+    // ~4.0 when the fan-out landed loader-level in r15; re-scoped here in
+    // r16 so cheap embeddings consumers stop paying the exchange). The
+    // 8-row centroid frame is broadcast everywhere — never fanned.
+    // Each half also carries its norm ONCE PER ROW (a_n / b_n): the
+    // scoring passes then fold one dot per pair instead of cosine()'s
+    // three (r16, guide §1.2 per-task work; bit-identical — dot/(a_n·b_n)
+    // is the same IEEE op order cosine() uses, the ivfSearch discipline).
     val e = Tables.embeddings(s, dir)
     (e.filter(col("vec_id") < 8)
        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-     e.filter(col("vec_id") % 2 === 0)
-       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec")),
-     e.filter(col("vec_id") % 2 === 1)
-       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec")))
+     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 0))
+       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+       .withColumn("a_n", graft.operators.Similarity.norm(col("a_vec"))),
+     graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 1))
+       .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+       .withColumn("b_n", graft.operators.Similarity.norm(col("b_vec"))))
   }
 
   /** Query-side probe: each row of `q` assigned its `nprobe` nearest of
@@ -161,13 +168,14 @@ object ScaleQueries {
     * [[graft.operators.Similarity.ivfAssign]]'s single-cell form). */
   private def probeCells(q: org.apache.spark.sql.DataFrame, id: String,
       vec: String, cen: org.apache.spark.sql.DataFrame,
-      nprobe: Int): org.apache.spark.sql.DataFrame =
+      nprobe: Int, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     q.crossJoin(broadcast(cen))
       .withColumn("d", graft.operators.Similarity.l2sq(col(vec), col("cvec")))
       .withColumn("rn", row_number().over(Window.partitionBy(id)
         .orderBy(col("d"), col("cid"))))
       .filter(col("rn") <= nprobe)
-      .select(col(id), col(vec), col("cid").as("cell"))
+      .select(Seq(col(id), col(vec)) ++ carry.map(col)
+        :+ col("cid").as("cell"): _*)
 
   /** Corpus-side single-cell assignment for the certifier audits. */
   private def corpusCells(b: org.apache.spark.sql.DataFrame,
@@ -394,8 +402,19 @@ object ScaleQueries {
         |       ((abs(v2r.x) * 1000) // (SELECT s FROM s2)) as bigint)
         |    AS v2_scaled
         |FROM v1 JOIN v2r ON v2r.i = v1.i""".stripMargin) { (s, dir) =>
+      // coalesce(1): the Gram frame is d(d+1)/2 = 2080 rows — cached at
+      // the shuffle's 32 partitions it made every downstream scan a
+      // 64-task job (the union doubles it); one partition is the right
+      // layout for a 64×64 matrix and every later job becomes 1–2 tasks
       val gu = LinearAlgebra.gramInt8(Tables.embeddings(s, dir), "embedding", 64)
+        .coalesce(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the 2080-row Gram frame BEFORE fan-out (r16): left
+      // lazy, the union's two scans plus each rescale's max-abs broadcast
+      // raced past the empty cache and re-ran the whole quantize+fold
+      // lineage concurrently — JobProbe measured ~150 s of duplicated
+      // task time across 36 jobs for ~1 s of real work
+      gu.count()
       val g = gu.unionByName(
         gu.filter(col("i") < col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("dot")))
@@ -1164,17 +1183,23 @@ object ScaleQueries {
          |SELECT ra.a_id, ra.b_id, ra.sim AS cos_sim
          |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
          |WHERE ra.rn = 1 AND rb.rn = 1""".stripMargin) { (s, dir) =>
-      // the |A|·|B| cosine pass parallelizes via Tables.embeddings'
-      // scan-level fan-out (solo median 2.00 → 1.40 when it landed)
+      // fan the SCORED side out at the site (r16: the r15 loader-level
+      // fan-out taxed the cheap embeddings consumers; solo median 2.00 →
+      // 1.40 came from parallelizing this |A|·|B| cosine pass, which only
+      // needs width on b — a stays a plain broadcast build)
       val e = Tables.embeddings(s, dir)
+      // per-row norms: one dot per pair instead of cosine()'s three
+      // (bit-identical — same dot / (a_n * b_n) IEEE op order)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
+        .withColumn("a_n", graft.operators.Similarity.norm(col("a_vec")))
+      val b = graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 1))
         .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        .withColumn("b_n", graft.operators.Similarity.norm(col("b_vec")))
       val pairs = b.crossJoin(broadcast(a))
         .select(col("a_id"), col("b_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec"))
-            .as("sim"))
+          (graft.operators.Similarity.dot(col("a_vec"), col("b_vec"))
+            / (col("a_n") * col("b_n"))).as("sim"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bestA = pairs.withColumn("rn", row_number().over(
           Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))))
@@ -1310,15 +1335,19 @@ object ScaleQueries {
         .agg(max(when(col("rn") === 1, col("b_id"))).as("b_best"),
           (max(when(col("rn") === 1, col("sim")))
             - max(when(col("rn") === 2, col("sim")))).as("margin"))
+      // one dot per pair via the precomputed a_n/b_n norms (certSplit) —
+      // bit-identical to cosine(): same dot / (a_n * b_n) IEEE op order
+      val hoistedSim =
+        (graft.operators.Similarity.dot(col("a_vec"), col("b_vec"))
+          / (col("a_n") * col("b_n"))).as("sim")
       val ex = top2(b.crossJoin(broadcast(qa))
-        .select(col("a_id"), col("b_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")))
+        .select(col("a_id"), col("b_id"), hoistedSim))
       val bc = corpusCells(b, cen)
-      val pr = probeCells(qa, "a_id", "a_vec", cen, nprobe = 2)
+      val pr = probeCells(qa, "a_id", "a_vec", cen, nprobe = 2,
+        carry = Seq("a_n"))
       val iv = top2(b.join(bc, "b_id")
         .join(broadcast(pr), Seq("cell"))
-        .select(col("a_id"), col("b_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")))
+        .select(col("a_id"), col("b_id"), hoistedSim))
       val j = ex.select(col("a_id"), col("b_best").as("xb"),
           col("margin").as("xm"))
         .join(iv.select(col("a_id"), col("b_best").as("ib"),
@@ -1417,16 +1446,19 @@ object ScaleQueries {
         .withColumn("rn", row_number().over(Window.partitionBy(part)
           .orderBy(col("sim").desc, col(pick))))
         .filter(col("rn") === 1).select(part, pick)
+      // one dot per pair via the precomputed a_n/b_n norms (certSplit) —
+      // bit-identical to cosine(): same dot / (a_n * b_n) IEEE op order
+      val hoistedSim =
+        (graft.operators.Similarity.dot(col("a_vec"), col("b_vec"))
+          / (col("a_n") * col("b_n"))).as("sim")
       // exact forward: each sampled query's top-1 over ALL of B
       val fwd = best(b.crossJoin(broadcast(qa))
-        .select(col("a_id"), col("b_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        .select(col("a_id"), col("b_id"), hoistedSim),
         "a_id", "b_id").persist(mem)
       // exact backward: the partners' top-1 over ALL of A
       val partners = fwd.select("b_id").distinct().join(b, "b_id").persist(mem)
       val bwd = best(a.crossJoin(broadcast(partners))
-        .select(col("b_id"), col("a_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        .select(col("b_id"), col("a_id"), hoistedSim),
         "b_id", "a_id")
         .withColumnRenamed("a_id", "best_a").persist(mem)
       // IVF-confined twins: corpus side single-cell assignment, query
@@ -1435,27 +1467,36 @@ object ScaleQueries {
       val ac = graft.operators.Similarity.ivfAssign(a, "a_id", "a_vec",
         cen.select(col("cid").as("a_id"), col("cvec").as("a_vec")))
       val ifwd = best(b.join(bc, "b_id")
-        .join(broadcast(probeCells(qa, "a_id", "a_vec", cen, nprobe = 2)),
-          Seq("cell"))
-        .select(col("a_id"), col("b_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        .join(broadcast(probeCells(qa, "a_id", "a_vec", cen, nprobe = 2,
+          carry = Seq("a_n"))), Seq("cell"))
+        .select(col("a_id"), col("b_id"), hoistedSim),
         "a_id", "b_id")
       val ibwd = best(a.join(ac, "a_id")
-        .join(broadcast(probeCells(partners, "b_id", "b_vec", cen, nprobe = 2)),
-          Seq("cell"))
-        .select(col("b_id"), col("a_id"),
-          graft.operators.Similarity.cosine(col("a_vec"), col("b_vec")).as("sim")),
+        .join(broadcast(probeCells(partners, "b_id", "b_vec", cen, nprobe = 2,
+          carry = Seq("b_n"))), Seq("cell"))
+        .select(col("b_id"), col("a_id"), hoistedSim),
         "b_id", "a_id")
         .withColumnRenamed("a_id", "best_a")
+      // r16 (§5 reuse — q237 already had this shape): ONE a-side and ONE
+      // b-side agreement frame replace four independent join-count
+      // subtrees (each was its own AQE job tree; JobProbe counted ~40
+      // jobs for this query). Values are unchanged: fwd has exactly one
+      // row per sampled query and bwd one per partner, and ifwd/ibwd have
+      // at most one row per key (rn = 1), so each inner-join count
+      // becomes a conditional count over a left join.
+      val aside = fwd
+        .join(ifwd.withColumnRenamed("b_id", "ib_id"), Seq("a_id"), "left")
+        .join(bwd, Seq("b_id"), "left")
+      val aAgg = aside.agg(
+        count(when(col("ib_id") === col("b_id"), 1)).as("n_fwd_agree"),
+        count(when(col("best_a") === col("a_id"), 1)).as("n_mutual_exact"))
+      val bAgg = bwd
+        .join(ibwd.withColumnRenamed("best_a", "i_best"), Seq("b_id"), "left")
+        .agg(count(lit(1)).as("n_partners"),
+          count(when(col("i_best") === col("best_a"), 1)).as("n_bwd_agree"))
       qa.agg(count(lit(1)).as("n_q"))
-        .crossJoin(fwd.join(ifwd, Seq("a_id", "b_id"))
-          .agg(count(lit(1)).as("n_fwd_agree")))
-        .crossJoin(fwd.join(bwd, "b_id")
-          .filter(col("best_a") === col("a_id"))
-          .agg(count(lit(1)).as("n_mutual_exact")))
-        .crossJoin(partners.agg(count(lit(1)).as("n_partners")))
-        .crossJoin(bwd.join(ibwd, Seq("b_id", "best_a"))
-          .agg(count(lit(1)).as("n_bwd_agree")))
+        .crossJoin(aAgg)
+        .crossJoin(bAgg)
         .select(col("n_q"), col("n_fwd_agree"), col("n_mutual_exact"),
           col("n_partners"), col("n_bwd_agree"),
           // chance-floor bound, same rationale as q237 (measured 0.455)

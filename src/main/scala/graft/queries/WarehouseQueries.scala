@@ -269,15 +269,22 @@ object WarehouseQueries {
          |      FROM r WHERE rn <= 2 GROUP BY a_id)
          |SELECT a_id, b_best, cos_best, margin
          |FROM m WHERE margin >= 0.02""".stripMargin) { (s, dir) =>
-      // the |A|·|B| cosine+top-2 pass parallelizes via Tables.embeddings'
-      // scan-level fan-out (solo median 1.99 → 0.83 when it landed)
+      // fan the SCORED side out at the site (r16 re-scope of the r15
+      // loader-level fan-out; solo median 1.99 → 0.83 came from
+      // parallelizing this |A|·|B| cosine+top-2 pass — only b needs
+      // width, a stays a plain broadcast build)
       val e = Tables.embeddings(s, dir)
+      // per-row norms: one dot per pair instead of cosine()'s three
+      // (bit-identical — same dot / (a_n * b_n) IEEE op order)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-      val b = e.filter(col("vec_id") % 2 === 1)
+        .withColumn("a_n", Similarity.norm(col("a_vec")))
+      val b = graft.operators.Layout.fanOut(e.filter(col("vec_id") % 2 === 1))
         .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        .withColumn("b_n", Similarity.norm(col("b_vec")))
       val top2 = b.crossJoin(broadcast(a))
-        .withColumn("sim", Similarity.cosine(col("a_vec"), col("b_vec")))
+        .withColumn("sim", Similarity.dot(col("a_vec"), col("b_vec"))
+          / (col("a_n") * col("b_n")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))))
         .filter(col("rn") <= 2)

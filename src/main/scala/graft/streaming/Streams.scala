@@ -438,14 +438,22 @@ object Streams {
           .findFirst().get()
         val dst = stage.resolve(s"events_zsentinel$k.parquet")
         Files.move(part, dst)
-        // the file source paces oldest-mtime-first: events, then sentinel
-        // (all mtimes in the past — the source ignores future timestamps)
+        // SAME mtime as the event parts: the sentinel rides IN the single
+        // data batch (r16, guide §2/§6 — fewer, larger micro-batches).
+        // Correct because the watermark a batch runs under comes from the
+        // stats of PRIOR batches: during the one data batch the watermark
+        // is still unset, so nothing can be late-dropped, and at its
+        // commit the sentinel's ts is in the stats — the engine's final
+        // no-data batch then evicts with the same watermark the old
+        // shape's separate sentinel batch produced. Measured at 1×: 3
+        // micro-batch commits → 2 (each stream-join commit is ~0.9 s of
+        // state-store machinery across 4 partitions × 2 sides).
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - (3 - k) * 3600000L))
+            System.currentTimeMillis() - 3 * 3600000L))
       }
-      // one micro-batch for ALL event parts (they share one mtime), then
-      // the sentinel — a per-part batch cadence would advance the
+      // ONE micro-batch for the event parts PLUS the sentinel (all share
+      // one mtime) — a per-part batch cadence would advance the
       // watermark between parts and late-drop the bulk of a multi-file
       // corpus (ScaleUp replicas share the driver corpus' ts range)
       // pin the contract the final eviction rides on: the engine appends
@@ -454,7 +462,7 @@ object Streams {
       def side(): DataFrame = normalizeTs(spark.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events*.parquet")
-        .option("maxFilesPerTrigger", eventParts.length.toString)
+        .option("maxFilesPerTrigger", (eventParts.length + 1).toString)
         .parquet(stage.toString))
       val clicks = side()
         .filter(col("event_type") === "click")
@@ -695,6 +703,15 @@ object Streams {
       writeStaged(raw.filter(!straggler), "e_0ontime.parquet", 5)
       writeStaged(sentinelDf(maxMicros), "e_1advance.parquet", 4)
       writeStaged(raw.filter(straggler), "e_2late.parquet", 3)
+      // ONE file per trigger — the advancer batch is semantically
+      // REQUIRED and the 3-batch cadence is minimal. r16 falsified the
+      // "merge on-time + advancer into one batch" collapse: the watermark
+      // a batch's late-drop filter runs under lags that batch's stats by
+      // TWO batch boundaries (measured — with batches {on-time+advancer},
+      // {stragglers}, the straggler batch ran under an unset watermark
+      // and the one joinable straggler pair at sf0.01 joined instead of
+      // dropping; r14 measured the same two-batch lag on q185's
+      // aggregate flavor: 0 drops without the advancer).
       def side(): DataFrame = normalizeTs(spark.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "e_*.parquet")

@@ -159,21 +159,17 @@ class PlanSpec extends SparkSpec {
       "no exchange keyed on the salt:\n" + p)
   }
 
-  test("q70: PQ encode is a single narrow projection (no join; only the " +
-      "scan fan-out exchanges)") {
+  test("q70: PQ encode is a single narrow projection (no join, no exchange)") {
     val p = plan("q70_pq_codes")
     // the codebook is embedded as literals — the corpus scan must reach the
-    // output through projections only. Since r15, Tables.embeddings fans a
-    // single-row-group scan out to session parallelism (Layout.fanOut), so
-    // exactly one ROUND-ROBIN exchange of the raw scan columns is the
-    // intended shape; any hash/range exchange or a second exchange would
-    // mean the encode itself started shuffling.
+    // output through projections only. r16 re-scoped the r15 loader-level
+    // embeddings fan-out to the heavy sites, so this cheap consumer is back
+    // to ZERO exchanges: any exchange here (round-robin, SinglePartition,
+    // keyed) means the encode started shuffling the corpus again.
     assert(!p.contains("Join"), "codebook regressed to a join:\n" + p)
     val exchanges = p.linesIterator
       .filter(_.trim.matches(raw"\(\d+\) Exchange.*")).toSeq
-    assert(exchanges.size <= 1, "PQ encode shuffled the corpus:\n" + p)
-    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
-      "PQ encode shuffled the corpus by key:\n" + p)
+    assert(exchanges.isEmpty, "PQ encode shuffled the corpus:\n" + p)
   }
 
   test("q49: containment check is a semi-join aggregate, not a pair join") {
@@ -450,14 +446,17 @@ class PlanSpec extends SparkSpec {
 
   test("q190: gram matrix shuffles only the d^2 partials") {
     val p = plan("q190_gram_int8")
-    // one hash exchange: the (i, j) partial-sum regroup — the corpus
-    // itself must never exchange BY KEY. Since r15 the embeddings scan
-    // additionally fans out round-robin (Layout.fanOut at
-    // Tables.embeddings; parallelizes the per-partition Gram fold that a
-    // single-row-group scan otherwise runs as one task), so assert the
-    // keyed-exchange count, not the total.
+    // exactly one exchange TOTAL, and it is the (i, j) partial-sum hash
+    // regroup — the corpus itself must never exchange at all (r16 removed
+    // the r15 loader-level fan-out this cheap consumer was paying for;
+    // bounding the total closes the r15 ADVICE gap where extra round-robin
+    // or SinglePartition corpus exchanges passed silently).
     val keyed = p.linesIterator.count(_.contains("hashpartitioning"))
     assert(keyed == 1, s"want 1 hash exchange, got $keyed:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.trim.matches(raw"\(\d+\) Exchange.*")).toSeq
+    assert(exchanges.size == 1,
+      s"want 1 exchange total (the d^2 regroup), got ${exchanges.size}:\n$p")
     assert(p.contains("partial_sum"), p)
   }
 
